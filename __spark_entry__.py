@@ -1,38 +1,913 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (TPC-H-style pricing summary, the A5/A1
+aggregate family's stress shape) on sf0.001.
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2, bound
+to the driver's synthetic tables; each callable takes (spark, sf_dir) and
+returns a DataFrame.
+
+``oracle_sql()`` — the DuckDB-equivalent ANSI SQL for each query.
+
+Determinism rules used throughout (so the order-insensitive value hash
+matches between a multi-threaded Spark run and single-threaded DuckDB):
+- timestamps surface as exact epoch microseconds (``*_us`` BIGINT);
+- double sums go through DECIMAL(38,6) (order-independent), then round(4);
+- every LIMIT is preceded by a total order with a unique tiebreak column;
+- computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_loganalyzer_spark.operators import aggregates as A
+from db_loganalyzer_spark.operators import filters as FL
+from db_loganalyzer_spark.operators import joins as J
+from db_loganalyzer_spark.operators import windows as W
+from db_loganalyzer_spark.operators.aggregates import davg, dsum
+from db_loganalyzer_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's generic events stream, with log-shaped derivations:
+    severity = floor(value), k_val = typed payload field from the props
+    JSON (the reference's fields_json probe, SURVEY §1.3)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("severity", F.floor("value").cast("int")).withColumn(
+        "k_val", F.get_json_object("props", "$.k").cast("int")
+    )
+
+
+US = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-agg scan (SURVEY §2.4 family).
+
+    Single scan -> partial agg -> 4-group final agg; whole-stage codegen
+    end to end, filter pushed to parquet.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def a01_severity_histogram(spark, sf_dir):
+    return A.severity_histogram(_events(spark, sf_dir))
+
+
+A01_SQL = """
+SELECT CAST(FLOOR(value) AS INT) AS severity, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def a02_event_histogram(spark, sf_dir):
+    return A.event_histogram(
+        _events(spark, sf_dir), k=3, event_col="event_type"
+    ).withColumnRenamed("event_type", "event")
+
+
+A02_SQL = """
+SELECT event_type AS event, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, event LIMIT 3
+"""
+
+
+def a03_time_span(spark, sf_dir):
+    return A.time_span(_events(spark, sf_dir))
+
+
+A03_SQL = """
+SELECT epoch_us(MIN(ts)) AS min_ts_us, epoch_us(MAX(ts)) AS max_ts_us,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS span_seconds
+FROM events
+"""
+
+
+def a04_global_max(spark, sf_dir):
+    return A.global_max(_events(spark, sf_dir), "value")
+
+
+A04_SQL = "SELECT MAX(value) AS max_value FROM events"
+
+
+def a05_rollup_3600s(spark, sf_dir):
+    return A.windowed_rollup(
+        _events(spark, sf_dir), 3600, ["event_type"], "value"
+    )
+
+
+A05_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+       MAX(value) AS max_value,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def a06_metric_baselines(spark, sf_dir):
+    return A.metric_baselines(
+        _events(spark, sf_dir), ["event_type"], "value", min_count=10
+    )
+
+
+A06_SQL = """
+SELECT event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS mean,
+       ROUND(stddev_samp(value), 4) AS stddev,
+       COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1 HAVING COUNT(value) >= 10
+"""
+
+
+def a08_bucket_heatmap(spark, sf_dir):
+    return A.bucket_heatmap(_events(spark, sf_dir), 300)
+
+
+A08_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 300) * 300 AS BIGINT) AS bucket,
+       MAX(CAST(FLOOR(value) AS INT)) AS max_severity, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def a09_high_severity_buckets(spark, sf_dir):
+    return A.bucket_heatmap(_events(spark, sf_dir), 600, min_max_severity=49)
+
+
+A09_SQL = """
+SELECT * FROM (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 600) * 600 AS BIGINT) AS bucket,
+         MAX(CAST(FLOOR(value) AS INT)) AS max_severity, COUNT(*) AS n
+  FROM events GROUP BY 1
+) WHERE max_severity >= 49
+"""
+
+
+def a10_zscore_hotspots(spark, sf_dir):
+    return A.zscore_hotspots(_events(spark, sf_dir), 300, min_z=1.5)
+
+
+A10_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 300) * 300 AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), s AS (SELECT AVG(n) AS mean_n, stddev_samp(n) AS std_n FROM b)
+SELECT bucket, n,
+       ROUND(CASE WHEN s.std_n <> 0 THEN (b.n - s.mean_n) / s.std_n END, 4) AS zscore
+FROM b, s
+WHERE ROUND(CASE WHEN s.std_n <> 0 THEN (b.n - s.mean_n) / s.std_n END, 4) >= 1.5
+"""
+
+
+def a12_per_group_zscores(spark, sf_dir):
+    return A.per_group_zscores(
+        _events(spark, sf_dir),
+        ["event_type"],
+        "value",
+        z_threshold=1.6,
+        id_cols=["event_id"],
+    )
+
+
+A12_SQL = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(CASE WHEN s.sd <> 0 THEN (e.value - s.m) / s.sd END, 4) AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE ABS(ROUND(CASE WHEN s.sd <> 0 THEN (e.value - s.m) / s.sd END, 4)) > 1.6
+"""
+
+
+def a14_summary_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    return A.summary_stats(ev, "value")
+
+
+A14_SQL = """
+SELECT MAX(value) AS max_value,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS mean_value,
+       COUNT(*) AS n,
+       epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us
+FROM events WHERE event_type = 'error'
+"""
+
+
+def a16_count(spark, sf_dir):
+    return _events(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+A16_SQL = "SELECT COUNT(*) AS n FROM events"
+
+
+def a17_role_distribution(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("role", (F.col("user_id") % 7).cast("long"))
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+A17_SQL = """
+SELECT CAST(user_id % 7 AS BIGINT) AS role, COUNT(*) AS n FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F-family: filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+_EV_PROJ = lambda df: df.select(  # noqa: E731
+    "event_id", US("ts").alias("ts_us"), "event_type", "value"
+)
+
+
+def f01_time_window(spark, sf_dir):
+    out = FL.time_window(
+        _events(spark, sf_dir), "2024-01-15 12:00:00", 1800, limit=200
+    )
+    return _EV_PROJ(out)
+
+
+F01_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 1800 SECOND
+             AND TIMESTAMP '2024-01-15 12:00:00' + INTERVAL 1800 SECOND
+ORDER BY ts, event_id LIMIT 200
+"""
+
+
+def f02_event_pattern(spark, sf_dir):
+    out = FL.event_pattern(
+        _events(spark, sf_dir), "ur", event_col="event_type", limit=100
+    )
+    return _EV_PROJ(out)
+
+
+F02_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events WHERE event_type LIKE '%ur%'
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def f03_severity_floor(spark, sf_dir):
+    out = FL.severity_floor(
+        _events(spark, sf_dir), 49.5, severity_col="value", limit=100
+    )
+    return _EV_PROJ(out)
+
+
+F03_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events WHERE value >= 49.5
+ORDER BY value DESC, ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def f04_dynamic_predicate(spark, sf_dir):
+    out = FL.dynamic_predicate(
+        _events(spark, sf_dir),
+        start_time="2024-01-10 00:00:00",
+        end_time="2024-01-20 00:00:00",
+        severity_min=10,
+        event_type="click",
+        severity_col="value",
+        event_col="event_type",
+    )
+    return _EV_PROJ(out)
+
+
+F04_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND value >= 10 AND event_type = 'click'
+"""
+
+
+def f05_interesting_events(spark, sf_dir):
+    out = FL.interesting_events(
+        _events(spark, sf_dir),
+        min_severity=40,
+        names={"error", "signup"},
+        severity_col="value",
+        event_col="event_type",
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+F05_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE value >= 40 OR event_type IN ('error', 'signup')
+GROUP BY 1
+"""
+
+
+def f06_event_class(spark, sf_dir):
+    out = FL.event_class(
+        _events(spark, sf_dir), "err|sign", event_col="event_type"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+F06_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE regexp_matches(event_type, 'err|sign') GROUP BY 1
+"""
+
+
+def f08_json_field(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(FL.finite(F.col("k_val").cast("double")) & (F.col("k_val") > 80))
+        .select("event_id", "k_val")
+    )
+
+
+F08_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+"""
+
+
+def f10_exclusion(spark, sf_dir):
+    out = FL.exclude_events(
+        _events(spark, sf_dir), ["error"], event_col="event_type"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+F10_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events
+WHERE event_type NOT IN ('error') GROUP BY 1
+"""
+
+
+def f11_regex_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return FL.regex_corpus_filter(
+        docs, whitelist="spark", blacklist="slow", min_len=200
+    ).select("doc_id", "n_chars")
+
+
+F11_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE regexp_matches(text, 'spark') AND NOT regexp_matches(text, 'slow')
+  AND LENGTH(text) >= 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def j01_equi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        J.equi_join(
+            orders,
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == F.col("c_custkey"),
+            broadcast_right=True,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+J01_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def j02_global_stats_z(spark, sf_dir):
+    ev = J.attach_global_stats(_events(spark, sf_dir), "value")
+    z = F.round((F.col("value") - F.col("mean_value")) / F.col("std_value"), 4)
+    return (
+        ev.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 1.6)
+        .select("event_id", "value", "zscore")
+    )
+
+
+J02_SQL = """
+WITH s AS (SELECT AVG(value) AS m, stddev_samp(value) AS sd FROM events)
+SELECT event_id, value, ROUND((value - s.m) / s.sd, 4) AS zscore
+FROM events, s WHERE ABS(ROUND((value - s.m) / s.sd, 4)) > 1.6
+"""
+
+
+def j03_lookback_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    anchors = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") >= 45))
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("anchor_ts"),
+            F.col("user_id").alias("anchor_user_id"),
+        )
+    )
+    joined = J.lookback_join(
+        ev.select("user_id", "ts"), anchors, 600, equi_keys=["user_id"]
+    )
+    return (
+        joined.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_prior"))
+        .orderBy("anchor_id")
+    )
+
+
+J03_SQL = """
+SELECT a.event_id AS anchor_id, COUNT(*) AS n_prior
+FROM events a JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts >= a.ts - INTERVAL 600 SECOND AND e.ts < a.ts
+WHERE a.event_type = 'error' AND a.value >= 45
+GROUP BY 1
+"""
+
+
+def j05_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return J.anti_join(
+        cust, big, cust.c_custkey == big.o_custkey
+    ).select("c_custkey")
+
+
+J05_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+def j06_lookup_fallback(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "role", (F.col("user_id") % 3).cast("string")
+    )
+    per_role = (
+        ev.groupBy("event_type", "role")
+        .agg(davg("value").alias("baseline_mean"))
+        .filter(F.col("role") == "0")
+    )
+    all_rows = ev.groupBy("event_type").agg(
+        davg("value").alias("baseline_mean")
+    ).withColumn("role", F.lit("ALL"))
+    baselines = per_role.unionByName(all_rows.select("event_type", "role", "baseline_mean"))
+    probes = ev.filter(F.col("value") > 49).select("event_id", "event_type", "role")
+    out = J.lookup_with_fallback(
+        probes, baselines, ["event_type", "role"], "role", "ALL", ["baseline_mean"]
+    )
+    return out.select("event_id", "event_type", "role", "baseline_mean")
+
+
+J06_SQL = """
+WITH ev AS (
+  SELECT *, CAST(user_id % 3 AS VARCHAR) AS role FROM events
+), per_role AS (
+  SELECT event_type, role,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS baseline_mean
+  FROM ev GROUP BY 1, 2 HAVING role = '0'
+), all_rows AS (
+  SELECT event_type, 'ALL' AS role,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS baseline_mean
+  FROM ev GROUP BY 1
+), baselines AS (SELECT * FROM per_role UNION ALL SELECT * FROM all_rows)
+SELECT p.event_id, p.event_type, p.role,
+       COALESCE(b1.baseline_mean, b2.baseline_mean) AS baseline_mean
+FROM ev p
+LEFT JOIN baselines b1 ON b1.event_type = p.event_type AND b1.role = p.role
+LEFT JOIN baselines b2 ON b2.event_type = p.event_type AND b2.role = 'ALL'
+WHERE p.value > 49
+"""
+
+
+# ---------------------------------------------------------------------------
+# W-family: window / sequence (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def w01_value_drops(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "obs", F.when(F.col("event_type") == "view", F.col("k_val"))
+    )
+    out = W.value_drops(ev, "obs", partition_by=["user_id"])
+    return out.select(
+        "user_id", "event_id", F.col("obs"), "prev_value", "drop_amount"
+    )
+
+
+W01_SQL = """
+WITH ev AS (
+  SELECT *, CASE WHEN event_type = 'view'
+                 THEN CAST(json_extract_string(props, '$.k') AS INT) END AS obs
+  FROM events
+), lagged AS (
+  SELECT user_id, event_id, obs,
+         last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value
+  FROM ev
+)
+SELECT user_id, event_id, obs, prev_value, prev_value - obs AS drop_amount
+FROM lagged WHERE obs IS NOT NULL AND prev_value IS NOT NULL AND obs < prev_value
+"""
+
+
+def w02_value_resets(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "obs", F.when(F.col("event_type") == "view", F.col("k_val"))
+    )
+    out = W.value_resets(ev, "obs", high=80, low=20, partition_by=["user_id"])
+    return out.select("user_id", "event_id", "obs", "prev_value")
+
+
+W02_SQL = """
+WITH ev AS (
+  SELECT *, CASE WHEN event_type = 'view'
+                 THEN CAST(json_extract_string(props, '$.k') AS INT) END AS obs
+  FROM events
+), lagged AS (
+  SELECT user_id, event_id, obs,
+         last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value
+  FROM ev
+)
+SELECT user_id, event_id, obs, prev_value
+FROM lagged WHERE prev_value > 80 AND obs < 20
+"""
+
+
+def w03_lag_regressions(spark, sf_dir):
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "error")
+    out = W.lag_regressions(ev, "value", partition_by=["user_id"])
+    return out.select("user_id", "event_id", "value", "prev_value")
+
+
+W03_SQL = """
+SELECT user_id, event_id, value, prev_value FROM (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events WHERE event_type = 'error'
+) WHERE prev_value IS NOT NULL AND value < prev_value
+"""
+
+
+def w05_sessionization(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sessions = W.sessionize(ev, 3600, partition_by=["user_id"])
+    return W.session_summary(sessions, partition_by=["user_id"])
+
+
+W05_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) / 1000000.0
+                   - (epoch_us(lag(ts) OVER w) / 1000000.0) > 3600
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(ts)) AS start_ts_us, epoch_us(MAX(ts)) AS end_ts_us,
+       ROUND(epoch_us(MAX(ts)) / 1000000.0 - epoch_us(MIN(ts)) / 1000000.0, 6) AS duration_s,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def w06_burst_windows(spark, sf_dir):
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    out = W.burst_windows(ev, k=3, window_seconds=259200, partition_by=["user_id"])
+    return out.select("user_id", "event_id", "window_span_s")
+
+
+W06_SQL = """
+SELECT user_id, event_id, ROUND(span, 6) AS window_span_s FROM (
+  SELECT user_id, event_id,
+         epoch_us(ts) / 1000000.0
+           - epoch_us(lag(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+           AS span
+  FROM events WHERE event_type = 'signup'
+) WHERE span IS NOT NULL AND span <= 259200
+"""
+
+
+def w08_marker_chunks(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    chunked = W.marker_chunks(
+        ev, F.col("event_type") == "signup", partition_by=["user_id"]
+    )
+    return (
+        chunked.groupBy("user_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("ts")).alias("start_ts_us"),
+            F.unix_micros(F.max("ts")).alias("end_ts_us"),
+        )
+        .orderBy("user_id", "chunk_id")
+    )
+
+
+W08_SQL = """
+WITH chunked AS (
+  SELECT user_id, ts,
+         COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM events
+)
+SELECT user_id, CAST(chunk_id AS BIGINT) AS chunk_id, COUNT(*) AS n,
+       epoch_us(MIN(ts)) AS start_ts_us, epoch_us(MAX(ts)) AS end_ts_us
+FROM chunked GROUP BY 1, 2
+"""
+
+
+def w09_relative_timeline(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = W.relative_timeline(ev.filter(F.col("value") >= 49), anchor_df=ev)
+    return out.select("event_id", "rel_s")
+
+
+W09_SQL = """
+WITH t0 AS (SELECT MIN(ts) AS t0 FROM events)
+SELECT event_id,
+       ROUND(epoch_us(ts) / 1000000.0 - epoch_us(t0) / 1000000.0, 6) AS rel_s
+FROM events, t0 WHERE value >= 49
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def t01_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window as SW
+
+    cust = _t(spark, sf_dir, "customer")
+    w = SW.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+T01_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS INT) AS rk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style multi-join analytics
+# ---------------------------------------------------------------------------
+
+
+def q03_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q05_nation_revenue(spark, sf_dir):
+    """Multi-way star join: lineitem⋈orders⋈customer⋈nation⋈region with
+    broadcast dims (SURVEY §2.3 J1 generalized)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q05_SQL = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# S-family: ingestion derivations (SURVEY §2.1 S7)
+# ---------------------------------------------------------------------------
+
+
+def s07_processes(spark, sf_dir):
+    """The processes-table derivation shape (first/last seen per process
+    key) on the generic events stream (reference: tools/storage.py:271-303)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("first_seen_ts_us"),
+            F.unix_micros(F.max("ts")).alias("last_seen_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+S07_SQL = """
+SELECT user_id, epoch_us(MIN(ts)) AS first_seen_ts_us,
+       epoch_us(MAX(ts)) AS last_seen_ts_us, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
+    "a02_event_histogram": (a02_event_histogram, A02_SQL),
+    "a03_time_span": (a03_time_span, A03_SQL),
+    "a04_global_max": (a04_global_max, A04_SQL),
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
+    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
+    "a14_summary_stats": (a14_summary_stats, A14_SQL),
+    "a16_count": (a16_count, A16_SQL),
+    "a17_role_distribution": (a17_role_distribution, A17_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f02_event_pattern": (f02_event_pattern, F02_SQL),
+    "f03_severity_floor": (f03_severity_floor, F03_SQL),
+    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
+    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "w01_value_drops": (w01_value_drops, W01_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w05_sessionization": (w05_sessionization, W05_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
+    "s07_processes": (s07_processes, S07_SQL),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted => rows-only check)."""
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,243 @@
+"""Aggregation operators (SURVEY §2.4, A1-A17).
+
+Each is a declarative groupBy/agg — Catalyst plans partial (map-side)
+aggregation before the shuffle automatically, which is what makes these
+scale: the shuffle moves one row per (group, partition), not per event.
+
+Numeric determinism: ``dsum``/``davg`` sum through DECIMAL(38,6) so the
+result is bit-identical regardless of partitioning/summation order — this
+is what lets a distributed Spark run hash-match a single-threaded DuckDB
+oracle (and makes results reproducible run-to-run at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import bucket_start
+
+
+def dsum(c: Column | str, scale: int = 4) -> Column:
+    """Order-independent sum: per-row round to DECIMAL(38,6), exact decimal
+    sum, back to double rounded to ``scale``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(F.sum(col.cast("decimal(38,6)")).cast("double"), scale)
+
+
+def davg(c: Column | str, scale: int = 4) -> Column:
+    """Order-independent mean built from the decimal sum / exact count."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col), scale
+    )
+
+
+def severity_histogram(df: DataFrame, severity_col: str = "severity") -> DataFrame:
+    """A1 — count per severity (reference: global_scanner.py:16-19)."""
+    return (
+        df.groupBy(severity_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(severity_col)
+    )
+
+
+def event_histogram(df: DataFrame, k: int = 10, event_col: str = "event") -> DataFrame:
+    """A2 — top-k event types by count (reference: global_scanner.py:21-29).
+
+    Compiles to partial-agg + TakeOrderedAndProject: a true distributed
+    top-k, no full sort.
+    """
+    return (
+        df.groupBy(event_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), event_col)
+        .limit(k)
+    )
+
+
+def time_span(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A3 — min/max ts + span seconds (reference: global_scanner.py:31-42).
+
+    Timestamps surface as exact epoch microseconds (BIGINT) so oracle
+    comparison is format/timezone-proof.
+    """
+    return df.agg(
+        F.unix_micros(F.min(ts_col)).alias("min_ts_us"),
+        F.unix_micros(F.max(ts_col)).alias("max_ts_us"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1_000_000.0
+        ).alias("span_seconds"),
+    )
+
+
+def global_max(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
+    """A4 — single global max (reference: global_scanner.py:45)."""
+    return df.agg(F.max(col).alias(alias or f"max_{col}"))
+
+
+def windowed_rollup(
+    df: DataFrame,
+    window_seconds: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    exact_percentile: bool = True,
+) -> DataFrame:
+    """A5 — tumbling-window rollup: n, avg, max, p95 per (window, keys).
+
+    reference: tools/storage.py:328-352 (CTAS ``rollups_{N}s``).
+
+    The reference re-runs CTAS per window size; here one shuffle produces
+    the rollup, and the same expression works under Structured Streaming
+    (see streaming/rollups_stream.py). ``exact_percentile`` uses exact
+    ``percentile`` (matches DuckDB ``quantile_cont``); at 100 TB flip to
+    ``percentile_approx`` — sketch-mergeable, single pass, no sort.
+    """
+    pctl = (
+        F.percentile(value_col, 0.95)
+        if exact_percentile
+        else F.percentile_approx(value_col, 0.95)
+    )
+    return (
+        df.groupBy(
+            bucket_start(ts_col, window_seconds).alias("window_start"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(value_col).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+            F.round(pctl, 4).alias("p95_value"),
+        )
+        .orderBy("window_start", *keys)
+    )
+
+
+def metric_baselines(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_count: int = 10,
+    with_p95: bool = True,
+) -> DataFrame:
+    """A6/A7 — per-key baseline stats: mean/stddev/count/min/max (+p95),
+    HAVING count >= min_count.
+
+    reference: global_scanner.py:57-172 (upsert path) — here the result is
+    just a DataFrame; persist with ``.write`` where the reference upserted.
+    """
+    aggs = [
+        davg(value_col).alias("mean"),
+        F.round(F.stddev_samp(value_col), 4).alias("stddev"),
+        F.count(value_col).alias("n"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    if with_p95:
+        aggs.append(F.round(F.percentile(value_col, 0.95), 4).alias("p95"))
+    return (
+        df.groupBy(*keys)
+        .agg(*aggs)
+        .filter(F.col("n") >= min_count)
+        .orderBy(*keys)
+    )
+
+
+def bucket_heatmap(
+    df: DataFrame,
+    bucket_seconds: int = 300,
+    ts_col: str = "ts",
+    severity_col: str = "severity",
+    min_max_severity: float | None = None,
+) -> DataFrame:
+    """A8/A9 — epoch-bucket heatmap: max severity + count per bucket;
+    optional HAVING max >= floor (hotspot selector).
+
+    reference: global_scanner.py:232-252; hotspot_selector.py:15-36
+    """
+    out = df.groupBy(
+        bucket_start(ts_col, bucket_seconds).alias("bucket")
+    ).agg(
+        F.max(severity_col).alias("max_severity"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if min_max_severity is not None:
+        out = out.filter(F.col("max_severity") >= min_max_severity)
+    return out.orderBy(F.desc("max_severity"), "bucket")
+
+
+def zscore_hotspots(
+    df: DataFrame,
+    bucket_seconds: int = 300,
+    min_z: float = 2.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A10 — z-score of per-bucket event counts vs the global bucket-count
+    distribution (reference: detectors.py:234-285).
+
+    The 1-row global stats attach via a broadcast cross join — the Spark
+    equivalent of the reference's ``FROM bucketed b, stats s``; cheaper
+    than a whole-frame window (no single-partition sort) at scale.
+    """
+    buckets = df.groupBy(
+        bucket_start(ts_col, bucket_seconds).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = buckets.agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("std_n")
+    )
+    z = F.when(
+        F.col("std_n") != 0, (F.col("n") - F.col("mean_n")) / F.col("std_n")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(stats))
+        .select("bucket", "n", F.round(z, 4).alias("zscore"))
+        .filter(F.col("zscore") >= min_z)
+        .orderBy(F.desc("zscore"), "bucket")
+    )
+
+
+def per_group_zscores(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """A12 — per-key mean/std over all rows, join back, flag |z| > thr.
+
+    reference: tools/anomaly_detector.py:92-167. The reference held a dict
+    of per-metric stats in memory; here the stats DataFrame broadcasts to
+    the join (small — one row per metric key).
+    """
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__std"),
+    )
+    z = F.when(
+        F.col("__std") != 0, (F.col(value_col) - F.col("__mean")) / F.col("__std")
+    )
+    out = (
+        df.join(F.broadcast(stats), keys)
+        .withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+        .drop("__mean", "__std")
+    )
+    cols = (id_cols or []) + keys + [value_col, "zscore"]
+    return out.select(*cols)
+
+
+def summary_stats(
+    df: DataFrame, value_col: str, ts_col: str = "ts"
+) -> DataFrame:
+    """A14 — detector summary: max/p95/mean/count + first/last ts.
+
+    reference: detectors.py:104-122
+    """
+    return df.agg(
+        F.max(value_col).alias("max_value"),
+        F.round(F.percentile(value_col, 0.95), 4).alias("p95_value"),
+        davg(value_col).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.unix_micros(F.min(ts_col)).alias("first_ts_us"),
+        F.unix_micros(F.max(ts_col)).alias("last_ts_us"),
+    )

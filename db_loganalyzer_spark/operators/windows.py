@@ -1,0 +1,243 @@
+"""Window / sequence operators (SURVEY §2.5, W1-W10).
+
+The reference walks Python lists ordered by ts; here each becomes a Spark
+window function. Every operator takes ``partition_by`` — at test scale a
+global order (no partitions) reproduces the reference exactly; at 100 TB
+you partition by a natural stream key (machine/trace_file/user) so no
+single task holds the whole ordering. See ``stitched`` variants' notes for
+the boundary-merge strategy when a truly global order is unavoidable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(partition_by: list[str], ts_col: str, tiebreak: str | None):
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.orderBy(*order)
+    return w.partitionBy(*partition_by) if partition_by else w
+
+
+def value_drops(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W1 — compare each non-null value with the LAST NON-NULL previous
+    value (not plain lag — nulls are skipped, matching the reference's
+    per-column prev tracking); emit rows where the value dropped.
+
+    reference: global_scanner.py:273-323
+    """
+    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = F.last(F.col(value_col), ignorenulls=True).over(w)
+    return (
+        df.withColumn("prev_value", prev)
+        .filter(
+            F.col(value_col).isNotNull()
+            & F.col("prev_value").isNotNull()
+            & (F.col(value_col) < F.col("prev_value"))
+        )
+        .withColumn("drop_amount", F.col("prev_value") - F.col(value_col))
+    )
+
+
+def value_resets(
+    df: DataFrame,
+    value_col: str,
+    high: float,
+    low: float,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W2 — flag transitions prev > high AND current < low (version reset).
+
+    reference: global_scanner.py:325-354
+    """
+    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = F.last(F.col(value_col), ignorenulls=True).over(w)
+    return (
+        df.withColumn("prev_value", prev)
+        .filter((F.col("prev_value") > high) & (F.col(value_col) < low))
+    )
+
+
+def lag_regressions(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W3 — plain-lag regression: current < immediately previous value.
+
+    reference: global_scanner.py:356-385 (RecoveryVersion regressions)
+    """
+    w = _w(partition_by or [], ts_col, tiebreak)
+    prev = F.lag(F.col(value_col)).over(w)
+    return (
+        df.withColumn("prev_value", prev)
+        .filter(F.col("prev_value").isNotNull() & (F.col(value_col) < F.col("prev_value")))
+        .withColumn("drop_amount", F.col("prev_value") - F.col(value_col))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W5 — gaps-and-islands sessionization: new session where the gap to
+    the previous event exceeds ``gap_seconds``; adds ``session_id``
+    (0-based per partition).
+
+    reference: global_scanner.py:177-219 (recovery episodes, 60s gap).
+    Streaming form: ``session_window(ts, gap)`` — see streaming module.
+    """
+    w = _w(partition_by or [], ts_col, tiebreak)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+
+
+def session_summary(
+    sessions: DataFrame,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: bounds, duration, event count."""
+    keys = (partition_by or []) + ["session_id"]
+    return (
+        sessions.groupBy(*keys)
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("start_ts_us"),
+            F.unix_micros(F.max(ts_col)).alias("end_ts_us"),
+            F.round(
+                F.max(F.col(ts_col)).cast("double")
+                - F.min(F.col(ts_col)).cast("double"),
+                6,
+            ).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def burst_windows(
+    df: DataFrame,
+    k: int,
+    window_seconds: float,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W6 — rows i where t[i] - t[i-k+1] <= window (k events within the
+    window, sliding over the sorted stream) — the recovery-loop shape.
+
+    reference: detectors.py:176-203
+    """
+    w = _w(partition_by or [], ts_col, tiebreak)
+    t_prev = F.lag(F.col(ts_col), k - 1).over(w)
+    span = F.col(ts_col).cast("double") - F.col("__t_prev").cast("double")
+    return (
+        df.withColumn("__t_prev", t_prev)
+        .withColumn("window_span_s", F.round(span, 6))
+        .filter(F.col("__t_prev").isNotNull() & (span <= window_seconds))
+        .drop("__t_prev")
+    )
+
+
+def marker_chunks(
+    df: DataFrame,
+    marker_predicate,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W8 — split the ordered stream into chunks that END at each marker
+    row (marker belongs to the chunk it closes); adds ``chunk_id``.
+
+    reference: tools/chunker.py:18-44
+    """
+    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marker = F.when(marker_predicate, 1).otherwise(0)
+    return df.withColumn(
+        "chunk_id", F.coalesce(F.sum(marker).over(w), F.lit(0))
+    )
+
+
+def relative_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    anchor_df: DataFrame | None = None,
+) -> DataFrame:
+    """W9 — rel_s = ts - min(ts): attach the global start via a broadcast
+    1-row cross join (not a whole-frame window — no single-partition sort).
+
+    reference: tools/investigation_tools/timeline_builder.py:42-49
+    """
+    base = anchor_df if anchor_df is not None else df
+    t0 = base.agg(F.min(ts_col).alias("__t0"))
+    return (
+        df.crossJoin(F.broadcast(t0))
+        .withColumn(
+            "rel_s",
+            F.round(
+                F.col(ts_col).cast("double") - F.col("__t0").cast("double"), 6
+            ),
+        )
+        .drop("__t0")
+    )
+
+
+def first_matching(
+    df: DataFrame,
+    predicate,
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W9b — first event satisfying a predicate (per partition): the
+    timeline builder's "first severe / first lag>100k / first Recovery".
+
+    reference: timeline_builder.py:50-71
+    """
+    w = _w(partition_by or [], ts_col, tiebreak)
+    return (
+        df.filter(predicate)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def severity_first_ranking(
+    df: DataFrame,
+    severity_col: str = "severity",
+    ts_col: str = "ts",
+    high: int = 40,
+    limit: int | None = None,
+) -> DataFrame:
+    """W10 — display ordering: severity>=high first, then by time.
+
+    reference: investigation_agent.py:612-631
+    """
+    key = F.when(F.col(severity_col) >= high, 0).otherwise(1)
+    out = df.orderBy(key, F.col(ts_col))
+    return out.limit(limit) if limit else out

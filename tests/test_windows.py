@@ -1,0 +1,61 @@
+"""Unit tests for the window/sequence family on hand-built frames with
+known answers (the reference's semantics from SURVEY §2.5)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.operators import windows as W
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, 0, s), v) for i, (s, v) in enumerate(rows)],
+        "event_id long, ts timestamp, value double",
+    )
+
+
+def test_value_drops_skips_nulls(spark):
+    # last NON-NULL previous, not plain lag (global_scanner.py:294-321)
+    df = _df(spark, [(0, 10.0), (1, None), (2, 5.0), (3, None), (4, 7.0)])
+    out = W.value_drops(df, "value").select("event_id", "prev_value", "drop_amount")
+    rows = {r.event_id: (r.prev_value, r.drop_amount) for r in out.collect()}
+    assert rows == {2: (10.0, 5.0)}  # 7.0 > 5.0 (prev non-null) is not a drop
+
+
+def test_value_resets(spark):
+    # prev is the last non-null value: after row 1 (5.0) prev=5.0, so row 2
+    # (100.0) is NOT a reset even though row 0 was > high
+    df = _df(spark, [(0, 2e6), (1, 5.0), (2, 100.0), (3, 2e6), (4, 3e6)])
+    out = W.value_resets(df, "value", high=1e6, low=1e6)
+    assert [r.event_id for r in out.collect()] == [1]
+
+
+def test_sessionize_and_summary(spark):
+    df = _df(spark, [(0, 1.0), (1, 1.0), (30, 1.0), (31, 1.0), (59, 1.0)])
+    sessions = W.sessionize(df, gap_seconds=10)
+    got = {r.event_id: r.session_id for r in sessions.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+    summary = W.session_summary(sessions).collect()
+    assert [r.n_events for r in summary] == [2, 2, 1]
+
+
+def test_burst_windows(spark):
+    # 3 events within 5s => row i flagged when t[i]-t[i-2] <= 5
+    df = _df(spark, [(0, 1.0), (2, 1.0), (4, 1.0), (30, 1.0)])
+    out = W.burst_windows(df, k=3, window_seconds=5)
+    assert [r.event_id for r in out.collect()] == [2]
+
+
+def test_marker_chunks_marker_closes_chunk(spark):
+    df = _df(spark, [(0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0)])
+    marked = df.withColumn("m", F.col("event_id") == 1)
+    out = W.marker_chunks(marked, F.col("m"))
+    got = {r.event_id: r.chunk_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}  # marker row 1 ends chunk 0
+
+
+def test_first_matching(spark):
+    df = _df(spark, [(0, 1.0), (1, 50.0), (2, 60.0)])
+    out = W.first_matching(df, F.col("value") >= 50).collect()
+    assert len(out) == 1 and out[0].event_id == 1
