@@ -1,0 +1,677 @@
+"""Composite anomaly detectors (SURVEY §2.11, D1-D11).
+
+Each detector is a pure function over the normalized log DataFrames
+(``events`` with the MAP payload, plus derived ``event_metrics`` /
+``metric_baselines``) returning DataFrames: a small per-row ``details``
+frame and/or a 1-row ``summary`` shaped like the reference's result dicts.
+
+Everything is declarative: the reference's Python loops over fetchall()
+become filters, broadcast joins, and window functions, so the same
+detector runs unchanged over 100 TB of events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import bucket_start
+from ..operators.aggregates import davg
+from ..sources.trace_logs import py_float
+
+# reference: tools/recovery_detector.py:45-61
+RECOVERY_STATES = {
+    0: "reading_coordinated_state",
+    1: "locking_coordinated_state",
+    2: "recruiting_proxies",
+    3: "reading_transaction_system_state",
+    4: "configuration_missing",
+    5: "configuration_never_created",
+    6: "configuration_invalid",
+    7: "recruiting_transaction_servers",
+    8: "initializing_transaction_servers",
+    9: "recovery_transaction",
+    10: "writing_coordinated_state",
+    11: "accepting_commits",
+    12: "all_logs_recruited",
+    13: "storage_recovered",
+    14: "fully_recovered",
+}
+
+# reference: tools/recovery_detector.py:64-76
+KNOWN_CAUSES = [
+    "Terminated due to tLog failure",
+    "Terminated due to storage server failure",
+    "Terminated due to commit proxy failure",
+    "Terminated due to GRV proxy failure",
+    "Terminated due to resolver failure",
+    "Terminated due to master failure",
+    "Terminated due to coordinator failure",
+    "Configuration change",
+    "Manual recovery",
+    "Network partition",
+    "Datacenter failure",
+]
+
+# reference: global_scanner.py:118-122
+BASELINE_EXCLUDED_FIELDS = {
+    "ThreadID", "ID", "Machine", "Address", "ProcessID", "PID",
+    "TraceFile", "TraceFileExtended", "SourceLine",
+}
+
+
+def _time_filter(df: DataFrame, start_time=None, end_time=None, ts_col="ts"):
+    if start_time is not None and end_time is not None:
+        return df.filter(F.col(ts_col).between(start_time, end_time))
+    return df
+
+
+def _finite(c):
+    return c.isNotNull() & (~F.isnan(c)) & (F.abs(c) < F.lit(1e308))
+
+
+# ---------------------------------------------------------------------------
+# baselines (A6/A7 materialization; input to D1/D7)
+# ---------------------------------------------------------------------------
+
+
+def metric_baselines_table(
+    events: DataFrame,
+    event_metrics: DataFrame,
+    min_count: int = 20,
+    top_n: int = 500,
+    per_role: bool = True,
+    with_all_rows: bool = True,
+) -> DataFrame:
+    """metric_baselines: per (metric_name, role) mean/stddev/p95/min/max/
+    count with finite guard, id-like fields excluded, top-N by count.
+
+    reference: global_scanner.py:57-172 (upsert -> here just a DataFrame;
+    persist with .write where needed). ``with_all_rows`` additionally
+    emits role='ALL' whole-population rows so the J6 fallback lookup has
+    something to land on (the reference only gets 'ALL' rows from
+    null-role events; the explicit union is strictly more useful and a
+    superset).
+    """
+    joined = (
+        event_metrics.filter(~F.col("metric_name").isin(*BASELINE_EXCLUDED_FIELDS))
+        .filter(_finite(F.col("metric_value")))
+        .join(events.select("event_id", "role"), "event_id")
+    )
+
+    def agg(df, role_col):
+        return (
+            df.groupBy("metric_name", role_col.alias("role"))
+            .agg(
+                F.avg("metric_value").alias("mean"),
+                F.stddev_samp("metric_value").alias("stddev"),
+                F.percentile("metric_value", 0.95).alias("p95"),
+                F.min("metric_value").alias("min"),
+                F.max("metric_value").alias("max"),
+                F.count(F.lit(1)).alias("count"),
+            )
+            .filter(F.col("count") >= min_count)
+        )
+
+    if per_role:
+        out = agg(joined, F.coalesce(F.col("role"), F.lit("ALL")))
+        if with_all_rows:
+            out = out.unionByName(agg(joined, F.lit("ALL"))).dropDuplicates(
+                ["metric_name", "role"]
+            )
+    else:
+        out = agg(joined, F.lit("ALL"))
+    return out.orderBy(F.desc("count"), "metric_name", "role").limit(top_n)
+
+
+def _with_baseline(df: DataFrame, baselines: DataFrame, metric_name_col, role_col):
+    """J6 lookup with role='ALL' fallback, baselines broadcast
+    (reference: detectors.py:20-57)."""
+    b = baselines.select(
+        F.col("metric_name").alias("__b_metric"),
+        F.col("role").alias("__b_role"),
+        F.col("mean").alias("__b_mean"),
+        F.col("stddev").alias("__b_std"),
+    )
+    exact = df.join(
+        F.broadcast(b),
+        (metric_name_col == F.col("__b_metric")) & (role_col == F.col("__b_role")),
+        "left",
+    )
+    fb = baselines.filter(F.col("role") == "ALL").select(
+        F.col("metric_name").alias("__f_metric"),
+        F.col("mean").alias("__f_mean"),
+        F.col("stddev").alias("__f_std"),
+    )
+    out = exact.join(F.broadcast(fb), metric_name_col == F.col("__f_metric"), "left")
+    return (
+        out.withColumn("baseline_mean", F.coalesce("__b_mean", "__f_mean"))
+        .withColumn("baseline_std", F.coalesce("__b_std", "__f_std"))
+        .drop("__b_metric", "__b_role", "__b_mean", "__b_std", "__f_metric", "__f_mean", "__f_std")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 storage pressure
+# ---------------------------------------------------------------------------
+
+
+def storage_engine_pressure(
+    events: DataFrame,
+    baselines: DataFrame | None = None,
+    lag_threshold: float = 50000,
+    z_score_threshold: float = 3.0,
+    start_time=None,
+    end_time=None,
+) -> dict[str, DataFrame]:
+    """D1 — VersionLag on StorageMetrics events vs baseline z-score OR
+    absolute threshold (reference: detectors.py:60-122; case-variant
+    ``versionLag`` at :79)."""
+    sm = _time_filter(
+        events.filter(F.col("event") == "StorageMetrics"), start_time, end_time
+    )
+    lag = F.coalesce(
+        py_float(F.element_at("fields", F.lit("VersionLag"))),
+        py_float(F.element_at("fields", F.lit("versionLag"))),
+    )
+    pts = sm.select(
+        "ts",
+        F.coalesce(F.col("role"), F.lit("ALL")).alias("role"),
+        lag.alias("lag"),
+    ).filter(F.col("lag").isNotNull())
+
+    if baselines is not None:
+        pts = _with_baseline(pts, baselines.filter(F.col("metric_name") == "VersionLag"),
+                             F.lit("VersionLag"), F.col("role"))
+    else:
+        pts = pts.withColumn("baseline_mean", F.lit(None).cast("double")).withColumn(
+            "baseline_std", F.lit(None).cast("double")
+        )
+    z = F.when(
+        F.col("baseline_std").isNotNull() & (F.col("baseline_std") > 0),
+        F.abs((F.col("lag") - F.col("baseline_mean")) / F.col("baseline_std")),
+    )
+    pts = pts.withColumn("zscore", z).withColumn(
+        "is_high",
+        (F.col("zscore").isNotNull() & (F.col("zscore") >= z_score_threshold))
+        | (F.col("lag") > lag_threshold),
+    )
+    anomalies = pts.filter("is_high").select("ts", "role", F.col("lag").alias("value"), "zscore")
+    summary = pts.agg(
+        (F.count_if("is_high") > 0).alias("detected"),
+        F.max("lag").alias("max_lag"),
+        F.percentile("lag", 0.95).alias("p95_lag"),
+        F.avg("lag").alias("mean_lag"),
+        F.count_if("is_high").alias("count_high"),
+        F.count(F.lit(1)).alias("total"),
+        F.max("zscore").alias("max_zscore"),
+        F.min(F.when(F.col("is_high"), F.col("ts"))).alias("first_high_ts"),
+        F.max(F.when(F.col("is_high"), F.col("ts"))).alias("last_high_ts"),
+    )
+    return {"summary": summary, "anomalies": anomalies}
+
+
+# ---------------------------------------------------------------------------
+# D2/D3/D5 — event-class scans
+# ---------------------------------------------------------------------------
+
+
+def _class_scan_summary(hits: DataFrame) -> DataFrame:
+    return hits.agg(
+        (F.count(F.lit(1)) > 0).alias("detected"),
+        F.count(F.lit(1)).alias("count"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def ratekeeper_throttling(
+    events: DataFrame, start_time=None, end_time=None
+) -> dict[str, DataFrame]:
+    """D2 — Ratekeeper/Throttle class events where 'throttle' appears in
+    the name or any payload key (reference: detectors.py:125-149)."""
+    cls = _time_filter(
+        events.filter(F.col("event").rlike("Ratekeeper|Throttle")),
+        start_time,
+        end_time,
+    )
+    hits = cls.filter(
+        F.lower(F.col("event")).contains("throttle")
+        | F.exists(F.map_keys("fields"), lambda k: F.lower(k).contains("throttle"))
+    )
+    return {"summary": _class_scan_summary(hits), "events": hits}
+
+
+def missing_tlogs(
+    events: DataFrame, start_time=None, end_time=None
+) -> dict[str, DataFrame]:
+    """D3 — TLog failure-shaped event names (reference: detectors.py:152-173)."""
+    hits = _time_filter(
+        events.filter(
+            F.col("event").like("%TLog%")
+            & (
+                F.col("event").like("%Missing%")
+                | F.col("event").like("%Failed%")
+                | F.col("event").like("%Error%")
+            )
+        ),
+        start_time,
+        end_time,
+    )
+    return {"summary": _class_scan_summary(hits), "events": hits}
+
+
+def coordination_loss(
+    events: DataFrame, start_time=None, end_time=None
+) -> dict[str, DataFrame]:
+    """D5 — Coordinator events with fail/lost in the name or stringified
+    payload (reference: detectors.py:206-231)."""
+    cls = _time_filter(
+        events.filter(F.col("event").like("%Coordinator%")), start_time, end_time
+    )
+    fields_str = F.lower(F.to_json(F.col("fields")))
+    name = F.lower(F.col("event"))
+    hits = cls.filter(
+        name.contains("fail")
+        | name.contains("lost")
+        | fields_str.contains("fail")
+        | fields_str.contains("lost")
+    )
+    return {"summary": _class_scan_summary(hits), "events": hits}
+
+
+# ---------------------------------------------------------------------------
+# D4 recovery loop
+# ---------------------------------------------------------------------------
+
+
+def recovery_loop(
+    events: DataFrame,
+    threshold: int = 3,
+    window_seconds: float = 60,
+    start_time=None,
+    end_time=None,
+) -> dict[str, DataFrame]:
+    """D4 — count sliding windows of `threshold` MasterRecoveryState
+    events within `window_seconds` (reference: detectors.py:176-203; note
+    the reference's ``range(len - threshold)`` skips the final window —
+    we count all of them, a strict superset that can only raise
+    loop_count by one).
+    """
+    recs = _time_filter(
+        events.filter(F.col("event") == "MasterRecoveryState"), start_time, end_time
+    ).select("ts", "event_id")
+    w = Window.orderBy("ts", "event_id")
+    span = F.col("ts").cast("double") - F.lag("ts", threshold - 1).over(w).cast("double")
+    flagged = recs.withColumn("span", span)
+    summary = flagged.agg(
+        (F.count_if(F.col("span") <= window_seconds) > 0).alias("detected"),
+        F.count_if(F.col("span") <= window_seconds).alias("loop_count"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.max("ts").cast("double") - F.min("ts").cast("double")).alias(
+            "duration_seconds"
+        ),
+    )
+    return {"summary": summary}
+
+
+# ---------------------------------------------------------------------------
+# D6 z-score hotspots
+# ---------------------------------------------------------------------------
+
+
+def zscore_hotspots(
+    events: DataFrame, bucket_seconds: int = 300, min_z: float = 2.0, limit: int = 20
+) -> dict[str, DataFrame]:
+    """D6 — buckets with unusually high event counts + max severity
+    (reference: detectors.py:234-285)."""
+    b = events.groupBy(
+        bucket_start("ts", bucket_seconds).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("count"), F.max("severity").alias("max_severity"))
+    s = b.agg(F.avg("count").alias("mean_cnt"), F.stddev_samp("count").alias("std_cnt"))
+    hot = (
+        b.crossJoin(F.broadcast(s))
+        .filter(F.col("std_cnt").isNotNull() & (F.col("std_cnt") > 0))
+        .withColumn("zscore", (F.col("count") - F.col("mean_cnt")) / F.col("std_cnt"))
+        .filter(F.col("zscore") >= min_z)
+        .select("bucket", "count", "max_severity", "zscore")
+        .orderBy(F.desc("zscore"))
+        .limit(limit)
+    )
+    return {"hotspots": hot}
+
+
+# ---------------------------------------------------------------------------
+# D7 baseline window anomalies
+# ---------------------------------------------------------------------------
+
+DEFAULT_WINDOW_METRICS = [
+    "VersionLag",
+    "DurabilityLag",
+    "BytesInput",
+    "WorstStorageServerQueue",
+    "WorstStorageServerDurabilityLag",
+]
+
+
+def baseline_window_anomalies(
+    events: DataFrame,
+    event_metrics: DataFrame,
+    baselines: DataFrame,
+    bucket_seconds: int = 30,
+    z_score_threshold: float = 3.0,
+    min_samples: int = 3,
+    metrics: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """D7 — bucket x role x metric means vs baselines z-score
+    (reference: detectors.py:288-352)."""
+    metrics = metrics or DEFAULT_WINDOW_METRICS
+    bucketed = (
+        event_metrics.filter(F.col("metric_name").isin(*metrics))
+        .filter(_finite(F.col("metric_value")))
+        .join(events.select("event_id", "ts", "role"), "event_id")
+        .groupBy(
+            bucket_start("ts", bucket_seconds).alias("bucket"),
+            F.coalesce(F.col("role"), F.lit("ALL")).alias("role"),
+            "metric_name",
+        )
+        .agg(F.avg("metric_value").alias("mean_val"), F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_samples)
+    )
+    joined = _with_baseline(bucketed, baselines, F.col("metric_name"), F.col("role"))
+    z = F.when(
+        F.col("baseline_std").isNotNull() & (F.col("baseline_std") > 0),
+        F.abs((F.col("mean_val") - F.col("baseline_mean")) / F.col("baseline_std")),
+    )
+    anomalies = (
+        joined.withColumn("zscore", z)
+        .filter(F.col("zscore") >= z_score_threshold)
+        .select(
+            "bucket", "role", F.col("metric_name").alias("metric"), "mean_val",
+            "baseline_mean", "baseline_std", "zscore", "count",
+        )
+        .orderBy("bucket", "role", "metric")
+    )
+    return {"anomalies": anomalies}
+
+
+# ---------------------------------------------------------------------------
+# D8 per-event metric anomalies
+# ---------------------------------------------------------------------------
+
+# reference: tools/anomaly_detector.py:186-198
+ABS_THRESHOLDS = {"Max": 1.0, "P99": 0.5, "P95": 0.3, "QueryQueue": 100.0}
+
+# reference: tools/anomaly_detector.py:23-36
+INTERESTING_EVENTS = {
+    "MasterRecoveryState", "RkUpdate", "TLogError", "SharedTLogFailed",
+    "CoordinatorFailed", "RatekeeperThrottle", "SlowSSLoopx100",
+}
+
+
+def _parse_numeric_col(v):
+    """reference _parse_numeric (anomaly_detector.py:169-184): for
+    space-separated strings, max of float-parseable tokens excluding the
+    literal tokens '-1' and 'inf' (string compare, unlike safe_float);
+    else bare float()."""
+    toks = F.split(F.trim(v), r"\s+")
+    parsed = F.filter(
+        F.transform(
+            toks, lambda t: F.when(~t.isin("-1", "inf"), t.try_cast("double"))
+        ),
+        lambda x: x.isNotNull(),
+    )
+    multi = F.when(F.size(parsed) > 0, F.array_max(parsed))
+    return F.when(v.contains(" "), multi).otherwise(py_float(v))
+
+
+def metric_anomalies(
+    events: DataFrame,
+    limit: int = 500,
+    z_score_threshold: float = 2.5,
+    extreme_threshold: float = 3.0,
+) -> dict[str, DataFrame]:
+    """D8 — per-event z-score anomalies over the most recent `limit`
+    events (reference: detectors.py:355-394 + anomaly_detector.py:92-167).
+
+    Melt fields -> per-metric mean/stdev over positive values -> flag
+    reasons: z>thr, z>3 extreme, absolute thresholds on Max/P99/P95/
+    QueryQueue. The interesting-event prefilter keeps all events when no
+    interesting ones exist, like the reference.
+    """
+    recent = events.orderBy(F.desc("ts"), F.desc("event_id")).limit(limit)
+    has_interesting = recent.filter(F.col("event").isin(*INTERESTING_EVENTS)).limit(1)
+    n_int = has_interesting.count()
+    pool = (
+        recent.filter(F.col("event").isin(*INTERESTING_EVENTS)) if n_int else recent
+    )
+
+    melted = (
+        pool.select("event_id", "ts", "event", "severity", "role",
+                    F.explode(F.map_entries("fields")).alias("e"))
+        .select(
+            "event_id", "ts", "event", "severity", "role",
+            F.col("e.key").alias("metric"),
+            _parse_numeric_col(F.col("e.value")).alias("val"),
+        )
+        .filter(F.col("val").isNotNull() & (F.col("val") > 0))
+    )
+    stats = (
+        melted.groupBy("metric")
+        .agg(F.avg("val").alias("m"), F.stddev_samp("val").alias("sd"),
+             F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    flagged = (
+        melted.join(F.broadcast(stats), "metric")
+        .withColumn(
+            "z",
+            F.when((F.col("sd").isNotNull()) & (F.col("sd") != 0),
+                   F.abs((F.col("val") - F.col("m")) / F.col("sd"))),
+        )
+        .withColumn(
+            "reasons",
+            F.array_compact(
+                F.array(
+                    F.when(F.col("z") > z_score_threshold,
+                           F.concat(F.lit("z_score_anomaly_"), F.col("metric"))),
+                    F.when(F.col("z") > extreme_threshold,
+                           F.concat(F.lit("extreme_value_"), F.col("metric"))),
+                    F.when(
+                        (F.col("metric") == "Max") & (F.col("val") > ABS_THRESHOLDS["Max"])
+                        | (F.col("metric") == "P99") & (F.col("val") > ABS_THRESHOLDS["P99"])
+                        | (F.col("metric") == "P95") & (F.col("val") > ABS_THRESHOLDS["P95"])
+                        | (F.col("metric") == "QueryQueue")
+                        & (F.col("val") > ABS_THRESHOLDS["QueryQueue"]),
+                        F.concat(F.lit("threshold_violation_"), F.col("metric")),
+                    ),
+                )
+            ),
+        )
+        .filter(F.size("reasons") > 0)
+    )
+    per_event = flagged.groupBy("event_id", "ts", "event", "severity", "role").agg(
+        F.array_sort(F.flatten(F.collect_list("reasons"))).alias("reasons")
+    )
+    return {"anomalies": per_event}
+
+
+# ---------------------------------------------------------------------------
+# D9 rollback analysis (W1+W2+W3)
+# ---------------------------------------------------------------------------
+
+
+def rollback_analysis(events: DataFrame) -> dict[str, DataFrame]:
+    """D9 — combine version-drop, version-reset and recovery-version
+    regression scans into one status row (reference:
+    global_scanner.py:258-401). Ordering partitioned by machine_id keeps
+    the scan scalable; the reference's single global order is the
+    machine_id=constant special case."""
+    from ..operators.windows import lag_regressions, value_drops, value_resets
+
+    def field_num(name):
+        return py_float(F.element_at("fields", F.lit(name)))
+
+    versions = events.select(
+        "event_id", "ts",
+        field_num("CommittedVersion").alias("committed"),
+        field_num("DurableVersion").alias("durable"),
+    )
+    drops_c = value_drops(versions.filter(F.col("committed").isNotNull()), "committed",
+                          ts_col="ts", tiebreak="event_id")
+    drops_d = value_drops(versions.filter(F.col("durable").isNotNull()), "durable",
+                          ts_col="ts", tiebreak="event_id")
+    resets = value_resets(
+        versions.filter(F.col("committed").isNotNull()), "committed",
+        high=1_000_000, low=1_000_000, ts_col="ts", tiebreak="event_id",
+    )
+    rv = events.filter(F.col("event") == "RecoveryState").select(
+        "event_id", "ts", field_num("RecoveryVersion").alias("rv")
+    ).filter(F.col("rv").isNotNull())
+    rv_regr = lag_regressions(rv, "rv", ts_col="ts", tiebreak="event_id")
+
+    drops = drops_c.select("event_id", "ts", F.lit("CommittedVersion").alias("column"),
+                           "prev_value", F.col("committed").alias("value"), "drop_amount")
+    drops = drops.unionByName(
+        drops_d.select("event_id", "ts", F.lit("DurableVersion").alias("column"),
+                       "prev_value", F.col("durable").alias("value"), "drop_amount")
+    )
+    summary = (
+        drops.agg(
+            F.count(F.lit(1)).alias("num_drops"),
+            F.max("drop_amount").alias("max_drop"),
+        )
+        .crossJoin(resets.agg(F.count(F.lit(1)).alias("num_resets")))
+        .crossJoin(rv_regr.agg(F.count(F.lit(1)).alias("num_recovery_resets")))
+        .withColumn(
+            "detected",
+            (F.col("num_drops") > 0) | (F.col("num_resets") > 0)
+            | (F.col("num_recovery_resets") > 0),
+        )
+    )
+    return {"summary": summary, "drops": drops, "resets": resets, "recovery_regressions": rv_regr}
+
+
+# ---------------------------------------------------------------------------
+# D10 recovery episodes
+# ---------------------------------------------------------------------------
+
+
+def recovery_episodes(
+    events: DataFrame, gap_seconds: float = 60, halo_seconds: float = 30
+) -> dict[str, DataFrame]:
+    """D10 — sessionize MasterRecoveryState into episodes (gap>60s);
+    per-episode duration + max severity of ALL events within a ±30s halo
+    (reference: global_scanner.py:177-219). The halo is a range join
+    against the events table, not a per-episode rescan."""
+    from ..operators.windows import session_summary, sessionize
+
+    recs = events.filter(F.col("event") == "MasterRecoveryState").select("ts", "event_id")
+    sessions = sessionize(recs, gap_seconds, ts_col="ts", tiebreak="event_id")
+    episodes = session_summary(sessions).select(
+        F.col("session_id").alias("episode_id"),
+        F.timestamp_micros(F.col("start_ts_us")).alias("start_ts"),
+        F.timestamp_micros(F.col("end_ts_us")).alias("end_ts"),
+        "duration_s",
+        F.col("n_events").alias("n_recoveries"),
+    )
+    halo = episodes.join(
+        events.select("ts", "severity"),
+        (F.col("ts") >= F.col("start_ts") - F.expr(f"INTERVAL {halo_seconds} SECONDS"))
+        & (F.col("ts") <= F.col("end_ts") + F.expr(f"INTERVAL {halo_seconds} SECONDS")),
+        "left",
+    )
+    out = halo.groupBy(
+        "episode_id", "start_ts", "end_ts", "duration_s", "n_recoveries"
+    ).agg(F.max("severity").alias("max_severity_halo")).orderBy("episode_id")
+    return {"episodes": out}
+
+
+# ---------------------------------------------------------------------------
+# D11 recovery cause attribution (W7 + J3)
+# ---------------------------------------------------------------------------
+
+
+def detect_recoveries(
+    events: DataFrame,
+    look_back_seconds: float = 5.0,
+    include_codecoverage: bool = True,
+) -> dict[str, DataFrame]:
+    """D11 — per MasterRecoveryState: decode StatusCode to the named state
+    and attribute a cause from the look-back window (reference:
+    tools/recovery_detector.py:92-207).
+
+    Cause priority (nearest-last within the window), matching the
+    reference's two reversed scans:
+      1. CodeCoverage whose Comment contains a KNOWN_CAUSE -> the comment
+      2. event name containing fail/error/terminated
+      3. severity >= 40
+    Implemented as one look-back range join + a priority/recency
+    row_number — no per-recovery rescans.
+    """
+    state_map = F.create_map(
+        *[F.lit(x) for kv in RECOVERY_STATES.items() for x in kv]
+    )
+    base = events if include_codecoverage else events.filter(F.col("event") != "CodeCoverage")
+    recs = (
+        base.filter(F.col("event") == "MasterRecoveryState")
+        .select(
+            F.col("event_id").alias("recovery_id"),
+            F.col("ts").alias("recovery_ts"),
+            F.element_at("fields", F.lit("StatusCode")).try_cast("int").alias("state_code"),
+        )
+        .filter(F.col("state_code").isNotNull())
+        .withColumn(
+            "state_name",
+            F.coalesce(state_map[F.col("state_code")], F.lit("unknown")),
+        )
+    )
+
+    known = F.array(*[F.lit(c.lower()) for c in KNOWN_CAUSES])
+    comment = F.element_at("fields", F.lit("Comment"))
+    name_lower = F.lower(F.col("event"))
+    cand = base.select(
+        "event_id", "ts", "event", "severity",
+        F.when(
+            (F.col("event") == "CodeCoverage")
+            & F.exists(known, lambda c: F.lower(F.coalesce(comment, F.lit(""))).contains(c)),
+            F.lit(1),
+        )
+        .when(
+            name_lower.contains("fail") | name_lower.contains("error")
+            | name_lower.contains("terminated"),
+            F.lit(2),
+        )
+        .when(F.col("severity") >= 40, F.lit(3))
+        .alias("priority"),
+        comment.alias("comment"),
+    ).filter(F.col("priority").isNotNull())
+
+    joined = recs.join(
+        cand,
+        (F.col("ts") >= F.col("recovery_ts") - F.expr(f"INTERVAL {look_back_seconds} SECONDS"))
+        & (F.col("ts") < F.col("recovery_ts")),
+        "left",
+    )
+    w = Window.partitionBy("recovery_id").orderBy(
+        F.col("priority").asc_nulls_last(), F.desc("ts"), F.desc("event_id")
+    )
+    picked = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "cause",
+            F.when(F.col("priority") == 1, F.col("comment"))
+            .when(F.col("priority") == 2,
+                  F.concat(F.lit("Detected failure event: "), F.col("event")))
+            .when(
+                F.col("priority") == 3,
+                F.concat(F.lit("High severity event: "), F.col("event"),
+                         F.lit(" (severity "), F.col("severity").cast("string"), F.lit(")")),
+            ),
+        )
+        .select("recovery_id", "recovery_ts", "state_code", "state_name", "cause")
+        .orderBy("recovery_id")
+    )
+    return {"recoveries": picked}
