@@ -857,6 +857,309 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# M-family: dedup (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def m01_dedup_exact(spark, sf_dir):
+    from db_loganalyzer_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+M01_SQL = r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def m02_ngram_jaccard(spark, sf_dir):
+    from db_loganalyzer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.12, n=2)
+
+
+M02_SQL = r"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 1, 0)),
+           i -> array_to_string(words[i:i+1], ' ')))) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS words
+    FROM documents
+  )
+), sizes AS (
+  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+"""
+
+
+def m03_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64 signatures — not expressible
+    in DuckDB; verified in pytest against exact Jaccard)."""
+    from db_loganalyzer_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.12, num_hashes=16, bands=8, n=2)
+
+
+def m04_simhash_near_dups(spark, sf_dir):
+    """SimHash Hamming near-dups (xxhash64-based; rows-only check)."""
+    from db_loganalyzer_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# SIM-family: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def sim01_bruteforce_topk(spark, sf_dir):
+    from db_loganalyzer_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+SIM01_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROUND(
+           list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))),
+           4) AS cosine
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def sim02_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (approximate by construction; recall vs
+    brute force asserted in pytest — rows-only check here)."""
+    from db_loganalyzer_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=10, n_planes=6)
+
+
+def sim03_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH self-join (rows-only)."""
+    from db_loganalyzer_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dups(emb, threshold=0.25, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# T-family: text analysis
+# ---------------------------------------------------------------------------
+
+
+def t02_text_stats(spark, sf_dir):
+    from db_loganalyzer_spark.operators.textstats import (
+        bpe_ish_token_count,
+        mean_word_len,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(mean_word_len("text"), 4).alias("mean_word_len"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text", "en"), 4).alias("stopword_ratio_en"),
+        quality_score("text").alias("quality"),
+    )
+
+
+T02_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text) END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains(
+                     ['the','a','and','of','to','in','is','that','it','for'], t))) * 1.0 / len(toks)
+              END AS swr,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_bpe AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       ROUND(mwl, 4) AS mean_word_len, ROUND(pr, 4) AS punct_ratio,
+       ROUND(swr, 4) AS stopword_ratio_en,
+       ROUND(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN COALESCE(pr, 1.0) <= 0.2 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN COALESCE(swr, 0.0) >= 0.02 THEN 0.25 ELSE 0.0 END), 2) AS quality
+FROM stats
+"""
+
+
+def t03_language_id(spark, sf_dir):
+    from db_loganalyzer_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+T03_SQL = r"""
+WITH base AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN len(toks) = 0 THEN NULL
+              ELSE list_max([
+    {'score': len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) * 1.0 / len(toks), 'lang': 'en'},
+    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','ich'], t))) * 1.0 / len(toks), 'lang': 'de'},
+    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que','pour','dans'], t))) * 1.0 / len(toks), 'lang': 'fr'},
+    {'score': len(list_filter(toks, t -> list_contains(['el','la','los','y','es','un','una','que','por','como'], t))) * 1.0 / len(toks), 'lang': 'es'}
+  ]) END AS best
+  FROM base
+)
+SELECT CASE WHEN best IS NULL OR best.score <= 0 THEN 'und' ELSE best.lang END AS lang_detected,
+       COUNT(*) AS n
+FROM scored GROUP BY 1
+"""
+
+
+def t04_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (xxhash64-based; rows-only)."""
+    from db_loganalyzer_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+def c01_chunk_summaries(spark, sf_dir):
+    """Recursive character splitting 500/100 + per-doc chunk accounting
+    (python splitter UDF — rows-only; pinned unit tests in pytest)."""
+    from db_loganalyzer_spark.operators.chunking import (
+        chunk_summaries,
+        recursive_character_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_summaries(recursive_character_split(docs))
+
+
+# ---------------------------------------------------------------------------
+# MM-family: multimodal column plumbing
+# ---------------------------------------------------------------------------
+
+
+def mm01_decode_media(spark, sf_dir):
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        fake_decode_backend,
+        media_table_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs)
+    return decode_media(media, decode_backend=fake_decode_backend)
+
+
+MM01_SQL = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+       1 AS n_frames, 'png' AS format
+FROM documents
+"""
+
+
+def mm02_resize_plan(spark, sf_dir):
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        fake_decode_backend,
+        media_table_from_documents,
+        resize_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        media_table_from_documents(docs), decode_backend=fake_decode_backend
+    )
+    return resize_plan(decoded, max_side=256)
+
+
+MM02_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+         CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+       ROUND(CASE WHEN greatest(width, height) > 256
+                  THEN 256.0 / greatest(width, height) ELSE 1.0 END, 4) AS scale,
+       CAST(ceil(width * (CASE WHEN greatest(width, height) > 256
+                  THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width,
+       CAST(ceil(height * (CASE WHEN greatest(width, height) > 256
+                  THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -900,6 +1203,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
     "s07_processes": (s07_processes, S07_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, None),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, None),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, None),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, None),
+    "t02_text_stats": (t02_text_stats, T02_SQL),
+    "t03_language_id": (t03_language_id, T03_SQL),
+    "t04_fingerprints": (t04_fingerprints, None),
+    "c01_chunk_summaries": (c01_chunk_summaries, None),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
 }
 
 

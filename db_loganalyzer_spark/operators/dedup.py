@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Generalizes the reference's only dedup (drop_duplicates on normalized
+comments, log_analysis/cluster_code_coverage.py:33-47) to the shapes a
+100 TB corpus needs:
+
+- exact dedup       : normalize -> hash -> groupBy (one shuffle on a
+                      64/256-bit key, never on the text itself)
+- n-gram Jaccard    : exact set similarity via shingle inverted index
+                      (the small-scale oracle for the approximate paths)
+- MinHash + LSH     : signature -> bands -> bucket join; candidates only,
+                      verified against exact Jaccard. The scale path —
+                      cost is O(docs x hashes) + bucket-local pairs.
+- SimHash           : 64-bit fingerprint; near-dups = small Hamming
+                      distance (bucketed by rotated prefixes).
+
+All hashes are xxhash64 (deterministic, seedable, JVM-side) — no Python
+in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lowercase, collapse whitespace, trim (reference M2,
+    cluster_code_coverage.py:33-47)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups over normalized text: one row per distinct
+    content with the keeper id (min id) and the duplicate count.
+
+    The groupBy key is sha2-256 of the normalized text, so the shuffle
+    moves 32-byte keys, not documents."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.sha2(normalize_text(text_col), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one document per distinct normalized content (the keeper =
+    min id: deterministic, unlike dropDuplicates' first-seen)."""
+    groups = exact_dedup_groups(df, id_col, text_col)
+    return df.join(
+        groups.select(F.col("keeper_id").alias(id_col)), id_col, "inner"
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(normalize_text(col), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
+    explode distinct shingles, self-join on shingle (only co-occurring
+    pairs materialize), |A∩B| = co-occurrence count, |A∪B| = |A|+|B|-∩.
+
+    This is the exact oracle; at 100 TB use minhash_lsh_candidates to
+    bound the pair space first (hot shingles make the inverted index
+    quadratic in the worst case)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). One narrow pass — no shuffle."""
+    grams = word_shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(grams) > 0, sig).alias("signature"),
+    ).filter(F.col("signature").isNotNull())
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` rows of
+    (band_id, band_hash); docs sharing any band bucket become candidate
+    pairs. Equi-join on (band, hash) => shuffle is hash-partitioned, no
+    cross product. Returns distinct candidate (id_a < id_b) pairs."""
+    sig_len_col = F.size("signature")
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            b * (sig_len_col / bands).cast("int") + 1,
+                            (sig_len_col / bands).cast("int"),
+                        ).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> verify candidates with EXACT n-gram Jaccard (join back to the
+    shingle sets only for candidates). Returns verified pairs >= threshold."""
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    cands = minhash_lsh_candidates(sigs, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document: per token-hash bit j, sum
+    +1/-1 across tokens; bit j of the fingerprint = (sum > 0).
+
+    Implemented as an explode + single groupBy with 64 conditional sums —
+    one shuffle keyed by doc id; near-dup = small Hamming distance
+    (use bit_count(x ^ y) on candidate pairs)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(text_col), " "))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    def bit(j):
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(bit(j)) != 0, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp.bitwiseOR(F.when(F.col(f"b{j}") > 0, bit(j)).otherwise(F.lit(0).cast("long")))
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
+    chunks (a pair within Hamming<=3 shares at least one of 4 chunks —
+    pigeonhole), so the join is equi on (chunk_index, chunk_value)."""
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+- brute-force cosine top-k: exact; the small-query-set baseline. Cost is
+  |queries| x |corpus| dot products — fine when the query side broadcasts.
+- LSH-bucketed ANN (random hyperplanes): corpus hashed once into
+  sign-pattern buckets; a query only scores its own bucket (+ optional
+  multi-probe). The corpus side shuffles once on bucket id.
+
+Dot products use F.zip_with + F.aggregate (JVM-side, no Python); the
+hyperplanes are generated deterministically from a seed via numpy and
+shipped as literals (they're tiny: n_planes x dim).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(u: Column) -> Column:
+    return F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / (norm(u) * norm(v))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector: broadcast the query
+    side, score everything, TakeOrdered per query. Excludes self-matches
+    when ids collide."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (numpy RNG with fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = (vec . plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: score only corpus vectors in the query's hyperplane
+    bucket. Recall < 1 by construction (documented approximate path);
+    raise recall with fewer planes or multi-probe (flip one bit).
+
+    At scale: the corpus bucket assignment is computed once (narrow) and
+    the join is equi on bucket — a hash shuffle, never a cross join."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        lsh_bucket(F.col(query_vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH self-join (same bucket)
+    then exact cosine filter. The dedup-by-meaning shape for a training
+    corpus."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", F.round(cosine(F.col("a.v"), F.col("b.v")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
+        )
+    )

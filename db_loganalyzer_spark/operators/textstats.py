@@ -1,0 +1,133 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (regex + array HOFs) — whole-stage codegen,
+no Python, so a quality-filter pass over 100 TB is scan-bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# minimal per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "como"],
+}
+
+
+def tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    t = F.split(normalize_text(col), " ")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    via one regex pass (a deterministic stand-in for tiktoken — the
+    reference counts tokens with tiktoken at cli_wrapper/main.py:417-424;
+    a real tokenizer drops in as a pandas UDF)."""
+    col = F.col(c) if isinstance(c, str) else c
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    n_punct = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col))
+
+
+def mean_word_len(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def quality_score(c: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean word
+    length, low punctuation, some stopwords (fluency proxy). The shape of
+    a Gopher/C4-style quality rule, fully declarative."""
+    n = token_count(c)
+    mwl = mean_word_len(c)
+    comp = [
+        F.when((n >= 10) & (n <= 100000), 0.25).otherwise(0.0),
+        F.when((mwl >= 2.5) & (mwl <= 12), 0.25).otherwise(0.0),
+        F.when(F.coalesce(punct_ratio(c), F.lit(1.0)) <= 0.2, 0.25).otherwise(0.0),
+        F.when(F.coalesce(stopword_ratio(c, lang), F.lit(0.0)) >= 0.02, 0.25).otherwise(0.0),
+    ]
+    out = None
+    for x in comp:
+        out = x if out is None else out + x
+    return F.round(out, 2)
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    return {lang: stopword_ratio(c, lang) for lang in STOPWORDS}
+
+
+def detect_language(c: Column | str) -> Column:
+    """Stopword-profile language ID: argmax hit ratio across language
+    profiles; 'und' (undetermined) when nothing hits."""
+    scores = lang_scores(c)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(s, F.lit(0.0)).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive rolling document fingerprint: polynomial hash over
+    tokens, h = (h*31 + tokenhash) mod p — stable under reformatting
+    (normalization first), cheap to compare across corpora. Exact integer
+    arithmetic (no float), reproducible on any SQL engine."""
+    toks = tokens(c)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.abs(F.xxhash64(t)) % mod) % mod,
+    )
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass per-document stat sheet."""
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(mean_word_len(text_col), 4).alias("mean_word_len"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col, "en"), 4).alias("stopword_ratio_en"),
+        quality_score(text_col).alias("quality"),
+        detect_language(text_col).alias("lang_detected"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
