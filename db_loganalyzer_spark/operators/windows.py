@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _w(partition_by: list[str], ts_col: str, tiebreak: str | None):
@@ -233,11 +234,59 @@ def severity_first_ranking(
     ts_col: str = "ts",
     high: int = 40,
     limit: int | None = None,
+    tiebreak: str | None = "event_id",
+    with_rank: bool = False,
 ) -> DataFrame:
     """W10 — display ordering: severity>=high first, then by time.
+
+    ``with_rank`` additionally materializes the display position as a
+    ``rank`` column (row_number over the same total order), which makes
+    the ordering itself checkable by an order-insensitive oracle.
 
     reference: investigation_agent.py:612-631
     """
     key = F.when(F.col(severity_col) >= high, 0).otherwise(1)
-    out = df.orderBy(key, F.col(ts_col))
+    order = [key, F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    out = df.orderBy(*order)
+    if with_rank:
+        out = out.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        )
     return out.limit(limit) if limit else out
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """W11 — exponentially weighted moving average per key, the smoother
+    the reference documents but never implemented (README.md:249,305 —
+    only z-score exists in code; SURVEY §2.5 flags the gap).
+
+    Recursive definition (pandas ``ewm(alpha, adjust=False)``):
+    ``s_0 = x_0; s_t = (1-alpha)*s_{t-1} + alpha*x_t``.
+
+    A recursive scan is not expressible with built-in window frames
+    without O(n^2) work, so this is the documented Arrow-batched
+    ``applyInPandas`` path: each key's series is one group, sorted
+    in-group, smoothed sequentially. Scales by key-parallelism — at
+    100 TB partition on (metric, machine) style keys so every group fits
+    an executor; the sequential fold is inherently per-series.
+    """
+    import pandas as pd
+
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_fields = df.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    schema = T.StructType(out_fields)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(smooth, schema)
