@@ -25,6 +25,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
     convert to a microsecond timestamp (integer div — no double rounding).
     """
+    # Runtime-settable SQL conf: must hold for ANY caller-provided session
+    # (the verify driver passes a plain SparkSession that did not go through
+    # our session.py builder). Without it, events.parquet (TIMESTAMP NANOS)
+    # fails at read time with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
