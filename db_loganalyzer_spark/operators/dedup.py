@@ -123,16 +123,26 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One narrow pass — no shuffle."""
-    grams = word_shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    xxhash64(shingle, seed=i). One narrow pass — no shuffle.
+
+    The shingle array is materialized in a first projection so the
+    num_hashes per-seed expressions reference a column, not num_hashes
+    inlined copies of the whole normalize/split/shingle chain — keeps the
+    expression tree (and codegen time) linear in num_hashes."""
+    grams_df = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    grams = F.col("grams")
+    # xxhash64(g, i) hashes the (shingle, seed-index) pair, giving an
+    # indexed hash family without unrolling num_hashes separate
+    # expressions in Python — the nested transform keeps the codegen
+    # unit small and num_hashes a runtime value.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, i))),
+    )
+    return grams_df.select(
+        "id",
         F.when(F.size(grams) > 0, sig).alias("signature"),
     ).filter(F.col("signature").isNotNull())
 

@@ -102,6 +102,17 @@ def detect_language(c: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _token_hash(t: Column, mod: int) -> Column:
+    """Polynomial hash of one token over its code points:
+    h = fold(7, h*131 + codepoint) mod p. Pure integer arithmetic —
+    reproducible on any SQL engine (no engine-specific hash function)."""
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(7).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % mod,
+    )
+
+
 def fingerprint(c: Column | str, mod: int = 1_000_000_007) -> Column:
     """Order-sensitive rolling document fingerprint: polynomial hash over
     tokens, h = (h*31 + tokenhash) mod p — stable under reformatting
@@ -111,7 +122,7 @@ def fingerprint(c: Column | str, mod: int = 1_000_000_007) -> Column:
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 31 + F.abs(F.xxhash64(t)) % mod) % mod,
+        lambda acc, t: (acc * 31 + _token_hash(t, mod)) % mod,
     )
 
 
