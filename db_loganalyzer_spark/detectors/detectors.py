@@ -114,11 +114,16 @@ def metric_baselines_table(
         )
 
     if per_role:
-        out = agg(joined, F.coalesce(F.col("role"), F.lit("ALL")))
         if with_all_rows:
-            out = out.unionByName(agg(joined, F.lit("ALL"))).dropDuplicates(
-                ["metric_name", "role"]
-            )
+            # The whole-population aggregate below owns the 'ALL' row;
+            # null-role events must not ALSO produce a conflicting
+            # subset-'ALL' row (dropDuplicates between the two would be
+            # partition-order-dependent), so restrict the per-role branch
+            # to real roles and union is disjoint by construction.
+            out = agg(joined.filter(F.col("role").isNotNull()), F.col("role"))
+            out = out.unionByName(agg(joined, F.lit("ALL")))
+        else:
+            out = agg(joined, F.coalesce(F.col("role"), F.lit("ALL")))
     else:
         out = agg(joined, F.lit("ALL"))
     return out.orderBy(F.desc("count"), "metric_name", "role").limit(top_n)
@@ -412,17 +417,20 @@ INTERESTING_EVENTS = {
 
 def _parse_numeric_col(v):
     """reference _parse_numeric (anomaly_detector.py:169-184): for
-    space-separated strings, max of float-parseable tokens excluding the
-    literal tokens '-1' and 'inf' (string compare, unlike safe_float);
-    else bare float()."""
+    space-separated strings, max over non-excluded tokens — but the whole
+    max() generator sits in one try/except, so ANY unparseable
+    non-excluded token (or zero non-excluded tokens) yields None, e.g.
+    '0.5 abc' -> None, not 0.5. Tokens '-1'/'inf' are excluded by STRING
+    compare before parsing; token parse is bare float() (py_float)."""
     toks = F.split(F.trim(v), r"\s+")
+    kept = F.filter(toks, lambda t: ~t.isin("-1", "inf"))
     parsed = F.filter(
-        F.transform(
-            toks, lambda t: F.when(~t.isin("-1", "inf"), t.try_cast("double"))
-        ),
-        lambda x: x.isNotNull(),
+        F.transform(kept, py_float), lambda x: x.isNotNull()
     )
-    multi = F.when(F.size(parsed) > 0, F.array_max(parsed))
+    multi = F.when(
+        (F.size(parsed) > 0) & (F.size(parsed) == F.size(kept)),
+        F.array_max(parsed),
+    )
     return F.when(v.contains(" "), multi).otherwise(py_float(v))
 
 
@@ -631,6 +639,17 @@ def detect_recoveries(
     known = F.array(*[F.lit(c.lower()) for c in KNOWN_CAUSES])
     comment = F.element_at("fields", F.lit("Comment"))
     name_lower = F.lower(F.col("event"))
+    # The reference's second reversed scan (recovery_detector.py:191-207)
+    # checks fail-name AND severity>=40 on EACH event in recency order, so
+    # they form ONE tier ranked purely by recency; within a single event
+    # the fail-name message wins. Events with a falsy name are skipped
+    # entirely by that scan (`if not event.event: continue`).
+    has_name = F.col("event").isNotNull() & (F.col("event") != "")
+    is_fail_name = has_name & (
+        name_lower.contains("fail") | name_lower.contains("error")
+        | name_lower.contains("terminated")
+    )
+    is_high_sev = has_name & F.col("severity").isNotNull() & (F.col("severity") >= 40)
     cand = base.select(
         "event_id", "ts", "event", "severity",
         F.when(
@@ -638,13 +657,9 @@ def detect_recoveries(
             & F.exists(known, lambda c: F.lower(F.coalesce(comment, F.lit(""))).contains(c)),
             F.lit(1),
         )
-        .when(
-            name_lower.contains("fail") | name_lower.contains("error")
-            | name_lower.contains("terminated"),
-            F.lit(2),
-        )
-        .when(F.col("severity") >= 40, F.lit(3))
+        .when(is_fail_name | is_high_sev, F.lit(2))
         .alias("priority"),
+        is_fail_name.alias("is_fail_name"),
         comment.alias("comment"),
     ).filter(F.col("priority").isNotNull())
 
@@ -664,12 +679,12 @@ def detect_recoveries(
             "cause",
             F.when(F.col("priority") == 1, F.col("comment"))
             .when(F.col("priority") == 2,
-                  F.concat(F.lit("Detected failure event: "), F.col("event")))
-            .when(
-                F.col("priority") == 3,
-                F.concat(F.lit("High severity event: "), F.col("event"),
-                         F.lit(" (severity "), F.col("severity").cast("string"), F.lit(")")),
-            ),
+                  F.when(F.col("is_fail_name"),
+                         F.concat(F.lit("Detected failure event: "), F.col("event")))
+                  .otherwise(
+                      F.concat(F.lit("High severity event: "), F.col("event"),
+                               F.lit(" (severity "), F.col("severity").cast("string"),
+                               F.lit(")")))),
         )
         .select("recovery_id", "recovery_ts", "state_code", "state_name", "cause")
         .orderBy("recovery_id")

@@ -13,15 +13,26 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-# Envelope keys promoted to typed columns; everything else -> fields map.
-# (reference: data_transfer_object/event_dto.py:10-14)
+# Envelope keys stripped from the fields map; everything else stays in it.
+# Mirrors data_transfer_object/event_dto.py:10-14 EXACTLY — note the
+# reference strips singular "Role"/"Process" but the plural "Roles"/
+# "Processes" keys (which actually feed the role/process columns,
+# tools/parser.py:80-81) remain in fields_json, so they remain in our
+# fields map too.
 MANDATORY_FIELDS = {
     "Severity",
     "Time",
     "DateTime",
     "Type",
+    "Process",
+    "Role",
+    "PID",
     "Machine",
-    "Roles",
+    "MachineId",
+    "Address",
+    "LogGroup",
+    "File",
+    "Line",
 }
 
 EVENT_SCHEMA = T.StructType(
