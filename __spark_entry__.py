@@ -1233,6 +1233,522 @@ FROM d
 
 
 # ---------------------------------------------------------------------------
+# D-family: detectors D1-D11 (+ F7/W10) over a log-shaped view of events
+# ---------------------------------------------------------------------------
+
+
+def _log_events(spark, sf_dir):
+    """Deterministic log-shaped view of the synthetic events table so the
+    detectors (which expect the ingest schema: event/role/fields-map) have
+    realistic inputs. Every derivation is integer-exact and restated
+    verbatim in _LOG_SQL for the DuckDB oracles."""
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 10
+    event = (
+        F.when(m == 0, "StorageMetrics")
+        .when(m == 1, "MasterRecoveryState")
+        .when(m == 2, "RatekeeperThrottle")
+        .when(m == 3, "TLogMissingError")
+        .when(m == 4, "CoordinatorFailed")
+        .when(m == 5, "CodeCoverage")
+        .when(m == 6, "RecoveryState")
+        .when(m == 7, "SlowSSLoopx100")
+        .otherwise(F.col("event_type"))
+    )
+    u = F.col("user_id") % 4
+    role = F.when(u == 0, "SS").when(u == 1, "TLog").when(u == 2, "CD")
+    istr = lambda c: F.floor(c).cast("long").cast("string")  # noqa: E731
+    k4 = F.col("k_val") % 4
+    comment = (
+        F.when(k4 == 0, "Terminated due to tLog failure")
+        .when(k4 == 1, "Configuration change requested")
+        .when(k4 == 2, "Manual recovery triggered")
+        .otherwise("routine coverage probe")
+    )
+    fields = (
+        F.when(m == 0, F.create_map(
+            F.lit("VersionLag"), istr(F.col("value") * 1000),
+            F.lit("BytesInput"), istr(F.col("value") * 100),
+            F.lit("CommittedVersion"), ((F.col("event_id") % 100) * 100000).cast("string"),
+            F.lit("DurableVersion"), ((F.col("event_id") % 150) * 80000).cast("string"),
+        ))
+        .when(m == 1, F.create_map(F.lit("StatusCode"), (F.col("k_val") % 15).cast("string")))
+        .when(m == 2, F.create_map(
+            F.lit("ReleasedTPS"), istr(F.col("value") * 100),
+            F.lit("Reason"), F.lit("queue saturated"),
+        ))
+        .when(m == 3, F.create_map(F.lit("LogId"), F.col("k_val").cast("string")))
+        .when(m == 4, F.create_map(
+            F.lit("Reason"),
+            F.when(F.col("k_val") % 2 == 0, "connection lost").otherwise("heartbeat timeout"),
+        ))
+        .when(m == 5, F.create_map(F.lit("Comment"), comment))
+        .when(m == 6, F.create_map(F.lit("RecoveryVersion"), istr(F.col("value") * 1000000)))
+        .when(m == 7, F.create_map(
+            F.lit("Max"), (F.col("severity") % 5).cast("string"),
+            F.lit("P99"), (F.col("severity") % 3).cast("string"),
+            F.lit("QueryQueue"), istr(F.col("value") * 3),
+        ))
+        .otherwise(F.create_map(F.lit("Elapsed"), istr(F.col("value") * 10)))
+    )
+    return ev.select(
+        "event_id", "ts", "severity", "value", "k_val",
+        event.alias("event"), role.alias("role"),
+        F.concat(F.lit("m"), (F.col("user_id") % 8).cast("string")).alias("machine_id"),
+        fields.alias("fields"),
+    )
+
+
+# DuckDB restatement of _log_events (shared CTE prelude).
+_LOG_SQL = """
+log_events AS (
+  SELECT event_id, ts, value, user_id,
+         CAST(FLOOR(value) AS INT) AS severity,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+         CASE CAST(event_id % 10 AS INT)
+           WHEN 0 THEN 'StorageMetrics' WHEN 1 THEN 'MasterRecoveryState'
+           WHEN 2 THEN 'RatekeeperThrottle' WHEN 3 THEN 'TLogMissingError'
+           WHEN 4 THEN 'CoordinatorFailed' WHEN 5 THEN 'CodeCoverage'
+           WHEN 6 THEN 'RecoveryState' WHEN 7 THEN 'SlowSSLoopx100'
+           ELSE event_type END AS event,
+         CASE CAST(user_id % 4 AS INT)
+           WHEN 0 THEN 'SS' WHEN 1 THEN 'TLog' WHEN 2 THEN 'CD' END AS role
+  FROM events
+)
+"""
+
+
+def d01_storage_pressure(spark, sf_dir):
+    """D1 — VersionLag pressure summary (absolute-threshold path;
+    z-path exercised by d07's baseline join)."""
+    from db_loganalyzer_spark.detectors.detectors import storage_engine_pressure
+
+    return storage_engine_pressure(_log_events(spark, sf_dir), lag_threshold=50000)[
+        "summary"
+    ]
+
+
+D01_SQL = f"""
+WITH {_LOG_SQL.strip()},
+sm AS (
+  SELECT ts, FLOOR(value * 1000) AS lag FROM log_events WHERE event = 'StorageMetrics'
+)
+SELECT COUNT(*) FILTER (WHERE lag > 50000) > 0 AS detected,
+       MAX(lag) AS max_lag,
+       quantile_cont(lag, 0.95) AS p95_lag,
+       AVG(lag) AS mean_lag,
+       COUNT(*) FILTER (WHERE lag > 50000) AS count_high,
+       COUNT(*) AS total,
+       CAST(NULL AS DOUBLE) AS max_zscore,
+       MIN(ts) FILTER (WHERE lag > 50000) AS first_high_ts,
+       MAX(ts) FILTER (WHERE lag > 50000) AS last_high_ts
+FROM sm
+"""
+
+
+def d02_ratekeeper(spark, sf_dir):
+    from db_loganalyzer_spark.detectors.detectors import ratekeeper_throttling
+
+    return ratekeeper_throttling(_log_events(spark, sf_dir))["summary"]
+
+
+D02_SQL = f"""
+WITH {_LOG_SQL.strip()}
+SELECT COUNT(*) > 0 AS detected, COUNT(*) AS count,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM log_events WHERE event = 'RatekeeperThrottle'
+"""
+
+
+def d03_missing_tlogs(spark, sf_dir):
+    from db_loganalyzer_spark.detectors.detectors import missing_tlogs
+
+    return missing_tlogs(_log_events(spark, sf_dir))["summary"]
+
+
+D03_SQL = f"""
+WITH {_LOG_SQL.strip()}
+SELECT COUNT(*) > 0 AS detected, COUNT(*) AS count,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM log_events WHERE event = 'TLogMissingError'
+"""
+
+
+def d04_recovery_loop(spark, sf_dir):
+    from db_loganalyzer_spark.detectors.detectors import recovery_loop
+
+    return recovery_loop(_log_events(spark, sf_dir), threshold=3, window_seconds=7200)[
+        "summary"
+    ]
+
+
+D04_SQL = f"""
+WITH {_LOG_SQL.strip()},
+recs AS (
+  SELECT ts, event_id,
+         epoch_us(ts) / 1000000.0
+           - epoch_us(lag(ts, 2) OVER (ORDER BY ts, event_id)) / 1000000.0 AS span
+  FROM log_events WHERE event = 'MasterRecoveryState'
+)
+SELECT COUNT(*) FILTER (WHERE span <= 7200) > 0 AS detected,
+       COUNT(*) FILTER (WHERE span <= 7200) AS loop_count,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       epoch_us(MAX(ts)) / 1000000.0 - epoch_us(MIN(ts)) / 1000000.0 AS duration_seconds
+FROM recs
+"""
+
+
+def d05_coordination_loss(spark, sf_dir):
+    from db_loganalyzer_spark.detectors.detectors import coordination_loss
+
+    return coordination_loss(_log_events(spark, sf_dir))["summary"]
+
+
+D05_SQL = f"""
+WITH {_LOG_SQL.strip()}
+SELECT COUNT(*) > 0 AS detected, COUNT(*) AS count,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM log_events WHERE event = 'CoordinatorFailed'
+"""
+
+
+def d06_zscore_hotspots(spark, sf_dir):
+    """D6 — detector variant of a10 (adds per-bucket max severity).
+    limit high enough to never truncate, so ordering is irrelevant to the
+    order-insensitive oracle compare; z rounded to 4 for cross-engine
+    stddev stability."""
+    from db_loganalyzer_spark.detectors.detectors import zscore_hotspots
+
+    hot = zscore_hotspots(
+        _log_events(spark, sf_dir), bucket_seconds=300, min_z=2.0, limit=1_000_000
+    )["hotspots"]
+    return hot.select("bucket", "count", "max_severity", F.round("zscore", 4).alias("zscore"))
+
+
+D06_SQL = f"""
+WITH {_LOG_SQL.strip()},
+b AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 300) * 300 AS BIGINT) AS bucket,
+         COUNT(*) AS count, MAX(severity) AS max_severity
+  FROM log_events GROUP BY 1
+), s AS (SELECT AVG(count) AS mean_cnt, stddev_samp(count) AS std_cnt FROM b)
+SELECT bucket, count, max_severity,
+       ROUND((count - mean_cnt) / std_cnt, 4) AS zscore
+FROM b, s
+WHERE std_cnt IS NOT NULL AND std_cnt > 0 AND (count - mean_cnt) / std_cnt >= 2.0
+"""
+
+
+def d07_baseline_window_anomalies(spark, sf_dir):
+    """D7/A11 — 30s-bucket means vs metric baselines z-score, exercising
+    metric_baselines_table + the role->'ALL' fallback lookup join."""
+    from db_loganalyzer_spark.detectors.detectors import (
+        baseline_window_anomalies,
+        metric_baselines_table,
+    )
+    from db_loganalyzer_spark.sources.trace_logs import derive_event_metrics
+
+    lev = _log_events(spark, sf_dir)
+    em = derive_event_metrics(lev)
+    baselines = metric_baselines_table(lev, em, min_count=20)
+    # Daily buckets: the synthetic stream is ~1 StorageMetrics event per
+    # 43 min, so the reference's 30s default would never reach
+    # min_samples and the query would vacuously return 0 rows.
+    out = baseline_window_anomalies(
+        lev, em, baselines, bucket_seconds=86400, z_score_threshold=0.1
+    )["anomalies"]
+    return out.select(
+        "bucket", "role", "metric", "mean_val", "baseline_mean",
+        F.round("baseline_std", 4).alias("baseline_std"),
+        F.round("zscore", 4).alias("zscore"), "count",
+    )
+
+
+D07_SQL = f"""
+WITH {_LOG_SQL.strip()},
+em AS (
+  SELECT event_id, ts, role, 'VersionLag' AS metric_name,
+         FLOOR(value * 1000) AS metric_value
+  FROM log_events WHERE event = 'StorageMetrics'
+  UNION ALL
+  SELECT event_id, ts, role, 'BytesInput', FLOOR(value * 100)
+  FROM log_events WHERE event = 'StorageMetrics'
+),
+base_role AS (
+  SELECT metric_name, role, AVG(metric_value) AS mean, stddev_samp(metric_value) AS stddev,
+         COUNT(*) AS n
+  FROM em WHERE role IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 20
+),
+base_all AS (
+  SELECT metric_name, 'ALL' AS role, AVG(metric_value) AS mean, stddev_samp(metric_value) AS stddev,
+         COUNT(*) AS n
+  FROM em GROUP BY 1 HAVING COUNT(*) >= 20
+),
+baselines AS (SELECT * FROM base_role UNION ALL SELECT * FROM base_all),
+bucketed AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) * 86400 AS BIGINT) AS bucket,
+         COALESCE(role, 'ALL') AS role, metric_name,
+         AVG(metric_value) AS mean_val, COUNT(*) AS count
+  FROM em GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+),
+joined AS (
+  SELECT b.*, COALESCE(e.mean, a.mean) AS baseline_mean,
+         COALESCE(e.stddev, a.stddev) AS baseline_std
+  FROM bucketed b
+  LEFT JOIN baselines e ON b.metric_name = e.metric_name AND b.role = e.role
+  LEFT JOIN base_all a ON b.metric_name = a.metric_name
+)
+SELECT bucket, role, metric_name AS metric, mean_val, baseline_mean,
+       ROUND(baseline_std, 4) AS baseline_std,
+       ROUND(ABS((mean_val - baseline_mean) / baseline_std), 4) AS zscore, count
+FROM joined
+WHERE baseline_std IS NOT NULL AND baseline_std > 0
+  AND ABS((mean_val - baseline_mean) / baseline_std) >= 0.1
+"""
+
+
+def d08_metric_anomalies(spark, sf_dir):
+    """D8 — per-event metric z-score + absolute-threshold anomalies over
+    the most recent 500 events (interesting-event pool)."""
+    from db_loganalyzer_spark.detectors.detectors import metric_anomalies
+
+    return metric_anomalies(_log_events(spark, sf_dir), limit=500)["anomalies"]
+
+
+D08_SQL = f"""
+WITH {_LOG_SQL.strip()},
+recent AS (
+  SELECT * FROM log_events ORDER BY ts DESC, event_id DESC LIMIT 500
+),
+pool AS (
+  SELECT * FROM recent WHERE event IN
+    ('MasterRecoveryState', 'RkUpdate', 'TLogError', 'SharedTLogFailed',
+     'CoordinatorFailed', 'RatekeeperThrottle', 'SlowSSLoopx100')
+),
+melted AS (
+  SELECT * FROM (
+    SELECT event_id, ts, event, severity, role, 'StatusCode' AS metric,
+           CAST(k_val % 15 AS DOUBLE) AS val
+    FROM pool WHERE event = 'MasterRecoveryState'
+    UNION ALL
+    SELECT event_id, ts, event, severity, role, 'ReleasedTPS', FLOOR(value * 100)
+    FROM pool WHERE event = 'RatekeeperThrottle'
+    UNION ALL
+    SELECT event_id, ts, event, severity, role, 'Max', CAST(severity % 5 AS DOUBLE)
+    FROM pool WHERE event = 'SlowSSLoopx100'
+    UNION ALL
+    SELECT event_id, ts, event, severity, role, 'P99', CAST(severity % 3 AS DOUBLE)
+    FROM pool WHERE event = 'SlowSSLoopx100'
+    UNION ALL
+    SELECT event_id, ts, event, severity, role, 'QueryQueue', FLOOR(value * 3)
+    FROM pool WHERE event = 'SlowSSLoopx100'
+  ) WHERE val IS NOT NULL AND val > 0
+),
+stats AS (
+  SELECT metric, AVG(val) AS m, stddev_samp(val) AS sd, COUNT(*) AS n
+  FROM melted GROUP BY 1 HAVING COUNT(*) >= 3
+),
+flagged AS (
+  SELECT e.event_id, e.ts, e.event, e.severity, e.role,
+         list_filter([
+           CASE WHEN sd IS NOT NULL AND sd <> 0 AND ABS((val - m) / sd) > 2.5
+                THEN 'z_score_anomaly_' || e.metric END,
+           CASE WHEN sd IS NOT NULL AND sd <> 0 AND ABS((val - m) / sd) > 3.0
+                THEN 'extreme_value_' || e.metric END,
+           CASE WHEN (e.metric = 'Max' AND val > 1.0) OR (e.metric = 'P99' AND val > 0.5)
+                  OR (e.metric = 'P95' AND val > 0.3) OR (e.metric = 'QueryQueue' AND val > 100.0)
+                THEN 'threshold_violation_' || e.metric END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM melted e JOIN stats USING (metric)
+)
+SELECT event_id, ts, event, severity, role,
+       list_sort(flatten(list(reasons))) AS reasons
+FROM flagged WHERE len(reasons) > 0
+GROUP BY event_id, ts, event, severity, role
+"""
+
+
+def d09_rollback_analysis(spark, sf_dir):
+    """D9/W4 — version drops + resets + recovery-version regressions in
+    one status row."""
+    from db_loganalyzer_spark.detectors.detectors import rollback_analysis
+
+    return rollback_analysis(_log_events(spark, sf_dir))["summary"]
+
+
+D09_SQL = f"""
+WITH {_LOG_SQL.strip()},
+cv AS (
+  SELECT ts, event_id, CAST((event_id % 100) * 100000 AS DOUBLE) AS committed
+  FROM log_events WHERE event = 'StorageMetrics'
+),
+dv AS (
+  SELECT ts, event_id, CAST((event_id % 150) * 80000 AS DOUBLE) AS durable
+  FROM log_events WHERE event = 'StorageMetrics'
+),
+cv_w AS (SELECT *, lag(committed) OVER (ORDER BY ts, event_id) AS prev FROM cv),
+dv_w AS (SELECT *, lag(durable) OVER (ORDER BY ts, event_id) AS prev FROM dv),
+drops AS (
+  SELECT prev - committed AS drop_amount FROM cv_w WHERE prev IS NOT NULL AND committed < prev
+  UNION ALL
+  SELECT prev - durable FROM dv_w WHERE prev IS NOT NULL AND durable < prev
+),
+resets AS (
+  SELECT 1 FROM cv_w WHERE prev > 1000000 AND committed < 1000000
+),
+rv AS (
+  SELECT ts, event_id, FLOOR(value * 1000000) AS rv FROM log_events WHERE event = 'RecoveryState'
+),
+rv_w AS (SELECT *, lag(rv) OVER (ORDER BY ts, event_id) AS prev FROM rv),
+rv_regr AS (SELECT 1 FROM rv_w WHERE prev IS NOT NULL AND rv < prev)
+SELECT (SELECT COUNT(*) FROM drops) AS num_drops,
+       (SELECT MAX(drop_amount) FROM drops) AS max_drop,
+       (SELECT COUNT(*) FROM resets) AS num_resets,
+       (SELECT COUNT(*) FROM rv_regr) AS num_recovery_resets,
+       ((SELECT COUNT(*) FROM drops) > 0 OR (SELECT COUNT(*) FROM resets) > 0
+        OR (SELECT COUNT(*) FROM rv_regr) > 0) AS detected
+"""
+
+
+def d10_recovery_episodes(spark, sf_dir):
+    """D10 — sessionized MasterRecoveryState episodes + max severity in a
+    +/-30s halo of surrounding events."""
+    from db_loganalyzer_spark.detectors.detectors import recovery_episodes
+
+    return recovery_episodes(_log_events(spark, sf_dir), gap_seconds=3600, halo_seconds=30)[
+        "episodes"
+    ]
+
+
+D10_SQL = f"""
+WITH {_LOG_SQL.strip()},
+recs AS (
+  SELECT ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) / 1000000.0 - epoch_us(lag(ts) OVER w) / 1000000.0 > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM log_events WHERE event = 'MasterRecoveryState'
+  WINDOW w AS (ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT ts,
+         SUM(is_new) OVER (ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS episode_id
+  FROM recs
+),
+episodes AS (
+  SELECT episode_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         ROUND(epoch_us(MAX(ts)) / 1000000.0 - epoch_us(MIN(ts)) / 1000000.0, 6) AS duration_s,
+         COUNT(*) AS n_recoveries
+  FROM sessions GROUP BY 1
+)
+SELECT ep.episode_id, ep.start_ts, ep.end_ts, ep.duration_s, ep.n_recoveries,
+       MAX(e.severity) AS max_severity_halo
+FROM episodes ep
+LEFT JOIN log_events e
+  ON e.ts >= ep.start_ts - INTERVAL 30 SECOND AND e.ts <= ep.end_ts + INTERVAL 30 SECOND
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def d11_detect_recoveries(spark, sf_dir):
+    """D11/W7 — StatusCode decode + look-back cause attribution."""
+    from db_loganalyzer_spark.detectors.detectors import detect_recoveries
+
+    return detect_recoveries(_log_events(spark, sf_dir), look_back_seconds=900)[
+        "recoveries"
+    ]
+
+
+_STATE_CASE = """CASE state_code
+  WHEN 0 THEN 'reading_coordinated_state' WHEN 1 THEN 'locking_coordinated_state'
+  WHEN 2 THEN 'recruiting_proxies' WHEN 3 THEN 'reading_transaction_system_state'
+  WHEN 4 THEN 'configuration_missing' WHEN 5 THEN 'configuration_never_created'
+  WHEN 6 THEN 'configuration_invalid' WHEN 7 THEN 'recruiting_transaction_servers'
+  WHEN 8 THEN 'initializing_transaction_servers' WHEN 9 THEN 'recovery_transaction'
+  WHEN 10 THEN 'writing_coordinated_state' WHEN 11 THEN 'accepting_commits'
+  WHEN 12 THEN 'all_logs_recruited' WHEN 13 THEN 'storage_recovered'
+  WHEN 14 THEN 'fully_recovered' ELSE 'unknown' END"""
+
+D11_SQL = f"""
+WITH {_LOG_SQL.strip()},
+recs AS (
+  SELECT event_id AS recovery_id, ts AS recovery_ts,
+         CAST(k_val % 15 AS INT) AS state_code
+  FROM log_events WHERE event = 'MasterRecoveryState'
+),
+cands AS (
+  SELECT event_id, ts, event, severity,
+         CASE
+           WHEN event = 'CodeCoverage' AND CAST(k_val % 4 AS INT) IN (0, 1, 2) THEN 1
+           WHEN event IS NOT NULL AND event <> ''
+                AND (lower(event) LIKE '%fail%' OR lower(event) LIKE '%error%'
+                     OR lower(event) LIKE '%terminated%' OR severity >= 40)
+           THEN 2
+         END AS priority,
+         event IS NOT NULL AND event <> ''
+           AND (lower(event) LIKE '%fail%' OR lower(event) LIKE '%error%'
+                OR lower(event) LIKE '%terminated%') AS is_fail_name,
+         CASE CAST(k_val % 4 AS INT)
+           WHEN 0 THEN 'Terminated due to tLog failure'
+           WHEN 1 THEN 'Configuration change requested'
+           WHEN 2 THEN 'Manual recovery triggered'
+           ELSE 'routine coverage probe' END AS comment
+  FROM log_events
+),
+joined AS (
+  SELECT r.*, c.event, c.severity, c.priority, c.is_fail_name, c.comment,
+         ROW_NUMBER() OVER (PARTITION BY r.recovery_id
+                            ORDER BY c.priority ASC NULLS LAST, c.ts DESC, c.event_id DESC) AS rn
+  FROM recs r
+  LEFT JOIN (SELECT * FROM cands WHERE priority IS NOT NULL) c
+    ON c.ts >= r.recovery_ts - INTERVAL 900 SECOND AND c.ts < r.recovery_ts
+)
+SELECT recovery_id, recovery_ts, state_code, {_STATE_CASE} AS state_name,
+       CASE WHEN priority = 1 THEN comment
+            WHEN priority = 2 AND is_fail_name THEN 'Detected failure event: ' || event
+            WHEN priority = 2 THEN 'High severity event: ' || event
+                 || ' (severity ' || CAST(severity AS VARCHAR) || ')'
+       END AS cause
+FROM joined WHERE rn = 1
+"""
+
+
+def f07_field_probe(spark, sf_dir):
+    """F7 — case-insensitive needle probe over event name + payload
+    keys/values."""
+    from db_loganalyzer_spark.operators.filters import field_probe
+
+    return field_probe(_log_events(spark, sf_dir), "queue").select(
+        "event_id", "event", "severity"
+    )
+
+
+F07_SQL = f"""
+WITH {_LOG_SQL.strip()}
+SELECT event_id, event, severity FROM log_events
+WHERE event IN ('RatekeeperThrottle', 'SlowSSLoopx100')
+"""
+
+
+def w10_severity_first(spark, sf_dir):
+    """W10 — display ordering: severity>=40 first then time, materialized
+    as a rank column so the order itself is oracle-checkable."""
+    from db_loganalyzer_spark.operators.windows import severity_first_ranking
+
+    lev = _log_events(spark, sf_dir).select("event_id", "ts", "severity")
+    return severity_first_ranking(lev, with_rank=True)
+
+
+W10_SQL = """
+SELECT event_id, ts, CAST(FLOOR(value) AS INT) AS severity,
+       ROW_NUMBER() OVER (ORDER BY CASE WHEN CAST(FLOOR(value) AS INT) >= 40 THEN 0 ELSE 1 END,
+                          ts, event_id) AS rank
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1276,6 +1792,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
     "s07_processes": (s07_processes, S07_SQL),
+    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
+    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
+    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
+    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
+    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
+    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
+    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "w10_severity_first": (w10_severity_first, W10_SQL),
     # mm/t/c entries sit before the approximate m/sim family: round 1's
     # driver checked only the first 50 registry entries, so keep every
     # hash-matched oracle ahead of the rows-only ones.
