@@ -1749,6 +1749,179 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# CL-family: embeddings + clustering (SURVEY §2.9 M3-M6)
+# ---------------------------------------------------------------------------
+
+
+def cl01_embed_docs(spark, sf_dir):
+    """M3 — mapInPandas embedding of documents with the deterministic
+    hashing-trick encoder + invalid-embedding removal; the encoder's
+    arithmetic is integer-exact, so the full vector hash-matches."""
+    from db_loganalyzer_spark.operators.clustering import embed_texts, valid_embeddings
+
+    docs = _t(spark, sf_dir, "documents")
+    return valid_embeddings(embed_texts(docs))
+
+
+CL01_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) % 64) AS buckets
+  FROM base
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        j -> CAST(len(list_filter(buckets, b -> b = j)) AS DOUBLE)) AS vec
+  FROM th
+), n AS (
+  SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+)
+SELECT doc_id, list_transform(vec, x -> x / nrm) AS embedding
+FROM n WHERE nrm > 1e-6 AND NOT isnan(nrm)
+"""
+
+
+def _quantized_embeddings(spark, sf_dir):
+    """Embeddings with components quantized to integers
+    (floor(x*10000)): every downstream sum/mean/dot is then exact in
+    double arithmetic, making assignment + representative selection
+    bit-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 10000).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def cl02_cluster_reps(spark, sf_dir):
+    """M4 (oracle path) + M5 — nearest-seed-centroid assignment (seeds =
+    the 8 lowest vec_ids) then centroid cosine-argmax representatives."""
+    from db_loganalyzer_spark.operators.clustering import (
+        cluster_representatives,
+        seed_centroid_assign,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), "embedding"
+    )
+    assigned = seed_centroid_assign(emb, seeds)
+    reps = cluster_representatives(assigned)
+    return reps.select("cluster", "rep_id", "size", F.round("cosine", 6).alias("cosine"))
+
+
+_CL_ASSIGN_SQL = """
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 10000)) AS v
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT e.vec_id, e.v, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), s.cid) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cents AS (
+  SELECT cluster, list(mv ORDER BY pos) AS centroid
+  FROM (
+    SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mv
+    FROM assigned, range(1, 65) i GROUP BY 1, 2
+  ) GROUP BY 1
+),
+sizes AS (SELECT cluster, COUNT(*) AS size FROM assigned GROUP BY 1),
+scored AS (
+  SELECT a.cluster, a.vec_id, z.size,
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * c.centroid[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> c.centroid[i] * c.centroid[i])))) AS cosine
+  FROM assigned a
+  JOIN cents c USING (cluster)
+  JOIN sizes z USING (cluster)
+  WHERE z.size >= 3
+    AND sqrt(list_sum(list_transform(range(1, 65), i -> c.centroid[i] * c.centroid[i]))) >= 1e-6
+)
+"""
+
+CL02_SQL = f"""
+WITH {_CL_ASSIGN_SQL.strip()}
+SELECT cluster, vec_id AS rep_id, size, ROUND(cosine, 6) AS cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def cl03_cluster_summary(spark, sf_dir):
+    """M6 — (cluster, size, sample_comment) with the representative's
+    document text truncated to 200 chars (vec_id joins doc_id)."""
+    from db_loganalyzer_spark.operators.clustering import (
+        cluster_summary_table,
+        seed_centroid_assign,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), "embedding"
+    )
+    assigned = seed_centroid_assign(emb, seeds)
+    docs = _t(spark, sf_dir, "documents")
+    return cluster_summary_table(assigned, docs)
+
+
+CL03_SQL = f"""
+WITH {_CL_ASSIGN_SQL.strip()},
+reps AS (
+  SELECT cluster, vec_id AS rep_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT z.cluster, z.size,
+       COALESCE(substr(d.text, 1, 200), '') AS sample_comment
+FROM sizes z
+LEFT JOIN reps r ON z.cluster = r.cluster
+LEFT JOIN documents d ON r.rep_id = d.doc_id
+"""
+
+
+def cl04_kmeans_sizes(spark, sf_dir):
+    """M4 scale path — Spark ML KMeans (k=8, seed 42) cluster-size
+    distribution. Label numbering is implementation-defined, so output is
+    the size multiset only (rows-only check; assignment quality asserted
+    in pytest)."""
+    from db_loganalyzer_spark.operators.clustering import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = kmeans_clusters(emb, k=8, seed=42)
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select("size")
+        .orderBy(F.desc("size"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1805,6 +1978,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     # mm/t/c entries sit before the approximate m/sim family: round 1's
     # driver checked only the first 50 registry entries, so keep every
     # hash-matched oracle ahead of the rows-only ones.
@@ -1821,6 +1997,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m04_simhash_near_dups": (m04_simhash_near_dups, None),
     "sim02_lsh_topk": (sim02_lsh_topk, None),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, None),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, None),
 }
 
 
