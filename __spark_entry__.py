@@ -1748,6 +1748,80 @@ FROM events
 """
 
 
+def s04_preprocessed_load(spark, sf_dir):
+    """S4 — preprocessed JSON-array ingestion: a deterministic EventModel
+    fixture (independent of sf) is written once and loaded via
+    spark.read.json(multiLine) + nested from_json; the oracle restates
+    the fixture arithmetic over generate_series."""
+    import json
+    import os
+    import tempfile
+
+    from db_loganalyzer_spark.sources.trace_logs import load_preprocessed_events
+
+    rows = []
+    for i in range(50):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i // 60:02d}:{i % 60:02d}Z",
+                "severity": 10 + (i % 4) * 10,
+                "event": ["StorageMetrics", "Role", "CodeCoverage"][i % 3],
+                "role": ["SS", "CD", None][i % 3],
+                "fields_json": json.dumps({"K": str(i), "V": str(i * 7)}),
+                "raw_json": json.dumps({"Type": "x"}),
+            }
+        )
+    path = os.path.join(tempfile.gettempdir(), "s04_fixture.json")
+    with open(path, "w") as f:
+        json.dump(rows, f)
+    ev = load_preprocessed_events(spark, path)
+    return ev.select(
+        "event_id", "ts", "severity", "event", "role",
+        F.element_at("fields", F.lit("V")).cast("int").alias("v"),
+    )
+
+
+S04_SQL = """
+SELECT CAST(g AS BIGINT) AS event_id,
+       TIMESTAMP '2024-01-01 00:00:00' + g * INTERVAL 1 SECOND AS ts,
+       CAST(10 + (g % 4) * 10 AS INT) AS severity,
+       CASE CAST(g % 3 AS INT) WHEN 0 THEN 'StorageMetrics' WHEN 1 THEN 'Role'
+            ELSE 'CodeCoverage' END AS event,
+       CASE CAST(g % 3 AS INT) WHEN 0 THEN 'SS' WHEN 1 THEN 'CD' END AS role,
+       CAST(g * 7 AS INT) AS v
+FROM generate_series(0, 49) t(g)
+"""
+
+
+def m07_similarity_eval(spark, sf_dir):
+    """M7 — edit-distance similarity scoring of prediction/truth pairs
+    (consecutive documents' prefixes as a deterministic pair source)."""
+    from db_loganalyzer_spark.operators.evaluation import score_predictions
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.substring("text", 1, 80).alias("pred"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 80).alias("truth")
+    )
+    pairs = a.join(b, "doc_id")
+    out = score_predictions(pairs)
+    return out.select("doc_id", F.round("sim", 6).alias("sim"), "is_correct")
+
+
+M07_SQL = """
+WITH a AS (SELECT doc_id, substr(text, 1, 80) AS pred FROM documents),
+b AS (SELECT doc_id - 1 AS doc_id, substr(text, 1, 80) AS truth FROM documents),
+p AS (
+  SELECT a.doc_id,
+         1 - levenshtein(lower(pred), lower(truth)) * 1.0
+             / greatest(length(lower(pred)), length(lower(truth)), 1) AS sim
+  FROM a JOIN b USING (doc_id)
+)
+SELECT doc_id, ROUND(sim, 6) AS sim, sim > 0.6 AS is_correct FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # CL-family: embeddings + clustering (SURVEY §2.9 M3-M6)
 # ---------------------------------------------------------------------------
@@ -1978,6 +2052,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),

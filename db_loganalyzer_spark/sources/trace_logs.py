@@ -143,6 +143,46 @@ def read_trace_events(spark: SparkSession, paths, id_offset: int = 0) -> DataFra
     return events_from_attrs(parsed, id_offset)
 
 
+def load_preprocessed_events(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — preprocessed JSON-array load (reference tools/parser.py:91-126
+    ``load_event_models``): one JSON array of EventModel dicts, ISO
+    timestamps with an optional trailing Z, ``raw_json``/``fields_json``
+    possibly double-encoded as strings.
+
+    ``spark.read.json(multiLine=True)`` handles the array form natively;
+    the nested JSON strings decode with ``from_json`` into the fields map
+    (kept as MAP<STRING,STRING> like the ingest path)."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    cols = set(raw.columns)
+
+    def m(name):
+        if name not in cols:
+            return F.lit(None).cast("string")
+        c = F.col(name)
+        # already-a-struct (Spark inferred the object) vs string-encoded
+        if dict(raw.dtypes)[name] == "string":
+            return c
+        return F.to_json(c)
+
+    fields = F.from_json(m("fields_json"), "map<string,string>")
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.try_to_timestamp(
+            F.regexp_replace(F.col("ts").cast("string"), "Z$", "")
+        ).alias("ts"),
+        F.col("severity").cast("int").alias("severity"),
+        F.col("event").cast("string").alias("event"),
+        (F.col("process").cast("string") if "process" in cols else F.lit(None).cast("string")).alias("process"),
+        (F.col("role").cast("string") if "role" in cols else F.lit(None).cast("string")).alias("role"),
+        (F.col("pid").cast("int") if "pid" in cols else F.lit(None).cast("int")).alias("pid"),
+        (F.col("machine_id").cast("string") if "machine_id" in cols else F.lit(None).cast("string")).alias("machine_id"),
+        (F.col("address").cast("string") if "address" in cols else F.lit(None).cast("string")).alias("address"),
+        (F.col("trace_file").cast("string") if "trace_file" in cols else F.lit(None).cast("string")).alias("trace_file"),
+        (F.col("src_line").cast("int") if "src_line" in cols else F.lit(None).cast("int")).alias("src_line"),
+        F.coalesce(fields, F.create_map().cast("map<string,string>")).alias("fields"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # derived tables (S7) — each an independent DataFrame off `events`
 # ---------------------------------------------------------------------------
