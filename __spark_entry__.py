@@ -1748,6 +1748,24 @@ FROM events
 """
 
 
+def l02_metric_extraction(spark, sf_dir):
+    """L2 — the agentic loop's declarative metric extraction (VersionLag
+    spikes feed the LLM context formatter)."""
+    from db_loganalyzer_spark.agentic import extract_metrics
+
+    m = extract_metrics(_log_events(spark, sf_dir))
+    return m["version_lag_spikes"]
+
+
+L02_SQL = f"""
+WITH {_LOG_SQL.strip()}
+SELECT event_id, ts, event AS event_type, FLOOR(value * 1000) AS version_lag,
+       role, severity
+FROM log_events
+WHERE event = 'StorageMetrics' AND FLOOR(value * 1000) > 100000
+"""
+
+
 def s04_preprocessed_load(spark, sf_dir):
     """S4 — preprocessed JSON-array ingestion: a deterministic EventModel
     fixture (independent of sf) is written once and loaded via
@@ -2052,6 +2070,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
