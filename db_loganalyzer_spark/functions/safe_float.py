@@ -15,6 +15,15 @@ tools/anomaly_detector.py:169-184):
 
 Implemented with array higher-order functions — no Python UDF, so it stays
 inside whole-stage codegen and runs at full speed over 100 TB.
+
+Known token-level deviations from bare ``float()`` (both verified against
+Spark 4's try_cast and judged acceptable for trace-log payloads):
+- Python's numeric-literal underscores (``float("1_0") == 10.0``) are not
+  SQL-parseable; such tokens are treated as unparseable.
+- Signed NaN tokens (``+nan``/``-nan``) parse to NaN in Python, where the
+  reference's ``max(nums)`` over a NaN is ORDER-DEPENDENT (ill-defined);
+  we drop NaN tokens, which equals the reference whenever a non-NaN token
+  precedes the NaN.
 """
 
 from __future__ import annotations

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 DEFAULT_SEPARATORS = ["\n\n", "\n", " ", ""]
 
@@ -84,17 +83,31 @@ def recursive_character_split(
     chunk_overlap: int = 100,
 ) -> DataFrame:
     """1 document row -> N chunk rows with chunk_index. The splitter runs
-    as a scalar UDF returning array<string> which is exploded JVM-side
-    (posexplode), so the per-row Python cost is one call per document,
-    not per chunk."""
+    inside ``mapInPandas`` (one Arrow batch per call — no per-row Python
+    round trip, unlike a scalar UDF) and the chunk array is exploded
+    JVM-side (posexplode)."""
+    id_type = dict(df.select(id_col, text_col).dtypes)[id_col]
 
-    @F.udf(T.ArrayType(T.StringType()))
-    def _split(text):
-        return split_text(text, chunk_size, chunk_overlap)
+    def run(batches):
+        import pandas as pd
 
-    return df.select(
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__chunks": [
+                        split_text(t, chunk_size, chunk_overlap)
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    arrays = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, __chunks array<string>"
+    )
+    return arrays.select(
         F.col(id_col),
-        F.posexplode(_split(F.col(text_col))).alias("chunk_index", "chunk_text"),
+        F.posexplode("__chunks").alias("chunk_index", "chunk_text"),
     ).withColumn("chunk_len", F.length("chunk_text"))
 
 

@@ -14,6 +14,9 @@ TOKENS = st.sampled_from(
         "1", "2.5", "-1", "-1.0", "0", "inf", "nan", "INF", "NaN", "Inf",
         "1e3", "-7.25", "abc", "", "12 34 -1", "1e308", "100", "0.001",
         "-inf", "3,4", "1.79769e+308",
+        # edge spellings verified identical between float() and try_cast
+        "infinity", "-infinity", "+inf", "Infinity", "1e400", "-1e400",
+        "5.", ".5", "+5", "1E3", "9e999",
     ]
 )
 
@@ -53,6 +56,17 @@ def test_safe_float_reference_cases(spark):
         "3.5": 3.5,
         "": None,
         "0 -1": 0.0,
+        # ADVICE-flagged edge cases, pinned explicitly
+        "-inf": float("-inf"),        # token parses (only literal inf/nan skip)
+        "infinity": float("inf"),     # not in the skip set, parses to +inf
+        "-infinity": float("-inf"),
+        "1e400": float("inf"),        # overflow -> +inf, kept
+        "-1e400": float("-inf"),
+        "-1 5": 5.0,                  # sentinel dropped when others exist
+        "5 -1": 5.0,
+        "-1.0": -1.0,                 # lone sentinel (float form) kept
+        "inf -1": -1.0,               # inf skipped -> only sentinel -> kept
+        "nan nan": None,              # all tokens skipped -> fallback float('nan nan') fails
     }
     df = spark.createDataFrame([(k,) for k in cases], "v string")
     got = dict(zip(cases, [r[0] for r in df.select(safe_float("v")).collect()]))
