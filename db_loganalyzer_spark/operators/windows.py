@@ -119,10 +119,11 @@ def session_summary(
     sessions: DataFrame,
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-session rollup: bounds, duration, event count."""
     keys = (partition_by or []) + ["session_id"]
-    return (
+    out = (
         sessions.groupBy(*keys)
         .agg(
             F.unix_micros(F.min(ts_col)).alias("start_ts_us"),
@@ -134,8 +135,8 @@ def session_summary(
             ).alias("duration_s"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy(*keys)
     )
+    return out.orderBy(*keys) if ordered else out
 
 
 def burst_windows(

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # larger cached-columnar batches amortize per-batch dispatch in
+        # whole-stage codegen over cached tables (default 10k is conservative)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         # the driver's events.parquet stores ts as TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long + convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

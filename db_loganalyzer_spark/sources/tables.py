@@ -16,6 +16,39 @@ from ..model.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Hot-table cache: (sf_dir, name) -> pinned DataFrame. Populated only by an
+# explicit cache_tables() call (bench.py / long-lived query sessions); plain
+# one-shot callers never pay for it. At cluster scale this is the standard
+# "pin the hot set in storage memory" pattern — the cost model is one scan +
+# one shuffle at warmup, amortized over every subsequent query.
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cache_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names=TESTDATA_TABLES,
+    partitions: int | None = None,
+) -> None:
+    """Pin tables in executor memory and re-balance them across the full
+    core count. The raw parquet scan often yields few splits (one ~40 MB
+    file -> 3 partitions), which would leave most cores idle in every
+    downstream agg; ``repartition(partitions)`` fixes the parallelism once,
+    at warmup, instead of per query."""
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        if partitions:
+            df = df.repartition(partitions)
+        df = df.cache()
+        df.count()  # materialize now so queries never pay the fill cost
+        _CACHE[(sf_dir, name)] = df
+
+
+def uncache_tables() -> None:
+    for df in _CACHE.values():
+        df.unpersist()
+    _CACHE.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan => columnar pruning +
@@ -25,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
     convert to a microsecond timestamp (integer div — no double rounding).
     """
+    hit = _CACHE.get((sf_dir, name))
+    if hit is not None:
+        return hit
     # Runtime-settable SQL conf: must hold for ANY caller-provided session
     # (the verify driver passes a plain SparkSession that did not go through
     # our session.py builder). Without it, events.parquet (TIMESTAMP NANOS)
