@@ -32,7 +32,10 @@ Documented deviations from the reference (kept deliberately):
 from __future__ import annotations
 
 import json
+import time as _time
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -374,4 +377,453 @@ class InvestigationAgent:
             reasoning=reasoning,
             tools_used=tools_used,
             iterations=iterations,
+        )
+
+
+# ---------------------------------------------------------------------------
+# L3 — LLM response contract: fence stripping, parsing, quota retry
+# ---------------------------------------------------------------------------
+
+_RESPONSE_DEFAULTS = {
+    "hypothesis": "",
+    "confidence": 0.0,
+    "reasoning": "",
+    "suggested_tools": [],
+    "next_steps": "",
+}
+
+_QUOTA_MARKERS = ["quota", "rate limit", "429", "resource has been exhausted"]
+
+
+def parse_llm_response(text: str) -> dict:
+    """Reference :817-833: strip a ```json / ``` fence if present, parse,
+    and normalize to the fixed schema {hypothesis, confidence, reasoning,
+    suggested_tools, next_steps}. Raises ValueError on unparseable text
+    (the retry wrapper decides what to do with that)."""
+    t = text.strip()
+    if "```json" in t:
+        start = t.find("```json") + 7
+        t = t[start : t.find("```", start)].strip()
+    elif "```" in t:
+        start = t.find("```") + 3
+        t = t[start : t.find("```", start)].strip()
+    try:
+        raw = json.loads(t)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"unparseable LLM response: {e}") from e
+    if not isinstance(raw, dict):
+        raise ValueError("LLM response is not a JSON object")
+    out = dict(_RESPONSE_DEFAULTS)
+    out.update({k: raw[k] for k in _RESPONSE_DEFAULTS if k in raw})
+    out["confidence"] = float(out["confidence"])
+    return out
+
+
+def is_quota_error(exc: Exception) -> bool:
+    s = str(exc).lower()
+    return any(m in s for m in _QUOTA_MARKERS) or (
+        "exceeded" in s and "quota" in s
+    )
+
+
+def call_llm_with_retry(
+    call,
+    *,
+    max_retries: int = 3,
+    retry_delay: float = 10.0,
+    sleep=_time.sleep,
+) -> dict:
+    """Reference :807-860: up to ``max_retries`` attempts with exponential
+    backoff on quota-ish errors; after exhaustion, return the reference's
+    fixed quota-exceeded result instead of raising. Non-quota errors
+    propagate. ``call() -> str`` returns raw LLM text; ``sleep`` is
+    injectable so tests replay the backoff schedule deterministically."""
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            return parse_llm_response(call())
+        except Exception as e:  # noqa: BLE001 — mirror the reference's net
+            if not is_quota_error(e):
+                raise
+            last = e
+            if attempt < max_retries - 1:
+                sleep(retry_delay * (2**attempt))
+    return {
+        "hypothesis": (
+            "API Quota Exceeded: Unable to complete LLM analysis due to "
+            "quota limits."
+        ),
+        "confidence": 0.0,
+        "reasoning": str(last)[:200],
+        "suggested_tools": [],
+        "next_steps": "Check quota/billing and retry later.",
+    }
+
+
+# ---------------------------------------------------------------------------
+# L5 — RAG query formatting (retrieval itself is injectable)
+# ---------------------------------------------------------------------------
+
+
+def build_rag_query(
+    detectors: dict | None,
+    timeline: dict | None = None,
+    timeline_builder: dict | None = None,
+) -> str:
+    """Reference tools/rag/query_formatter.py:5-27 — deterministic query
+    text from detector results + timeline evidence; no LLM involved."""
+    lines = ["Detected problems and evidence:"]
+    for name, result in (detectors or {}).items():
+        if isinstance(result, dict) and result.get("detected"):
+            lines.append(f"- {name}: {result}")
+    if timeline:
+        lines.append("\nTimeline highlights:")
+        for key, value in timeline.items():
+            lines.append(f"- {key}: {value}")
+    if timeline_builder:
+        lines.append("\nChronological story (timeline builder):")
+        if timeline_builder.get("first_anomaly"):
+            lines.append(f"- First anomaly: {timeline_builder['first_anomaly']}")
+        for item in timeline_builder.get("timeline", []):
+            lines.append(f"- {item}")
+        if timeline_builder.get("root_cause_signal"):
+            lines.append(
+                f"- Root cause signal: {timeline_builder.get('root_cause_signal')}"
+            )
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# L8 — LLM I/O persistence
+# ---------------------------------------------------------------------------
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+def write_llm_input(
+    prompt_text: str,
+    output_dir: str = "data",
+    prefix: str = "llm_input",
+    now=_utcnow,
+) -> str | None:
+    """Reference tools/agentic_loop/llm_input_logger.py:7-17 — persist the
+    prompt to a timestamped file; ``now`` is injectable for determinism."""
+    if not prompt_text:
+        return None
+    ts = now().strftime("%Y%m%dT%H%M%SZ")
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    path = Path(output_dir) / f"{prefix}_{ts}.txt"
+    path.write_text(prompt_text)
+    return str(path)
+
+
+def write_llm_output(
+    output_text: str,
+    output_dir: str = "data",
+    prefix: str = "llm_output",
+    now=_utcnow,
+) -> str | None:
+    """Reference llm_input_logger.py:20-28."""
+    return write_llm_input(output_text, output_dir, prefix, now)
+
+
+# ---------------------------------------------------------------------------
+# L1 — phased investigation loop (reference :926-1327)
+# ---------------------------------------------------------------------------
+
+
+class PhasedInvestigationAgent:
+    """The reference's full phased loop, Spark-first and LLM-injectable.
+
+    Phase A (first iteration): global sweep — top events, severity counts,
+    event histogram, time span, bucket heatmap, global summary, rollback
+    analysis, metric baselines, recovery episodes — all via this engine's
+    operators; no LLM call (reference :983-1091 defers it).
+
+    Phase B/C iterations (reference :1100-1315): global detectors →
+    timeline build → RAG retrieval → gated LLM analysis (call budget,
+    context-dirty skip) → confidence adjustment (L4) → z-score-guided
+    hotspot dive via context windows → stop when confidence ≥ threshold
+    and a hotspot was inspected (or coverage is complete).
+
+    ``llm(prompt_text: str) -> str`` returns raw LLM text (parsed by L3);
+    ``rag(query: str) -> str | None`` is the optional retriever. Both are
+    plain callables so the whole loop is deterministic offline.
+    """
+
+    def __init__(
+        self,
+        llm,
+        rag=None,
+        max_iterations: int = 10,
+        max_llm_calls: int = 4,
+        confidence_threshold: float = 0.8,
+        io_log_dir: str | None = None,
+        now=_utcnow,
+        sleep=_time.sleep,
+    ):
+        self.llm = llm
+        self.rag = rag
+        self.max_iterations = max_iterations
+        self.max_llm_calls = max_llm_calls
+        self.confidence_threshold = confidence_threshold
+        self.io_log_dir = io_log_dir
+        self.now = now
+        self.sleep = sleep
+
+    @staticmethod
+    def _summary_dict(det: dict) -> dict:
+        """Collect a detector's 1-row summary frame into a plain dict."""
+        row = det["summary"].collect()
+        return dict(row[0].asDict()) if row else {}
+
+    def investigate(
+        self, events: DataFrame, question: str, baselines: DataFrame | None = None
+    ):
+        from ..detectors import detectors as D
+        from ..sources.trace_logs import derive_event_metrics
+        from . import tools as T
+        from .knowledge_base import knowledge_base_text
+        from .timeline import build_timeline
+
+        hypothesis, confidence, reasoning = "", 0.0, ""
+        tools_used: list[str] = []
+        additional: list[tuple[str, object]] = []
+        inspected_buckets: list[int] = []
+        bucket_data: list[dict] = []
+        timeline_highlights: dict = {}
+        timeline_summary: dict = {}
+        acc = None  # accumulated evidence events (DataFrame)
+        context_dirty = True
+        llm_calls = 0
+        hotspot_inspected = False
+        coverage_complete = False
+        phase = "A"
+        iteration = 0
+        last_det: dict = {}
+        event_metrics = None
+
+        while iteration < self.max_iterations:
+            iteration += 1
+
+            if phase == "A":
+                top = T.top_events(events, severity_min=30, limit=500)
+                tools_used.append("scanner.top_events")
+                acc = top
+                additional.append(("severity_counts", T.severity_counts(events)))
+                tools_used.append("scanner.severity_counts")
+                additional.append(("event_histogram", T.event_histogram(events, 10)))
+                tools_used.append("scanner.event_histogram")
+                span = T.time_span(events)
+                additional.append(("time_span", span))
+                tools_used.append("scanner.time_span")
+                buckets = T.high_severity_buckets(
+                    events, min_severity=0, bucket_seconds=300, limit=100
+                )
+                additional.append(("bucket_heatmap", buckets))
+                tools_used.append("scanner.bucket_heatmap")
+                inspected_buckets.extend(
+                    int(b["bucket_start_epoch"]) for b in buckets[:10]
+                )
+                summary = T.global_summary(events)
+                additional.append(("global_summary", summary))
+                tools_used.append("scanner.global_summary")
+                rb = D.rollback_analysis(events)
+                rollback_info = dict(rb["summary"].collect()[0].asDict())
+                additional.append(("rollback_analysis", rollback_info))
+                tools_used.append("scanner.rollback_analysis")
+                event_metrics = derive_event_metrics(events)
+                if baselines is None:
+                    baselines = D.metric_baselines_table(
+                        events, event_metrics, min_count=20
+                    )
+                additional.append(
+                    ("metric_baselines", {"rows": baselines.count()})
+                )
+                tools_used.append("scanner.metric_baselines")
+                eps = D.recovery_episodes(events)["episodes"]
+                ep_rows = [r.asDict() for r in eps.limit(20).collect()]
+                additional.append(("recovery_episodes", {"count": len(ep_rows)}))
+                tools_used.append("scanner.recovery_episodes")
+
+                bucket_data = buckets
+                timeline_highlights = {
+                    "time_span": span,
+                    "top_event_types": list(
+                        summary.get("event_histogram", {}).items()
+                    )[:5],
+                    "hot_buckets": buckets[:5],
+                    "rollback_detected": rollback_info.get("detected"),
+                    "recovery_episodes": ep_rows,
+                }
+                phase = "B"
+                context_dirty = True
+                continue  # defer LLM to the next iteration (reference :1091)
+
+            # ---- global detectors (reference :1100-1151) ----
+            det_results: dict[str, dict] = {}
+            det_results["storage_engine_pressure"] = self._summary_dict(
+                D.storage_engine_pressure(events, baselines)
+            )
+            det_results["recovery_loop"] = self._summary_dict(
+                D.recovery_loop(events)
+            )
+            det_results["ratekeeper_throttling"] = self._summary_dict(
+                D.ratekeeper_throttling(events)
+            )
+            det_results["missing_tlogs"] = self._summary_dict(
+                D.missing_tlogs(events)
+            )
+            det_results["coordination_loss"] = self._summary_dict(
+                D.coordination_loss(events)
+            )
+            hot_rows = [
+                r.asDict()
+                for r in D.zscore_hotspots(events)["hotspots"].collect()
+            ]
+            det_results["zscore_hotspots"] = {
+                "detected": bool(hot_rows),
+                "hotspots": [
+                    {
+                        "bucket_start_epoch": r["bucket"],
+                        "max_severity": r["max_severity"],
+                        "count": r["count"],
+                    }
+                    for r in hot_rows
+                ],
+            }
+            bwa = [
+                r.asDict()
+                for r in D.baseline_window_anomalies(
+                    events, event_metrics, baselines
+                )["anomalies"]
+                .limit(20)
+                .collect()
+            ]
+            det_results["baseline_window_anomalies"] = {
+                "detected": bool(bwa),
+                "count": len(bwa),
+                "first_anomaly": bwa[0] if bwa else None,
+            }
+            ma = (
+                D.metric_anomalies(events)["anomalies"].limit(20).collect()
+            )
+            det_results["metric_anomalies"] = {
+                "detected": bool(ma),
+                "count": len(ma),
+            }
+            tools_used.extend(f"detectors.{k}" for k in det_results)
+            additional.append(("detectors", det_results))
+            last_det = det_results
+
+            timeline_summary = build_timeline(
+                acc if acc is not None else events,
+                det_results,
+                bucket_data,
+                timeline_highlights.get("recovery_episodes"),
+            )
+            if timeline_summary:
+                additional.append(("timeline_builder", timeline_summary))
+                context_dirty = True
+
+            if self.rag is not None:
+                query = build_rag_query(
+                    det_results, timeline_highlights, timeline_summary
+                )
+                retrieved = self.rag(query)
+                tools_used.append("rag.retrieve")
+                if retrieved:
+                    additional.append(("rag", retrieved))
+                    context_dirty = True
+
+            # ---- gated LLM analysis (reference :1183-1233) ----
+            analysis = {
+                "hypothesis": hypothesis,
+                "confidence": confidence,
+                "reasoning": reasoning,
+                "suggested_tools": [],
+                "next_steps": "",
+            }
+            if llm_calls < self.max_llm_calls and context_dirty:
+                events_text = format_events_for_llm(
+                    acc if acc is not None else events, display_limit=20
+                )
+                extra = "\n\nAdditional Investigation Data:\n" + "\n".join(
+                    f"\n{name}:\n{json.dumps(data, indent=2, default=str)}"
+                    for name, data in cap_items(additional)
+                )
+                prompt = truncate_context(
+                    knowledge_base_text()
+                    + "\n\nQUESTION: "
+                    + question
+                    + "\n\n"
+                    + events_text
+                    + extra
+                )
+                if self.io_log_dir:
+                    write_llm_input(prompt, self.io_log_dir, now=self.now)
+                analysis = call_llm_with_retry(
+                    lambda: self.llm(prompt), sleep=self.sleep
+                )
+                if self.io_log_dir:
+                    write_llm_output(
+                        json.dumps(analysis, indent=2, default=str),
+                        self.io_log_dir,
+                        now=self.now,
+                    )
+                llm_calls += 1
+                context_dirty = False
+                hypothesis = analysis["hypothesis"]
+                confidence, reasoning = adjust_confidence(
+                    hypothesis,
+                    analysis.get("reasoning", ""),
+                    events_text,
+                    float(analysis["confidence"]),
+                )
+
+            # ---- hotspot dive (reference :1246-1305) ----
+            chosen = None
+            zhot = last_det.get("zscore_hotspots", {})
+            if zhot.get("detected") and zhot.get("hotspots"):
+                chosen = zhot["hotspots"][0]
+            if chosen is None:
+                uncovered = T.get_uncovered(
+                    events, inspected_buckets, min_severity=10, bucket_seconds=10
+                )
+                tools_used.append("hotspots.get_uncovered")
+                chosen = uncovered[0] if uncovered else None
+            if chosen is not None:
+                epoch = int(chosen["bucket_start_epoch"])
+                around = epoch + 5.0  # mid-bucket for 10s buckets
+                win = T.context_window(events, around, 5.0, limit=200)
+                tools_used.append("context.context_window")
+                if acc is None:
+                    acc = win
+                    grew = win.limit(1).count() > 0
+                else:
+                    fresh = win.join(
+                        acc.select("event_id"), "event_id", "left_anti"
+                    )
+                    grew = fresh.limit(1).count() > 0
+                    acc = acc.unionByName(win).dropDuplicates(["event_id"])
+                if grew:
+                    context_dirty = True
+                inspected_buckets.append(epoch)
+                hotspot_inspected = True
+            else:
+                coverage_complete = True
+
+            if confidence >= self.confidence_threshold and (
+                hotspot_inspected or coverage_complete
+            ):
+                break
+
+        return InvestigationResult(
+            hypothesis=hypothesis,
+            confidence=confidence,
+            reasoning=reasoning,
+            tools_used=tools_used,
+            iterations=iteration,
         )
