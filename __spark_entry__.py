@@ -779,8 +779,10 @@ def q03_shipping_priority(spark, sf_dir):
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         li.filter(F.col("l_shipdate") > cutoff)
+        # fact ⋈ fact: shuffle-hash, never broadcast — orders grows with the
+        # data; auto-broadcasting it is a driver collect that dies at scale.
         .join(
-            orders.filter(F.col("o_orderdate") < cutoff),
+            orders.filter(F.col("o_orderdate") < cutoff).hint("shuffle_hash"),
             li.l_orderkey == orders.o_orderkey,
         )
         .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
@@ -812,19 +814,19 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q05_nation_revenue(spark, sf_dir):
-    """Multi-way star join: lineitem⋈orders⋈customer⋈nation⋈region with
-    broadcast dims (SURVEY §2.3 J1 generalized)."""
+    """Multi-way star join: lineitem⋈orders⋈(customer⋈nation⋈region) with
+    the snowflaked geo dims collapsed into ONE materialized broadcast dim
+    (SURVEY §2.3 J1 generalized; tables.load_customer_geo). One broadcast
+    build instead of three. The unfiltered fact⋈fact edge is left to
+    Catalyst: at bench SF orders fits the broadcast threshold; at scale its
+    size statistics push the join to shuffle automatically."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
+    geo = tables.load_customer_geo(spark, sf_dir)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(geo), orders.o_custkey == geo.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
