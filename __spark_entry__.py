@@ -35,6 +35,7 @@ from db_loganalyzer_spark.operators import windows as W
 from db_loganalyzer_spark.operators.aggregates import davg, dsum
 from db_loganalyzer_spark.sources import tables
 from db_loganalyzer_spark.sources.tables import load_table
+from db_loganalyzer_spark import streaming as ST
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2031,6 +2032,111 @@ def cl04_kmeans_sizes(spark, sf_dir):
 # contract
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# ST-family: Structured Streaming forms (SURVEY §7.1 step 9 — beyond the
+# reference, which has no streaming surface at all; §2.12). Each entry
+# drains a file-source stream with trigger(availableNow) into a memory
+# sink, so the registry sees an ordinary DataFrame whose contents are the
+# stream's deterministic final state.
+# ---------------------------------------------------------------------------
+
+
+def _drain(df, prefix: str):
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(df, name, tempfile.mkdtemp(prefix="st_ck_"))
+
+
+def st01_streaming_rollup(spark, sf_dir):
+    """A5's streaming form: hourly tumbling windows + watermark, append
+    mode. Only CLOSED windows emit (window end <= final watermark = max
+    event time at 0s delay); the approx-p95 sketch column is dropped so
+    the remaining output is exactly DuckDB-expressible."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_rollup(
+        stream, 3600, ["event_type"], "value", watermark_delay="0 seconds"
+    )
+    return _drain(out.drop("p95_value"), "st01")
+
+
+ST01_SQL = """
+WITH roll AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS window_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM roll
+WHERE window_start + 3600 <= (SELECT epoch_us(MAX(ts)) / 1000000.0 FROM events)
+"""
+
+
+def st02_streaming_sessions(spark, sf_dir):
+    """W5's streaming form via session_window (gap 600s). A session is
+    emitted once the watermark passes its end (= last event + gap); the
+    oracle replays that closure rule, including Spark's ms-truncated
+    watermark."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_sessions(
+        stream, 600, ["user_id"], watermark_delay="0 seconds"
+    )
+    return _drain(out, "st02")
+
+
+ST02_SQL = """
+WITH n AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= 600000000
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM n WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), numbered AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, MIN(ts_us) AS start_ts_us, MAX(ts_us) AS end_ts_us,
+         ROUND(MAX(ts_us) / 1000000.0 - MIN(ts_us) / 1000000.0, 6) AS duration_s,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, start_ts_us, end_ts_us, duration_s, n_events FROM sess
+WHERE end_ts_us + 600000000 <=
+      (SELECT (MAX(epoch_us(ts)) // 1000) * 1000 FROM events)
+"""
+
+
+def st03_streaming_value_drops(spark, sf_dir):
+    """W1's streaming form as a custom stateful operator
+    (applyInPandasWithState; per-key last non-null value in GroupState).
+    Append output with no watermark gating — full parity with the batch
+    window, so the oracle is the complete drops set."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    return _drain(ST.streaming_value_drops(stream), "st03")
+
+
+ST03_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value
+  FROM events
+)
+SELECT user_id, event_id, ts_us, value, prev_value,
+       prev_value - value AS drop_amount
+FROM lagged
+WHERE value IS NOT NULL AND prev_value IS NOT NULL AND value < prev_value
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -2090,6 +2196,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     # mm/t/c entries sit before the approximate m/sim family: round 1's
     # driver checked only the first 50 registry entries, so keep every
     # hash-matched oracle ahead of the rows-only ones.

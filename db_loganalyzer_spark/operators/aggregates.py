@@ -25,12 +25,14 @@ def dsum(c: Column | str, scale: int = 4) -> Column:
     return F.round(F.sum(col.cast("decimal(38,6)")).cast("double"), scale)
 
 
-def davg(c: Column | str, scale: int = 4) -> Column:
-    """Order-independent mean built from the decimal sum / exact count."""
+def davg(c: Column | str, scale: int | None = 4) -> Column:
+    """Order-independent mean built from the decimal sum / exact count.
+    ``scale=None`` skips the final ROUND: the unrounded double is bitwise
+    reproducible across engines (exact decimal sum → nearest double →
+    one IEEE division), whereas rounding can split on half-way ties."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(
-        F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col), scale
-    )
+    mean = F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col)
+    return mean if scale is None else F.round(mean, scale)
 
 
 def severity_histogram(

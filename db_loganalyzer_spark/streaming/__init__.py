@@ -1,0 +1,9 @@
+from .streams import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    streaming_event_histogram,
+    streaming_rollup,
+    streaming_sessions,
+    streaming_value_drops,
+    write_stream_parquet,
+)

@@ -1,0 +1,260 @@
+"""Structured Streaming forms of the engine's windowed operators.
+
+The reference has NO streaming surface (SURVEY §2.12: rollups are one-shot
+CTAS, reference tools/storage.py:338-352, re-run per window size). This
+module is the §7.1 step-9 extension: the SAME aggregate expressions the
+batch operators use (A5 windowed rollup, W5 sessionization, A2 histogram,
+W1 value drops), re-expressed incrementally so a live log feed maintains
+the tables continuously instead of re-scanning history.
+
+Design notes for scale:
+- File-source streams require an explicit schema (no inference race); we
+  take it from one batch footer read of the same parquet.
+- Watermarks bound state: a window/session closes once the watermark
+  passes its end, so state size is O(open windows), not O(history).
+- The rollup's p95 uses ``percentile_approx`` — a mergeable sketch that
+  composes under incremental aggregation; exact percentile would need the
+  whole group resident (the batch operator offers both, oracle uses exact).
+- The custom stateful operator (W1 streaming form) uses
+  ``applyInPandasWithState``: per-key state is one scalar (last non-null
+  value), Arrow-batched, so state volume is O(distinct keys).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.aggregates import davg
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``events.parquet`` in ``sf_dir``.
+
+    A production deployment points this at a landing directory that
+    ingest appends parquet files into; ``maxFilesPerTrigger`` throttles
+    catch-up so one giant backlog doesn't produce one giant micro-batch.
+    """
+    # RAW file schema (one footer read) — under nanosAsLong the
+    # TIMESTAMP(NANOS) column arrives as bigint; the stream must declare
+    # that raw type and apply the same conversion load_table does.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    reader = spark.readStream.schema(raw.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def streaming_rollup(
+    events: DataFrame,
+    window_seconds: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """A5's streaming form: tumbling window + watermark.
+
+    Same aggregate list as ``aggregates.windowed_rollup`` with the p95
+    switched to the mergeable sketch (see module docstring). Emit with
+    ``outputMode("append")``: a row is final once the watermark passes
+    its window end — the incremental equivalent of the reference's
+    re-CTAS, without rescanning history.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_seconds} seconds"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(value_col, scale=None).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+            F.round(F.percentile_approx(value_col, 0.95), 4).alias(
+                "p95_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            *keys,
+            "n",
+            "avg_value",
+            "max_value",
+            "p95_value",
+        )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap_seconds: int,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """W5's streaming form: ``session_window`` merges events whose gap is
+    < ``gap_seconds``; the watermark closes a session once no event can
+    extend it. Matches ``windows.sessionize`` + ``session_summary``
+    output columns (session identity is (start,end) bounds, not the
+    batch 0-based ordinal, which is meaningless on an endless stream).
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"), *keys
+        )
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("start_ts_us"),
+            F.unix_micros(F.max(ts_col)).alias("end_ts_us"),
+            F.round(
+                F.max(F.col(ts_col)).cast("double")
+                - F.min(F.col(ts_col)).cast("double"),
+                6,
+            ).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(*keys, "start_ts_us", "end_ts_us", "duration_s", "n_events")
+    )
+
+
+def streaming_event_histogram(
+    events: DataFrame, event_col: str = "event_type"
+) -> DataFrame:
+    """A2's streaming form — running histogram, ``outputMode("complete")``
+    (tiny cardinality result; state is one counter per event type)."""
+    return events.groupBy(event_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W1 streaming form — custom stateful operator via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_DROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("prev_value", T.DoubleType()),
+        T.StructField("drop_amount", T.DoubleType()),
+    ]
+)
+
+_DROPS_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_value", T.DoubleType())]
+)
+
+
+def _drops_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Carry the last non-null value per key across micro-batches; emit
+    rows whose value is below it (W1 semantics, reference
+    global_scanner.py:273-323). Rows are ordered (ts, event_id) within
+    the batch — correct as long as ingest delivers a key's events to the
+    stream in order (partition-local ordering, the same contract the
+    batch operator's ``partition_by`` path relies on)."""
+    last = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_rows = []
+    for _, row in pdf.iterrows():
+        v = row["value"]
+        if pd.isna(v):
+            continue
+        v = float(v)
+        if last is not None and v < last:
+            out_rows.append(
+                (
+                    int(row["user_id"]),
+                    int(row["event_id"]),
+                    int(row["ts"].value // 1000),
+                    v,
+                    last,
+                    last - v,
+                )
+            )
+        last = v
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(out_rows, columns=[f.name for f in _DROPS_SCHEMA])
+
+
+def streaming_value_drops(
+    events: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """W1's streaming form as a custom stateful operator: per-key last
+    non-null value survives across micro-batches in GroupState, so a drop
+    spanning two batches is still caught. State is one double per key —
+    O(distinct keys), the minimum possible for this semantics."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _drops_fn,
+            outputStructType=_DROPS_SCHEMA,
+            stateStructType=_DROPS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain everything currently available through the streaming plan
+    (micro-batched), block until done, and return the result as a
+    DataFrame (memory sink). This is the test/backfill harness; live
+    deployments use ``write_stream_parquet``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    trigger_seconds: int | None = None,
+):
+    """Production sink: exactly-once parquet append via checkpointed
+    offsets + file-commit log. Returns the StreamingQuery handle."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

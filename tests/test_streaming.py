@@ -1,0 +1,181 @@
+"""Structured Streaming forms vs their batch operators: a file-source
+stream drained with availableNow must produce exactly what the batch
+operator computes over the same parquet — the streaming plan is the same
+logical aggregation, only incremental."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.operators import aggregates as A
+from db_loganalyzer_spark.operators import windows as W
+from db_loganalyzer_spark.sources.tables import load_table
+from db_loganalyzer_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    streaming_event_histogram,
+    streaming_rollup,
+    streaming_sessions,
+    streaming_value_drops,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_streaming_rollup_matches_batch(
+    spark, sf_dir, events_stream, events_batch, tmp_path_factory
+):
+    """Append mode emits a window only once the watermark passes its end,
+    so the stream yields exactly the CLOSED windows; the only absentees
+    must be the still-open tail near the stream's max event time."""
+    ck = str(tmp_path_factory.mktemp("ck_rollup"))
+    got = run_available_now(
+        streaming_rollup(
+            events_stream,
+            3600,
+            ["event_type"],
+            "value",
+            watermark_delay="0 seconds",
+        ),
+        "rollup_stream",
+        ck,
+    )
+    want = A.windowed_rollup(
+        events_batch, 3600, ["event_type"], "value", exact_percentile=False
+    )
+    max_ts = events_batch.agg(
+        F.unix_timestamp(F.max("ts")).alias("m")
+    ).collect()[0]["m"]
+    key = ["window_start", "event_type"]
+    got_rows = {tuple(r[k] for k in key): r for r in got.collect()}
+    want_rows = {tuple(r[k] for k in key): r for r in want.collect()}
+    assert set(got_rows) <= set(want_rows) and len(got_rows) > 0
+    for k in set(want_rows) - set(got_rows):  # only the open tail missing
+        assert k[0] + 3600 >= max_ts
+    for k, gr in got_rows.items():
+        wr = want_rows[k]
+        assert gr["n"] == wr["n"]
+        # batch rounds its avg to 4 decimals; the stream emits it unrounded
+        assert abs(gr["avg_value"] - wr["avg_value"]) < 6e-5
+        assert abs(gr["max_value"] - wr["max_value"]) < 1e-9
+        assert abs(gr["p95_value"] - wr["p95_value"]) < 1e-9
+
+
+def test_streaming_sessions_match_batch(
+    spark, sf_dir, events_stream, events_batch, tmp_path_factory
+):
+    ck = str(tmp_path_factory.mktemp("ck_sessions"))
+    got = run_available_now(
+        streaming_sessions(
+            events_stream, 600, ["user_id"], watermark_delay="0 seconds"
+        ),
+        "sessions_stream",
+        ck,
+    )
+    want = W.session_summary(
+        W.sessionize(events_batch, 600, partition_by=["user_id"]),
+        partition_by=["user_id"],
+    ).drop("session_id")
+    max_ts_us = events_batch.agg(
+        F.unix_micros(F.max("ts")).alias("m")
+    ).collect()[0]["m"]
+    key = ["user_id", "start_ts_us"]
+    got_rows = {tuple(r[k] for k in key): r for r in got.collect()}
+    want_rows = {tuple(r[k] for k in key): r for r in want.collect()}
+    assert set(got_rows) <= set(want_rows) and len(got_rows) > 0
+    for k in set(want_rows) - set(got_rows):
+        # only sessions the watermark couldn't close (gap still open at
+        # stream end) may be absent
+        assert want_rows[k]["end_ts_us"] + 600 * 1_000_000 >= max_ts_us
+    for k, gr in got_rows.items():
+        wr = want_rows[k]
+        assert gr["end_ts_us"] == wr["end_ts_us"]
+        assert gr["n_events"] == wr["n_events"]
+        assert abs(gr["duration_s"] - wr["duration_s"]) < 1e-6
+
+
+def test_streaming_histogram_matches_batch(
+    spark, events_stream, events_batch, tmp_path_factory
+):
+    ck = str(tmp_path_factory.mktemp("ck_hist"))
+    got = run_available_now(
+        streaming_event_histogram(events_stream),
+        "hist_stream",
+        ck,
+        output_mode="complete",
+    )
+    want = {
+        r["event_type"]: r["n"]
+        for r in events_batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["n"] for r in got.collect()} == want
+
+
+def test_streaming_value_drops_match_batch(
+    spark, events_stream, events_batch, tmp_path_factory
+):
+    ck = str(tmp_path_factory.mktemp("ck_drops"))
+    got = run_available_now(
+        streaming_value_drops(events_stream), "drops_stream", ck
+    )
+    want = W.value_drops(events_batch, "value", partition_by=["user_id"])
+    got_rows = {
+        r["event_id"]: (r["value"], r["prev_value"], r["drop_amount"])
+        for r in got.collect()
+    }
+    want_rows = {
+        r["event_id"]: (r["value"], r["prev_value"], r["drop_amount"])
+        for r in want.collect()
+    }
+    assert set(got_rows) == set(want_rows) and len(want_rows) > 0
+    for eid, wv in want_rows.items():
+        gv = got_rows[eid]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(gv, wv))
+
+
+def test_streaming_value_drops_state_spans_batches(
+    spark, sf_dir, tmp_path_factory, tmp_path
+):
+    """Split the events into two parquet files ingested as two micro-batches
+    (maxFilesPerTrigger=1): a drop whose 'previous value' arrived in batch 1
+    and whose low value arrives in batch 2 must still be emitted — that is
+    the GroupState carrying last_value across batches."""
+    ev = load_table(spark, sf_dir, "events")
+    mid_us = ev.agg(
+        F.percentile(F.unix_micros("ts"), 0.5).alias("m")
+    ).collect()[0]["m"]
+    mid = F.timestamp_micros(F.lit(int(mid_us)))
+    land = tmp_path / "landing"
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(
+        str(land / "batch1")
+    )
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(
+        str(land / "batch2")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    ck = str(tmp_path_factory.mktemp("ck_drops2"))
+    got = run_available_now(
+        streaming_value_drops(stream), "drops_stream2", ck
+    )
+    want = W.value_drops(ev, "value", partition_by=["user_id"])
+    # batch-boundary pairs are only equal if per-key order survives the
+    # split; splitting on a global ts cut preserves it.
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
