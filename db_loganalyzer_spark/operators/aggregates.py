@@ -89,6 +89,7 @@ def windowed_rollup(
     ts_col: str = "ts",
     exact_percentile: bool = True,
     ordered: bool = True,
+    deterministic_avg: bool = True,
 ) -> DataFrame:
     """A5 — tumbling-window rollup: n, avg, max, p95 per (window, keys).
 
@@ -105,11 +106,16 @@ def windowed_rollup(
         if exact_percentile
         else F.percentile_approx(value_col, 0.95)
     )
+    # decimal-routed avg is order-independent (oracle hash-matching) but
+    # overflows Decimal(38,6) on sentinel values like -DBL_MAX that real
+    # trace metrics contain; the reference's own rollup is a plain double
+    # AVG, so the parity path opts out.
+    mean = davg(value_col) if deterministic_avg else F.round(F.avg(value_col), 4)
     out = df.groupBy(
         bucket_start(ts_col, window_seconds).alias("window_start"), *keys
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        davg(value_col).alias("avg_value"),
+        mean.alias("avg_value"),
         F.max(value_col).alias("max_value"),
         F.round(pctl, 4).alias("p95_value"),
     )

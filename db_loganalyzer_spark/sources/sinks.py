@@ -72,13 +72,20 @@ def export_result(
 
 
 def bootstrap_tables(
-    spark: SparkSession, database: str = "loganalyzer", drop_existing: bool = True
+    spark: SparkSession,
+    database: str = "loganalyzer",
+    drop_existing: bool = True,
+    location: str | None = None,
 ) -> None:
     """S10 — create the database + empty managed tables for the five-core
     schema. Parquet-backed managed tables; Catalyst sees real schemas, so
     downstream inserts/queries typecheck exactly as the reference DDL
-    enforces."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    enforces. ``location`` pins the database directory explicitly (the
+    warehouse conf is static and cannot change on a live session)."""
+    if drop_existing:
+        spark.sql(f"DROP DATABASE IF EXISTS {database} CASCADE")
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
     if drop_existing:
         for t in reversed(CORE_TABLES):
             spark.sql(f"DROP TABLE IF EXISTS {database}.{t}")

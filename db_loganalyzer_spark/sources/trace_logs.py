@@ -95,6 +95,45 @@ def parse_xml(lines: DataFrame, line_col: str = "value") -> DataFrame:
     )
 
 
+def extract_code_coverage(spark: SparkSession, paths) -> DataFrame:
+    """M1 — CodeCoverage-specific regex pull from raw trace XML
+    (reference log_analysis/extract_code_coverages.py:7-66, duplicated in
+    processing_script.py): find each self-closing ``<Event ...
+    Type="CodeCoverage" ... />`` tag and extract its attributes with
+    independent order-agnostic regexes. Matches the reference record
+    shape: ``comment`` defaults to 'unknown', ``time`` is a tolerant
+    float (unparseable → NULL), ``severity`` is int(float(v)) or NULL,
+    ``src_file``/``src_line`` stay raw strings (NULL when absent —
+    relational form of the reference's conditionally-present JSON keys),
+    and ``raw`` carries the whole tag. Pure regexp_extract columns —
+    whole-stage codegen, scan-bound at any scale."""
+    tag = r'(?i)<Event[^>]*\bType="CodeCoverage"[^>]*/>'
+
+    def attr(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(F.col("value"), rf'\b{name}="([^"]+)"', 1),
+            F.lit(""),
+        )
+
+    lines = read_trace_lines(spark, paths)
+    return (
+        lines.filter(F.col("value").rlike(tag))
+        .select(
+            F.element_at(F.split(F.col("trace_file"), "/"), -1).alias("file"),
+            F.coalesce(attr("Comment"), F.lit("unknown")).alias("comment"),
+            attr("Time").try_cast("double").alias("time"),
+            attr("Severity").try_cast("double").try_cast("int").alias(
+                "severity"
+            ),
+            attr("File").alias("src_file"),
+            attr("Line").alias("src_line"),
+            F.regexp_extract(F.col("value"), r'(<Event[^>]*/>)', 1).alias(
+                "raw"
+            ),
+        )
+    )
+
+
 def events_from_attrs(parsed: DataFrame, id_offset: int = 0) -> DataFrame:
     """Envelope/payload split (data_transfer_object/event_dto.py:10-31,
     tools/parser.py:73-89): MANDATORY_FIELDS keys become typed columns,

@@ -167,3 +167,45 @@ def test_full_ingest_pipeline(spark, fixture_dir):
     }
     for name, df in tables.items():
         assert df.count() >= 0, name
+
+
+def test_code_coverage_extraction(spark, tmp_path):
+    x = tmp_path / "cov.xml"
+    x.write_text(
+        '<?xml version="1.0"?>\n<Trace>\n'
+        '<Event Severity="10" Time="12.5" Type="CodeCoverage" '
+        'File="fdbserver/DiskQueue.actor.cpp" Line="895" '
+        'Comment="More than one push between commits" Machine="m:1" />\n'
+        # missing Comment/Severity/Line -> defaults / NULLs
+        '<Event Time="bad-float" Type="CodeCoverage" File="a.cpp" />\n'
+        # not a coverage event -> excluded
+        '<Event Severity="20" Time="13.0" Type="Role" As="Master" />\n'
+        "</Trace>\n"
+    )
+    rows = sorted(
+        TL.extract_code_coverage(spark, str(x)).collect(),
+        key=lambda r: (r.src_file or ""),
+    )
+    assert len(rows) == 2
+    full = rows[1]
+    assert full.comment == "More than one push between commits"
+    assert full.time == 12.5 and full.severity == 10
+    assert full.src_file == "fdbserver/DiskQueue.actor.cpp"
+    assert full.src_line == "895"
+    assert full.raw.startswith("<Event") and full.raw.endswith("/>")
+    bare = rows[0]
+    assert bare.comment == "unknown"  # reference default
+    assert bare.time is None and bare.severity is None
+    assert bare.src_line is None and bare.file == "cov.xml"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_XML_DIR), reason="reference not present")
+def test_code_coverage_reference_sample(spark):
+    import glob
+
+    df = TL.extract_code_coverage(spark, glob.glob(f"{REF_XML_DIR}/*.xml"))
+    rows = df.collect()
+    assert len(rows) == 5  # grep -c Type="CodeCoverage" over the samples
+    assert all(r.severity == 10 for r in rows)
+    assert all(r.src_file and r.src_line for r in rows)
+    assert any("push between commits" in r.comment for r in rows)
