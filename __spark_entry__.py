@@ -307,9 +307,17 @@ _EV_PROJ = lambda df: df.select(  # noqa: E731
 
 
 def f01_time_window(spark, sf_dir):
-    out = FL.time_window(
-        _events(spark, sf_dir), "2024-01-15 12:00:00", 1800, limit=200
+    # Pushdown path: the raw-nanos range predicate reaches PushedFilters
+    # (row-group skipping at scale); time_window re-applies the same bounds
+    # on the converted column, which is a no-op after the slice.
+    anchor = "2024-01-15 12:00:00"
+    base = tables.events_time_slice(
+        spark,
+        sf_dir,
+        "2024-01-15 11:30:00",
+        "2024-01-15 12:30:00",
     )
+    out = FL.time_window(base, anchor, 1800, limit=200)
     return _EV_PROJ(out)
 
 

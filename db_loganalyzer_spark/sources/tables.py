@@ -98,6 +98,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_time_slice(spark: SparkSession, sf_dir: str, lo, hi) -> DataFrame:
+    """Events scan with the time-range predicate pushed to the parquet
+    row-group level (F1's 100 TB path).
+
+    ``load_table`` converts the raw TIMESTAMP(NANOS) long to a microsecond
+    timestamp FIRST, so a later ``ts BETWEEN lo AND hi`` is a predicate on
+    an *expression* of the scan column and never reaches ``PushedFilters``
+    — the scan reads every row group. The conversion is strictly monotonic,
+    so the exact same slice can be taken on the raw long with the nanos
+    image of the bounds; parquet min/max stats then skip every row group
+    outside the window before decoding a single page. ``ts div 1000``
+    floors, hence lo maps to ``lo_us*1000`` and hi to ``hi_us*1000 + 999``.
+
+    Falls back to a plain (in-memory) filter when the hot-table cache is
+    pinned — a cached scan has no row groups to skip.
+    """
+    lo_t = F.lit(lo).cast("timestamp")
+    hi_t = F.lit(hi).cast("timestamp")
+    hit = _CACHE.get((sf_dir, name := "events"))
+    if hit is not None:
+        return hit.filter(F.col("ts").between(lo_t, hi_t))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        # unix_micros(lit) is foldable: ConstantFolding reduces both bounds
+        # to long literals, so the BETWEEN lands in PushedFilters.
+        df = df.filter(
+            F.col("ts").between(
+                F.unix_micros(lo_t) * 1000, F.unix_micros(hi_t) * 1000 + 999
+            )
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.filter(F.col("ts").between(lo_t, hi_t))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names=TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

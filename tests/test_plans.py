@@ -1,0 +1,133 @@
+"""Physical-plan audits — assert the plan shapes the 100 TB design relies on.
+
+Correctness tests prove the numbers; these prove the *scaling properties*:
+filters reach the parquet scan (row-group skipping), small dims broadcast
+(no shuffle of the fact table), range joins stay equi-keyed (no cartesian
+product), top-k compiles to TakeOrderedAndProject (no global sort), and
+declared windows never collapse to a single partition.
+
+All scans run with a COLD table cache — pushdown evidence only exists on a
+real parquet scan, and the shared session may have pinned tables elsewhere.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from db_loganalyzer_spark.sources import tables
+
+
+def plan_str(spark, df, mode: str = "formatted") -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture()
+def cold_cache():
+    saved = dict(tables._CACHE)
+    tables._CACHE.clear()
+    yield
+    tables._CACHE.clear()
+    tables._CACHE.update(saved)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_f01_ts_range_reaches_pushed_filters(spark, sf_dir, qs, cold_cache):
+    # the raw-nanos rewrite in events_time_slice must land BOTH bounds in
+    # PushedFilters — this is what row-group min/max skipping keys off
+    p = plan_str(spark, qs["f01_time_window"](spark, sf_dir))
+    assert "PushedFilters: [" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThanOrEqual(ts" in ln and "LessThanOrEqual(ts" in ln
+        for ln in pushed
+    ), pushed
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark, sf_dir, qs, cold_cache):
+    p = plan_str(spark, qs["q01_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in p
+    # 7-column projection out of the 16-column lineitem table: the scan
+    # schema must not contain columns the query never touches
+    assert "l_comment" not in p and "l_orderkey" not in p
+
+
+def test_q05_dims_broadcast_no_cartesian(spark, sf_dir, qs, cold_cache):
+    p = plan_str(spark, qs["q05_nation_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_j03_range_join_stays_equi_keyed(spark, sf_dir, qs, cold_cache):
+    # look-back join bounded by the user_id equi key: shuffled hash/merge
+    # join + band filter, never a product
+    p = plan_str(spark, qs["j03_lookback_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_t01_per_group_topk_stays_partitioned(spark, sf_dir, qs, cold_cache):
+    # per-group top-k = row_number over Window.partitionBy: the sort must
+    # stay partition-local, never a global single-partition sort
+    p = plan_str(spark, qs["t01_topk_per_group"](spark, sf_dir), "simple")
+    assert "Window" in p or "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+
+
+def test_f03_global_topk_compiles_to_take_ordered(spark, sf_dir, qs, cold_cache):
+    # orderBy().limit() must become a distributed top-k, not a global sort
+    p = plan_str(spark, qs["f03_severity_floor"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", ["w01_value_drops", "w05_sessionization"])
+def test_declared_windows_never_single_partition(
+    spark, sf_dir, qs, cold_cache, name
+):
+    # every declared window op partitions by user_id; a plan regression to
+    # Exchange SinglePartition would serialize the whole table at scale
+    p = plan_str(spark, qs[name](spark, sf_dir), "simple")
+    assert "SinglePartition" not in p
+
+
+def test_m03_lsh_band_join_is_equi(spark, sf_dir, qs, cold_cache):
+    # the MinHash-LSH candidate join must be an equi join on (band, bucket)
+    p = plan_str(spark, qs["m03_minhash_lsh_dedup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_q01_wholestage_codegen(spark, sf_dir, qs, cold_cache):
+    # AQE finalizes the physical plan only at execution: run to the noop
+    # sink, then audit the executed plan for fused codegen stages
+    df = qs["q01_pricing_summary"](spark, sf_dir)
+    df.collect()  # a noop-sink write would finalize a *copy* of the plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    # "*(n)" is WholeStageCodegen stage n in the compact plan string; the
+    # scan->filter->partial-agg pipeline must be inside a fused stage
+    assert re.search(r"\*\(\d+\) HashAggregate", p), p[:500]
+
+
+def test_f01_slice_matches_unsliced_filter(spark, sf_dir, qs, cold_cache):
+    # the nanos-domain rewrite is exact: same rows as filtering the
+    # converted timestamp column directly (floor-division boundary cases)
+    from pyspark.sql import functions as F
+
+    sliced = tables.events_time_slice(
+        spark, sf_dir, "2024-01-15 11:30:00", "2024-01-15 12:30:00"
+    )
+    plain = tables.load_table(spark, sf_dir, "events").filter(
+        F.col("ts").between(
+            F.lit("2024-01-15 11:30:00").cast("timestamp"),
+            F.lit("2024-01-15 12:30:00").cast("timestamp"),
+        )
+    )
+    assert sliced.count() == plain.count()
+    assert sliced.exceptAll(plain).count() == 0
