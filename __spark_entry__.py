@@ -1011,6 +1011,22 @@ def sim03_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.25, n_planes=6)
 
 
+def sim04_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: KMeans coarse quantizer (seed 42) -> n_probe nearest
+    cells per query -> exact cosine on candidates. Approximate by
+    construction (rows-only check; exactness at n_probe==n_cells and
+    recall vs brute force asserted in pytest)."""
+    from db_loganalyzer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # T-family: text analysis
 # ---------------------------------------------------------------------------
@@ -2223,6 +2239,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m04_simhash_near_dups": (m04_simhash_near_dups, None),
     "sim02_lsh_topk": (sim02_lsh_topk, None),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, None),
+    "sim04_ivf_topk": (sim04_ivf_topk, None),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, None),
 }
 

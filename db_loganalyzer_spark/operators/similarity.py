@@ -128,6 +128,119 @@ def lsh_topk(
     )
 
 
+def _sqdist(u: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: distributed Spark ML KMeans over the
+    corpus (k-means|| init, fixed seed). Centroids are tiny
+    (n_cells x dim) and come back to the driver to be shipped as
+    literals — the classic train-small/apply-wide split."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmin squared L2) as a pure column
+    expression — struct ordering makes array_min pick (min d, min cell)."""
+    return F.array_min(_cell_dists(vec, centroids))["cell"]
+
+
+def ivf_probe_cells(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The n_probe nearest cells for a query vector (multi-probe list)."""
+    return F.transform(
+        F.slice(F.array_sort(_cell_dists(vec, centroids)), 1, n_probe),
+        lambda s: s["cell"],
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: KMeans coarse quantizer -> corpus partitioned into
+    cells (one narrow pass) -> each query probes its n_probe nearest
+    cells -> exact cosine + per-query top-k on the candidates only.
+
+    The scale shape: the fit sees the corpus once (or a sample via
+    ``centroids=``); assignment is scan-bound column arithmetic; the
+    candidate join is equi on cell, so the corpus shuffles once on cell
+    id and only ~n_probe/n_cells of it is ever scored per query. With
+    ``n_probe == n_cells`` the probe covers every cell and the result is
+    exactly brute force — the recall/latency dial is explicit.
+    """
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            corpus, n_cells=n_cells, seed=seed, vec_col=vec_col
+        )
+    c = corpus.select(
+        id_col, vec_col, ivf_cell(F.col(vec_col), centroids).alias("cell")
+    )
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            ivf_probe_cells(F.col(query_vec_col), centroids, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

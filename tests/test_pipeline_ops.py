@@ -117,6 +117,42 @@ def test_embedding_near_dups(spark, vectors):
     assert (0, 20) in pairs
 
 
+def test_ivf_topk_exact_when_probing_all_cells(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = SIM.brute_force_topk(vectors, q, k=3)
+    full = SIM.ivf_topk(vectors, q, k=3, n_cells=4, n_probe=4)
+    e = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    f = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    assert f == e  # probing every cell degenerates to brute force
+
+
+def test_ivf_topk_recall_and_candidate_discipline(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = SIM.brute_force_topk(vectors, q, k=3)
+    approx = SIM.ivf_topk(vectors, q, k=3, n_cells=4, n_probe=2)
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact.collect()}
+    a = {(r.query_id, r.vec_id): r.cosine for r in approx.collect()}
+    assert a
+    hits = set(a) & set(e)
+    assert len(hits) / len(e) > 0.3  # half the cells probed
+    for pair in hits:  # candidates score identically to the exact path
+        assert a[pair] == e[pair]
+
+
+def test_ivf_self_query_finds_near_copy(spark, vectors):
+    # vec 20 is a near-copy of vec 0: any sane quantizer cells them
+    # together, so even n_probe=1 must surface it at rank 1
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = SIM.ivf_topk(vectors, q, k=3, n_cells=4, n_probe=1).collect()
+    assert top[0].vec_id == 20 and top[0].cosine > 0.99
+
+
 def test_text_stats(spark, docs):
     out = {r.doc_id: r for r in TS.text_stats(docs).collect()}
     assert out[0].n_tokens == 9
