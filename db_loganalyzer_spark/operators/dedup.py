@@ -84,18 +84,35 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     explode distinct shingles, self-join on shingle (only co-occurring
     pairs materialize), |A∩B| = co-occurrence count, |A∪B| = |A|+|B|-∩.
 
     This is the exact oracle; at 100 TB use minhash_lsh_candidates to
-    bound the pair space first (hot shingles make the inverted index
-    quadratic in the worst case)."""
+    bound the pair space first, or set ``max_doc_freq``: a shingle in d
+    documents expands to d*(d-1)/2 join rows, so one boilerplate shingle
+    shared by 1M docs is 5e11 pairs on a single shuffle key. The cap
+    drops shingles with document frequency > max_doc_freq from the
+    index — the standard stop-shingle mitigation. Pair counts AND set
+    sizes are both computed on the filtered vocabulary, so the result is
+    exact Jaccard over that vocabulary (discriminative shingles), not an
+    estimate of the uncapped value. Default None keeps the exact
+    semantics the DuckDB oracle checks."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        # hot shingles are by definition few: broadcast the blacklist
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

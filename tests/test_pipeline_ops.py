@@ -51,6 +51,29 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
 
 
+def test_ngram_jaccard_doc_freq_cap(spark, docs):
+    # cap=6 (> corpus size) filters nothing: identical to the exact path
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in
+                DD.ngram_jaccard_pairs(docs, threshold=0.3, n=2).collect()}
+    loose = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.ngram_jaccard_pairs(
+                 docs, threshold=0.3, n=2, max_doc_freq=6
+             ).collect()}
+    assert loose == uncapped
+    # cap=1 drops every shared shingle -> no co-occurrence, no pairs
+    none = DD.ngram_jaccard_pairs(
+        docs, threshold=0.0, n=2, max_doc_freq=1
+    ).collect()
+    assert none == []
+    # cap=2: shingles shared by docs 0,1,2 (freq 3) leave the index; the
+    # exact-dup pair (0,1) survives on its remaining shared shingles
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              DD.ngram_jaccard_pairs(
+                  docs, threshold=0.3, n=2, max_doc_freq=2
+              ).collect()}
+    assert (0, 1) in capped and capped[(0, 1)] == 1.0
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     got = {(r.id_a, r.id_b) for r in
            DD.minhash_lsh_dedup(docs, threshold=0.3, num_hashes=16, bands=8, n=2).collect()}
