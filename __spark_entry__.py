@@ -1852,6 +1852,28 @@ FROM generate_series(0, 49) t(g)
 """
 
 
+S09_QUERY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def s09_adhoc_sql(spark, sf_dir):
+    """S9 — ad-hoc SQL entry (reference cli_wrapper/main.py:344-383,
+    tools/storage.py:397-410): register the tables as views and pass the
+    user's SQL string through verbatim — the exact string the DuckDB
+    oracle runs. The TPC-H-Q4 shape exercises the EXISTS path, which
+    Catalyst plans as a left semi join (no dedup-after-inner-join)."""
+    tables.register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(S09_QUERY)
+
+
 def m07_similarity_eval(spark, sf_dir):
     """M7 — edit-distance similarity scoring of prediction/truth pairs
     (consecutive documents' prefixes as a deterministic pair source)."""
@@ -2216,6 +2238,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),

@@ -112,15 +112,18 @@ def recursive_character_split(
 
 
 def chunk_summaries(
-    chunks: DataFrame, id_col: str = "doc_id"
+    chunks: DataFrame, id_col: str = "doc_id", tokenizer=None
 ) -> DataFrame:
     """A15-shaped chunk accounting: per document, chunk count + total/avg
-    chunk length + BPE-ish token estimate (reference counts with tiktoken
-    at cli_wrapper/main.py:417-424; same pandas-UDF slot)."""
+    chunk length + token count. ``tokenizer`` is a column function (e.g.
+    ``textstats.token_count_pudf(...)`` for real tiktoken counts); the
+    default is the deterministic BPE-ish regex estimate the oracle
+    checks (reference counts with tiktoken, cli_wrapper/main.py:417-424)."""
     from .textstats import bpe_ish_token_count
 
+    count_fn = tokenizer if tokenizer is not None else bpe_ish_token_count
     return (
-        chunks.withColumn("n_tokens", bpe_ish_token_count(F.col("chunk_text")))
+        chunks.withColumn("n_tokens", count_fn(F.col("chunk_text")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

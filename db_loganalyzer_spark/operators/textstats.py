@@ -6,6 +6,8 @@ no Python, so a quality-filter pass over 100 TB is scan-bound."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,40 @@ def bpe_ish_token_count(c: Column | str) -> Column:
         col, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0
     )
     return F.size(pieces)
+
+
+def token_count_pudf(encoder_factory=None, encoding: str = "cl100k_base"):
+    """Real-tokenizer token counts as an Arrow-batched pandas UDF — the
+    A15 tiktoken slot (reference cli_wrapper/main.py:417-424).
+
+    ``encoder_factory`` is a zero-arg callable returning an object with
+    ``.encode(str) -> list``; it is constructed per Arrow batch on the
+    executor (tiktoken caches encodings process-wide, so this is a dict
+    hit after the first batch). Default backend is tiktoken, import-gated
+    on the DRIVER so a missing library fails fast with a clear error
+    instead of inside a task; tests inject a deterministic fake, same
+    pattern as multimodal.decode_media's pluggable decode backend.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if encoder_factory is None:
+        try:
+            import tiktoken
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "token_count_pudf needs tiktoken (not installed here); "
+                "pass encoder_factory= or use bpe_ish_token_count"
+            ) from e
+
+        def encoder_factory():
+            return tiktoken.get_encoding(encoding)
+
+    @pandas_udf("int")
+    def _count(texts: pd.Series) -> pd.Series:
+        enc = encoder_factory()
+        return texts.fillna("").map(lambda t: len(enc.encode(t)))
+
+    return _count
 
 
 def stopword_ratio(c: Column | str, lang: str = "en") -> Column:

@@ -221,6 +221,52 @@ def test_recursive_split_dataframe(spark, docs):
     assert summ.n_chunks == len(rows)
 
 
+@pytest.fixture(scope="module")
+def fake_encoder():
+    # defined locally so cloudpickle ships it by VALUE to executors (a
+    # module-level class in tests/ is not importable on the worker side)
+    class FakeEncoder:
+        """Deterministic tiktoken stand-in: one token per whitespace
+        word plus one per punctuation char (shape-compatible .encode)."""
+
+        def encode(self, text):
+            import re
+
+            return re.findall(r"\S+|[^\w\s]", text)
+
+    return FakeEncoder
+
+
+def test_token_count_pudf_injectable_backend(spark, docs, fake_encoder):
+    counted = docs.withColumn(
+        "n", TS.token_count_pudf(encoder_factory=fake_encoder)(F.col("text"))
+    )
+    got = {r.doc_id: r.n for r in counted.collect()}
+    assert got[0] == 9  # "The quick brown fox jumps over the lazy dog"
+    assert got[5] == 0  # empty text
+    assert got[4] == 1  # "short"
+
+
+def test_token_count_pudf_missing_tiktoken_fails_on_driver():
+    # no tiktoken in this container: the import gate must raise at
+    # construction time (driver), not inside an executor task
+    with pytest.raises(ImportError, match="tiktoken"):
+        TS.token_count_pudf()
+
+
+def test_chunk_summaries_accepts_real_tokenizer(spark, fake_encoder):
+    long_doc = spark.createDataFrame(
+        [(7, " ".join(f"tok{i}" for i in range(300)))], "doc_id long, text string"
+    )
+    out = recursive_character_split(long_doc)
+    summ = chunk_summaries(
+        out, tokenizer=TS.token_count_pudf(encoder_factory=fake_encoder)
+    ).collect()[0]
+    # every chunk token is a whitespace word under the fake encoder; the
+    # split overlaps chunks, so total >= the document's 300 words
+    assert summ.total_tokens >= 300
+
+
 def test_multimodal_plumbing(spark, docs):
     media = media_table_from_documents(docs.filter(F.length("text") > 0))
     decoded = decode_media(media, decode_backend=fake_decode_backend)
