@@ -143,6 +143,69 @@ def test_streaming_value_drops_match_batch(
         assert all(abs(a - b) < 1e-9 for a, b in zip(gv, wv))
 
 
+def test_streaming_rollup_discards_late_data(
+    spark, tmp_path, tmp_path_factory
+):
+    """Late-data semantics, as Spark actually guarantees them: a late row
+    whose window state is STILL LIVE merges into the aggregate (the
+    watermark is a state-eviction bound, not an input filter), and in
+    append mode a window is emitted+evicted at the end of the first batch
+    whose watermark passed its end — one batch after the advancing event.
+    Only a row arriving AFTER eviction is dropped. So: batch1 fills the
+    10:00 window and advances event time past it; batch2 runs with the
+    advanced watermark, emitting and evicting the window; batch3's late
+    10:45 row then finds no state and must be discarded, never
+    re-emitting or reopening the closed window."""
+    schema = "event_id long, ts string, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    land = tmp_path / "landing_late"
+    mk(
+        [
+            (1, "2024-01-01 10:00:10", "e", 1.0),
+            (2, "2024-01-01 10:30:00", "e", 3.0),
+            (3, "2024-01-01 12:00:01", "e", 5.0),  # watermark -> 12:00:01
+        ]
+    ).coalesce(1).write.parquet(str(land / "batch1"))
+    mk([(4, "2024-01-01 12:10:00", "e", 7.0)]).coalesce(1).write.parquet(
+        str(land / "batch2")  # 10:00 window emitted + evicted here
+    )
+    mk(
+        [
+            (5, "2024-01-01 10:45:00", "e", 100.0),  # late: state is gone
+            (6, "2024-01-01 12:30:00", "e", 9.0),
+        ]
+    ).coalesce(1).write.parquet(str(land / "batch3"))
+    stream = (
+        spark.readStream.schema(mk([]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(land))
+    )
+    ck = str(tmp_path_factory.mktemp("ck_late"))
+    got = run_available_now(
+        streaming_rollup(
+            stream, 3600, ["event_type"], "value",
+            watermark_delay="0 seconds",
+        ),
+        "late_stream",
+        ck,
+    )
+    ten = int(
+        spark.sql("SELECT unix_timestamp('2024-01-01 10:00:00')").collect()[0][0]
+    )
+    ten_rows = got.filter(F.col("window_start") == ten).collect()
+    assert len(ten_rows) == 1  # emitted exactly once, never reopened
+    # the late event (value=100.0) is absent from the closed window
+    assert ten_rows[0]["n"] == 2
+    assert abs(ten_rows[0]["max_value"] - 3.0) < 1e-9
+
+
 def test_streaming_value_drops_state_spans_batches(
     spark, sf_dir, tmp_path_factory, tmp_path
 ):
