@@ -95,6 +95,30 @@ def bootstrap_tables(
         )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffle the data ONCE at write time so
+    every later join/agg on the bucket key is exchange-free.
+
+    At 100 TB the events ⋈ event_metrics join (J1) shuffles both sides on
+    event_id every time it runs; bucketing both tables by event_id with
+    the same bucket count lets Spark prove co-partitioning and plan a
+    SortMergeJoin with NO Exchange on either side (see
+    tests/test_sinks.py::test_bucketed_join_is_exchange_free). Same lever
+    for repeated groupBy(user_id) analytics. ``sort_cols`` additionally
+    sorts within buckets, dropping the join's per-task Sort."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_metric_baselines(
     baselines: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

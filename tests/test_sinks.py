@@ -103,3 +103,34 @@ def test_load_preprocessed_events_string_and_null_fields(spark, tmp_path):
     assert set(ev.columns) >= {
         "event_id", "ts", "severity", "event", "role", "fields",
     }
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the join key with the same bucket count:
+    Spark proves co-partitioning, so the join plans with NO Exchange on
+    either side — the write-once/join-many lever for J1 at scale. With
+    sortBy the per-task Sort disappears too."""
+    from db_loganalyzer_spark.sources.sinks import write_bucketed
+    from db_loganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    metrics = ev.select(
+        "event_id", (F.col("value") * 2).alias("metric_value")
+    )
+    write_bucketed(ev, "ev_bucketed", ["event_id"], 4, sort_cols=["event_id"])
+    write_bucketed(
+        metrics, "metrics_bucketed", ["event_id"], 4, sort_cols=["event_id"]
+    )
+    joined = spark.table("ev_bucketed").join(
+        spark.table("metrics_bucketed").hint("merge"), "event_id"
+    )
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    n = joined.count()
+    assert n == ev.count()
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
