@@ -77,13 +77,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes.tolist()
 
 
+def _plane_dots(vec: Column, planes: list[list[float]]) -> list[Column]:
+    return [
+        dot(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit i = (vec . plane_i) > 0."""
     bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i, d in enumerate(_plane_dots(vec, planes)):
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_probe_buckets(
+    vec: Column, planes: list[list[float]], n_probe: int
+) -> Column:
+    """Multi-probe bucket list: the home bucket plus the n_probe-1
+    single-bit flips of the LEAST-confident bits (smallest |dot| — the
+    hyperplanes the vector sits closest to, i.e. where a true neighbor
+    most likely landed on the other side). Classic multi-probe LSH:
+    recall of extra hash tables for the cost of extra probes."""
+    dots = _plane_dots(vec, planes)
+    home = lsh_bucket(vec, planes)
+    if n_probe <= 1:
+        return F.array(home)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("a"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    # shiftleft needs a Python-int bit count; a literal 2^i lookup array
+    # keeps the flip mask exact for any plane count up to 63
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    flips = F.transform(
+        F.slice(ranked, 1, n_probe - 1),
+        lambda s: home.bitwiseXOR(F.element_at(pow2, s["i"] + 1)),
+    )
+    return F.concat(F.array(home), flips)
 
 
 def lsh_topk(
@@ -97,13 +132,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_probe: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only corpus vectors in the query's hyperplane
-    bucket. Recall < 1 by construction (documented approximate path);
-    raise recall with fewer planes or multi-probe (flip one bit).
+    bucket(s). Recall < 1 by construction (documented approximate path);
+    raise recall with fewer planes or ``n_probe`` > 1 (each query also
+    probes the n_probe-1 least-confident single-bit-flip buckets — see
+    lsh_probe_buckets). Each corpus vector lives in exactly one bucket
+    and probe lists are distinct, so no candidate dedup is needed.
 
     At scale: the corpus bucket assignment is computed once (narrow) and
-    the join is equi on bucket — a hash shuffle, never a cross join."""
+    the join is equi on bucket — a hash shuffle, never a cross join;
+    multi-probe only multiplies the (broadcast) query side."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket")
@@ -111,7 +151,9 @@ def lsh_topk(
     q = queries.select(
         query_id_col,
         query_vec_col,
-        lsh_bucket(F.col(query_vec_col), planes).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(query_vec_col), planes, n_probe)
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

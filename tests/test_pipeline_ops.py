@@ -140,6 +140,32 @@ def test_embedding_near_dups(spark, vectors):
     assert (0, 20) in pairs
 
 
+def test_lsh_multi_probe_recall_dominates_single(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in
+             SIM.brute_force_topk(vectors, q, k=3).collect()}
+    single = {(r.query_id, r.vec_id) for r in
+              SIM.lsh_topk(vectors, q, k=3, n_planes=3, dim=8).collect()}
+    multi = {(r.query_id, r.vec_id) for r in
+             SIM.lsh_topk(
+                 vectors, q, k=3, n_planes=3, dim=8, n_probe=3
+             ).collect()}
+    # probing flip buckets can only widen the candidate pool
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    # 1 plane = 2 buckets; home + its flip covers the whole corpus, so
+    # multi-probe degenerates to brute force (probes are Hamming-1 flips,
+    # hence full coverage is only reachable when n_planes == 1)
+    full = {(r.query_id, r.vec_id) for r in
+            SIM.lsh_topk(
+                vectors, q, k=3, n_planes=1, dim=8, n_probe=2
+            ).collect()}
+    assert full == exact
+
+
 def test_ivf_topk_exact_when_probing_all_cells(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
