@@ -135,8 +135,14 @@ def format_events_for_llm(events: DataFrame, display_limit: int = 20) -> str:
         return "No events found."
 
     m = extract_metrics(events)
-    spikes = m["version_lag_spikes"].orderBy("ts", "event_id").limit(1000).collect()
-    crit = [r for r in spikes if r["version_lag"] > 1_000_000]
+    # Counts come from distributed aggregates (like n_negs/n_slows below)
+    # so they never saturate at a collect() limit; only the handful of
+    # display examples is ever collected.
+    spk = m["version_lag_spikes"]
+    n_spikes = spk.count()
+    n_crit = spk.filter(F.col("version_lag") > 1_000_000).count()
+    shown_src = spk.filter(F.col("version_lag") > 1_000_000) if n_crit else spk
+    shown = shown_src.orderBy("ts", "event_id").limit(5).collect()
     negs = m["negative_latencies"].orderBy("ts", "event_id", "metric").limit(5).collect()
     n_negs = m["negative_latencies"].count()
     slows = m["slow_ss_loops"].orderBy("ts", "event_id").limit(3).collect()
@@ -172,12 +178,11 @@ def format_events_for_llm(events: DataFrame, display_limit: int = 20) -> str:
     lines.append("Do NOT treat Severity 20/30 events as root cause by themselves")
     lines.append("   Focus on the METRIC anomalies behind them.\n")
 
-    if spikes:
+    if n_spikes:
         lines.append("VERSIONLAG SPIKES (Storage Engine Pressure):")
-        lines.append(f"   Found {len(spikes)} events with VersionLag > 100k")
-        shown = crit if crit else spikes
-        if crit:
-            lines.append(f"   {len(crit)} events with VersionLag > 1M (CRITICAL)")
+        lines.append(f"   Found {n_spikes} events with VersionLag > 100k")
+        if n_crit:
+            lines.append(f"   {n_crit} events with VersionLag > 1M (CRITICAL)")
         for r in shown[:5]:
             lines.append(
                 f"      - {_iso(r['ts'])}: VersionLag={r['version_lag']:.0f} "
@@ -787,7 +792,19 @@ class PhasedInvestigationAgent:
             chosen = None
             zhot = last_det.get("zscore_hotspots", {})
             if zhot.get("detected") and zhot.get("hotspots"):
-                chosen = zhot["hotspots"][0]
+                # Skip buckets already inspected (mirroring get_uncovered)
+                # so the dive advances hotspot-by-hotspot instead of
+                # re-reading hotspots[0] forever — otherwise context never
+                # grows and coverage_complete is unreachable.
+                seen = set(inspected_buckets)
+                chosen = next(
+                    (
+                        h
+                        for h in zhot["hotspots"]
+                        if int(h["bucket_start_epoch"]) not in seen
+                    ),
+                    None,
+                )
             if chosen is None:
                 uncovered = T.get_uncovered(
                     events, inspected_buckets, min_severity=10, bucket_seconds=10

@@ -629,7 +629,9 @@ def detect_recoveries(
             F.col("ts").alias("recovery_ts"),
             F.element_at("fields", F.lit("StatusCode")).try_cast("int").alias("state_code"),
         )
-        .filter(F.col("state_code").isNotNull())
+        # NULL/missing StatusCode rows are KEPT and decode to 'unknown'
+        # (matching the reference decode path and the D11 oracle SQL, which
+        # has no IS NOT NULL filter in its recs CTE).
         .withColumn(
             "state_name",
             F.coalesce(state_map[F.col("state_code")], F.lit("unknown")),

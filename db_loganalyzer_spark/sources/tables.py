@@ -24,6 +24,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cache_get(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Cache hit only when the pinned DataFrame belongs to the CALLER's
+    session. A DataFrame is bound to the SparkSession that created it;
+    handing one to a different (or stopped) session yields opaque JVM
+    errors or silently runs on the wrong session's confs."""
+    hit = _CACHE.get((sf_dir, name))
+    if hit is not None and hit.sparkSession is spark:
+        return hit
+    return None
+
+
 def cache_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -61,7 +72,7 @@ def load_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds ONE small broadcast relation instead of three. ``cache_tables``
     pins it with the hot set; one-shot callers compute it inline (two
     broadcast joins over tiny dims — still cheap)."""
-    hit = _CACHE.get((sf_dir, "__customer_geo"))
+    hit = _cache_get(spark, sf_dir, "__customer_geo")
     if hit is not None:
         return hit
     cust = load_table(spark, sf_dir, "customer")
@@ -84,7 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
     convert to a microsecond timestamp (integer div — no double rounding).
     """
-    hit = _CACHE.get((sf_dir, name))
+    hit = _cache_get(spark, sf_dir, name)
     if hit is not None:
         return hit
     # Runtime-settable SQL conf: must hold for ANY caller-provided session
@@ -116,7 +127,7 @@ def events_time_slice(spark: SparkSession, sf_dir: str, lo, hi) -> DataFrame:
     """
     lo_t = F.lit(lo).cast("timestamp")
     hi_t = F.lit(hi).cast("timestamp")
-    hit = _CACHE.get((sf_dir, name := "events"))
+    hit = _cache_get(spark, sf_dir, name := "events")
     if hit is not None:
         return hit.filter(F.col("ts").between(lo_t, hi_t))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

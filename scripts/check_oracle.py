@@ -58,6 +58,26 @@ def rows_multiset(df):
     return cols, sorted(rows, key=repr)
 
 
+def driver_hazards(sdf, ddf):
+    """Flag outputs the driver's canonicalizer rejects even when values
+    match: list/array cells (its sort_values crashes: unhashable type)
+    and int-vs-float dtype skew (its value hash is dtype-sensitive)."""
+    import numpy as np
+
+    probs = []
+    for c in sdf.columns:
+        head = sdf[c].dropna().head(5)
+        if any(isinstance(v, (list, tuple, np.ndarray, dict)) for v in head):
+            probs.append(f"non-scalar col '{c}'")
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+            probs.append(f"dtype skew '{c}': spark={sdf[c].dtype} duck={ddf[c].dtype}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -108,6 +128,11 @@ def main():
         if bad:
             failures.append(name)
             print(f"FAIL  {name}: {len(bad)}/{len(srows)} row diffs; first: \n  spark={bad[0][0]}\n  duck ={bad[0][1]}")
+            continue
+        hazards = driver_hazards(sdf, ddf)
+        if hazards:
+            failures.append(name)
+            print(f"FAIL  {name}: values match but driver-hazard: {'; '.join(hazards)}")
             continue
         print(f"ok    {name}: {len(srows)} rows hash-match  [{t_spark:.2f}s]")
 
