@@ -779,6 +779,33 @@ SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS INT) AS rk FROM (
 # ---------------------------------------------------------------------------
 
 
+def _fact_join_side(spark, sf_dir, name: str, df):
+    """Size-gated join strategy for a fact⋈fact edge: below the session's
+    broadcast threshold the side is left unhinted (Catalyst broadcasts it
+    — the right plan for a small input), above it a ``shuffle_hash`` hint
+    pins the scale-safe plan so size-statistic drift can never trigger a
+    driver-side collect of a fact table at 100×. The gate reads the actual
+    parquet footprint, not an estimate."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        size = None
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s, mult = raw.strip().lower(), 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        thresh = int(float(s)) * mult
+    except ValueError:
+        thresh = 10 << 20
+    if size is not None and 0 <= size < max(thresh, 0):
+        return df
+    return df.hint("shuffle_hash")
+
+
 def q03_shipping_priority(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -788,10 +815,14 @@ def q03_shipping_priority(spark, sf_dir):
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     return (
         li.filter(F.col("l_shipdate") > cutoff)
-        # fact ⋈ fact: shuffle-hash, never broadcast — orders grows with the
-        # data; auto-broadcasting it is a driver collect that dies at scale.
+        # fact ⋈ fact: size-gated — broadcast while orders is genuinely
+        # small, shuffle-hash (never an auto-broadcast driver collect)
+        # once it grows past the threshold.
         .join(
-            orders.filter(F.col("o_orderdate") < cutoff).hint("shuffle_hash"),
+            _fact_join_side(
+                spark, sf_dir, "orders",
+                orders.filter(F.col("o_orderdate") < cutoff),
+            ),
             li.l_orderkey == orders.o_orderkey,
         )
         .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)

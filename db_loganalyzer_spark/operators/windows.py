@@ -248,12 +248,42 @@ def severity_first_ranking(
     """
     key = F.when(F.col(severity_col) >= high, 0).otherwise(1)
     order = [key, F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    out = df.orderBy(*order)
-    if with_rank:
-        out = out.withColumn(
-            "rank", F.row_number().over(Window.orderBy(*order))
+    if not with_rank:
+        out = df.orderBy(*order)
+        return out.limit(limit) if limit else out
+    if limit:
+        # Bounded head: orderBy+limit is TakeOrderedAndProject (per-
+        # partition top-k, no global sort); ranking the k survivors is a
+        # k-row window, not a full-table one.
+        head = df.orderBy(*order).limit(limit)
+        return head.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
         )
-    return out.limit(limit) if limit else out
+    # Unbounded global rank WITHOUT a single-partition sort: range-shuffle
+    # on the total order, rank within each range partition, then shift by
+    # the (tiny, collected) per-partition row counts. Every stage is
+    # parallel; the only driver-side data is one row count per partition.
+    part = df.repartitionByRange(*order).sortWithinPartitions(*order)
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    if not counts:  # empty input: no map to build, rank column still typed
+        return with_pid.withColumn("rank", F.lit(None).cast("long")).drop("__pid")
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        with_pid.withColumn("rank", (F.row_number().over(w) + off_expr).cast("long"))
+        .drop("__pid")
+    )
 
 
 def ewma(

@@ -87,14 +87,39 @@ def test_f03_global_topk_compiles_to_take_ordered(spark, sf_dir, qs, cold_cache)
     assert "TakeOrderedAndProject" in p
 
 
-@pytest.mark.parametrize("name", ["w01_value_drops", "w05_sessionization"])
+@pytest.mark.parametrize(
+    "name", ["w01_value_drops", "w05_sessionization", "w10_severity_first"]
+)
 def test_declared_windows_never_single_partition(
     spark, sf_dir, qs, cold_cache, name
 ):
-    # every declared window op partitions by user_id; a plan regression to
-    # Exchange SinglePartition would serialize the whole table at scale
+    # every declared window op partitions by user_id (w10: by range
+    # partition id with broadcast offsets); a plan regression to Exchange
+    # SinglePartition would serialize the whole table at scale
     p = plan_str(spark, qs[name](spark, sf_dir), "simple")
     assert "SinglePartition" not in p
+
+
+def test_q03_fact_join_gate_small_broadcasts(spark, sf_dir, qs, cold_cache):
+    # below the broadcast threshold the orders side is unhinted and
+    # Catalyst broadcasts it — the right plan for a genuinely small input
+    p = plan_str(spark, qs["q03_shipping_priority"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q03_fact_join_gate_large_pins_shuffle(spark, sf_dir, qs, cold_cache):
+    # with the threshold below the file size (the 100 TB regime in
+    # miniature) the gate must pin shuffle_hash: no broadcast of a fact
+    # table, ever
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        p = plan_str(spark, qs["q03_shipping_priority"](spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # the explicit-broadcast dim side (BUILDING customers) is unaffected;
+    # the orders edge must be the pinned shuffle
+    assert "ShuffledHashJoin" in p
 
 
 def test_m03_lsh_band_join_is_equi(spark, sf_dir, qs, cold_cache):
