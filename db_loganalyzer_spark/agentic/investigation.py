@@ -319,6 +319,7 @@ class InvestigationResult:
     reasoning: str
     tools_used: list = field(default_factory=list)
     iterations: int = 0
+    inspected_buckets: list = field(default_factory=list)
 
 
 class InvestigationAgent:
@@ -843,4 +844,5 @@ class PhasedInvestigationAgent:
             reasoning=reasoning,
             tools_used=tools_used,
             iterations=iteration,
+            inspected_buckets=inspected_buckets,
         )

@@ -248,6 +248,11 @@ def test_phased_loop_end_to_end(scenario, tmp_path):
     )
     res = agent.investigate(scenario, "what failure is being tested?")
 
+    # the hotspot dive never re-inspects a bucket: every epoch appended to
+    # inspected_buckets (phase-A coverage + dives) is distinct, so context
+    # can only grow and coverage_complete stays reachable
+    assert len(res.inspected_buckets) == len(set(res.inspected_buckets))
+
     # phase A tools ran first, in the reference's order
     assert res.tools_used[:2] == ["scanner.top_events", "scanner.severity_counts"]
     assert "scanner.rollback_analysis" in res.tools_used
@@ -268,6 +273,33 @@ def test_phased_loop_end_to_end(scenario, tmp_path):
     logged = sorted(p.name for p in tmp_path.iterdir())
     assert sum(n.startswith("llm_input") for n in logged) == 1
     assert sum(n.startswith("llm_output") for n in logged) == 1
+
+
+def test_phased_loop_dive_advances_across_hotspots(scenario):
+    """Regression: with confidence pinned below the threshold the loop
+    burns iterations diving — each dive must advance to a NEW bucket
+    (pre-fix it re-read zscore hotspots[0] forever) and terminate via
+    coverage_complete once everything interesting has been inspected."""
+
+    def llm(prompt):
+        return json.dumps(
+            {"hypothesis": "CLUSTER 1: unclear", "confidence": 0.2,
+             "reasoning": "insufficient evidence"}
+        )
+
+    agent = PhasedInvestigationAgent(
+        llm,
+        max_iterations=6,
+        max_llm_calls=6,
+        confidence_threshold=0.9,
+        now=lambda: dt.datetime(2024, 1, 15, 12, 0, 0, tzinfo=dt.timezone.utc),
+        sleep=lambda _: None,
+    )
+    res = agent.investigate(scenario, "q")
+    assert len(res.inspected_buckets) == len(set(res.inspected_buckets))
+    # the low-confidence path kept iterating, so more than one bucket was
+    # actually dived into (not the same hotspot re-read N times)
+    assert res.iterations > 1
 
 
 def test_phased_loop_llm_budget(scenario):
