@@ -307,3 +307,46 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with a benchmark/eval
+    set (the standard pre-training decontamination pass; n=8..13 word
+    overlap is the usual contamination criterion).
+
+    Shape: explode DISTINCT shingles on both sides, inner-join on the
+    shingle string, count per corpus doc. The benchmark side is tiny
+    relative to the corpus (eval sets are small), so Catalyst broadcasts
+    its shingle index and the corpus side never shuffles — a 100 TB
+    decontamination pass is scan + broadcast-probe. Output: one row per
+    contaminated corpus doc with the evidence counts.
+    """
+    corp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(bench_text_col, n)).alias("shingle"),
+    )
+    return (
+        corp.join(bench, "shingle")
+        .groupBy("corpus_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+Train/val/test membership must be a pure function of the document id —
+reproducible across runs, engines, and re-partitions; never
+``df.sample()`` (seed + partitioning dependent) for split assignment.
+
+The hash is Knuth multiplicative hashing over exact BIGINT arithmetic
+(id * 2654435761 mod 2^32), restatable verbatim in any SQL engine —
+unlike xxhash64/sha2, whose availability differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth's multiplicative constant
+M32 = 4294967296
+
+
+def hash_bucket(c: Column | str, n_buckets: int = 100, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id."""
+    col = F.col(c) if isinstance(c, str) else c
+    return ((col.cast("long") * KNUTH + salt) % M32) % n_buckets
+
+
+def assign_split(
+    c: Column | str,
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    salt: int = 0,
+) -> Column:
+    """Split label from cumulative percentage thresholds over the hash
+    bucket. ``splits`` is (name, percent) with percents summing to 100."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    b = hash_bucket(c, 100, salt)
+    expr = None
+    acc = 0
+    for name, pct in splits:
+        acc += pct
+        cond = b < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    salt: int = 0,
+) -> DataFrame:
+    """Attach a deterministic ``split`` column. Pure projection — a 100 TB
+    split pass is scan-bound; downstream writers partitionBy('split')."""
+    return df.withColumn("split", assign_split(id_col, splits, salt))
+
+
+def split_sizes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    salt: int = 0,
+) -> DataFrame:
+    """Per-split document counts (the audit view of hash_split)."""
+    return (
+        hash_split(df, id_col, splits, salt)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -178,3 +178,92 @@ def text_stats(
         detect_language(text_col).alias("lang_detected"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene: scrub before training)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen for Java-regex/RE2 compatibility so the oracle can
+# restate them verbatim. Order matters: emails first (their dotted hosts
+# would otherwise partially match the ipv4 pattern's digit runs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_count(c: Column | str, kind: str) -> Column:
+    """Match count for one PII pattern (pre-redaction)."""
+    col = F.col(c) if isinstance(c, str) else c
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder. Chained
+    regexp_replace — single projection, whole-stage codegen, no UDF."""
+    col = F.col(c) if isinstance(c, str) else c
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document scrub sheet: redacted text + per-kind match counts.
+    A 100 TB scrub pass is a pure projection — scan-bound, no shuffle."""
+    counts = [
+        pii_count(text_col, kind).alias(f"n_{kind}") for kind, _, _ in PII_PATTERNS
+    ]
+    return df.select(
+        id_col, redact_pii(text_col).alias("redacted"), *counts
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style repetition quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 'Gopher' §A1.1
+    repetition filters, restated declaratively):
+
+    - ``distinct_ratio``   : |distinct words| / |words|
+    - ``max_word_frac``    : occurrences of the most frequent word / |words|
+    - ``max_bigram_frac``  : occurrences of the most frequent bigram / |bigrams|
+
+    All array HOFs over the tokenized text — per-doc quadratic in DISTINCT
+    words (bounded by doc length), zero shuffle, codegen-friendly. Docs
+    failing thresholds (e.g. max_word_frac > 0.2) are dropped upstream of
+    training."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    uniq = F.array_distinct(toks)
+    max_word = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    max_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda u: F.size(F.filter(bigrams, lambda t: t == u)),
+        )
+    )
+    return df.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(F.when(n > 0, F.size(uniq) / n), 6).alias("distinct_ratio"),
+        F.round(F.when(n > 0, max_word / n), 6).alias("max_word_frac"),
+        F.round(F.when(nb > 0, max_bigram / nb), 6).alias("max_bigram_frac"),
+    )

@@ -313,3 +313,132 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(decoded, every_n=30).collect()
     assert [r.frame_index for r in frames] == [0, 30, 60]
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.co.uk or call 555-123-4567"),
+        (1, "server at 192.168.1.254 responded; backup 10.0.0.1"),
+        (2, "no pii here, just words and 12345 numbers"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.pii_scrub(df).collect()}
+    assert out[0]["redacted"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 1, 0)
+    assert out[1]["redacted"] == "server at <IP> responded; backup <IP>"
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["redacted"] == rows[2][1]  # untouched
+    assert out[3]["redacted"] is None
+
+
+def test_pii_email_redacted_before_ip_can_misfire(spark):
+    # an email with digit-bearing host segments is consumed whole by the
+    # email pass (first in PII_PATTERNS), so the later IP pass never sees
+    # its dotted host; an all-numeric host is NOT an email (no alpha TLD)
+    # and falls through to the IP rule
+    df = spark.createDataFrame(
+        [(0, "x a@44.55.e2.com y"), (1, "x 1a@2.3.44.55 y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["redacted"] for r in TS.pii_scrub(df).collect()}
+    assert out[0] == "x <EMAIL> y"
+    assert out[1] == "x 1a@<IP> y"
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        (0, "a a a a"),          # one word repeated: max_word_frac 1.0
+        (1, "a b c d"),          # all distinct
+        (2, "a b a b a b"),      # bigram 'a b' 3x of 5 bigrams
+        (3, ""),                 # empty -> nulls
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.repetition_stats(df).collect()}
+    assert out[0]["max_word_frac"] == 1.0 and out[0]["distinct_ratio"] == 0.25
+    assert out[1]["distinct_ratio"] == 1.0 and out[1]["max_word_frac"] == 0.25
+    assert out[2]["max_bigram_frac"] == pytest.approx(0.6)
+    assert out[3]["n_words"] == 0 and out[3]["distinct_ratio"] is None
+
+
+# ---------------------------------------------------------------------------
+# Hash split
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from db_loganalyzer_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in S.hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in S.hash_split(df.repartition(7)).collect()}
+    assert a == b  # pure function of the id, not of partitioning
+    sizes = {r["split"]: r["n_docs"] for r in S.split_sizes(df).collect()}
+    assert sum(sizes.values()) == 1000
+    # multiplicative hashing spreads near-uniformly: train close to 80%
+    assert 700 < sizes["train"] < 900
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from db_loganalyzer_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in S.hash_split(df, salt=0).collect()}
+    b = {r["doc_id"]: r["split"] for r in S.hash_split(df, salt=97).collect()}
+    assert a != b
+
+
+def test_hash_split_rejects_bad_percents(spark):
+    from db_loganalyzer_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 100"):
+        S.hash_split(df, splits=[("train", 50), ("val", 10)])
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # contains bench 3-gram
+            (11, "zeta eta theta iota kappa"),        # clean
+            (12, "x alpha beta gamma y"),             # same bench 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = {r["corpus_id"]: r for r in DD.ngram_contamination(corpus, bench, n=3).collect()}
+    assert set(out) == {10, 12}
+    assert out[10]["n_shared_shingles"] == 1
+    assert out[10]["n_bench_docs"] == 1
+
+
+def test_ngram_contamination_default_n8_needs_long_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench_short = spark.createDataFrame(
+        [(0, "one two three four five six seven")], "doc_id long, text string"
+    )
+    assert DD.ngram_contamination(corpus, bench_short).count() == 0  # only 7 words
+    bench_long = spark.createDataFrame(
+        [(0, "one two three four five six seven eight")], "doc_id long, text string"
+    )
+    assert DD.ngram_contamination(corpus, bench_long).count() == 1
