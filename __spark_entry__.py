@@ -937,8 +937,8 @@ def m02_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.12, n=2)
 
 
-M02_SQL = r"""
-WITH sh AS (
+# Shared by M02 (pair list) and M08 (connected components over the pairs).
+_M02_CTES = r"""sh AS (
   SELECT doc_id AS id, unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(words) - 1, 0)),
            i -> array_to_string(words[i:i+1], ' ')))) AS shingle
@@ -954,13 +954,126 @@ WITH sh AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+)"""
+
+M02_SQL = f"""
+WITH {_M02_CTES}
+SELECT id_a, id_b, n_inter, n_a, n_b, jaccard FROM pairs
+"""
+
+
+def m08_dedup_components(spark, sf_dir):
+    """Connected components over the m02 near-dup pairs — pairwise
+    similarity turned into dedup groups (component label = min doc_id =
+    the keeper). Iterative min-label propagation on Spark; the oracle
+    restates the fixpoint as a recursive transitive closure."""
+    from db_loganalyzer_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2)
+    return dedup_components(pairs).select("id", "component_id")
+
+
+M08_SQL = f"""
+WITH RECURSIVE {_M02_CTES},
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
 )
-SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY 1
+"""
+
+
+def t07_quality_gate(spark, sf_dir):
+    """Composite keep/drop quality gate (length bounds + Gopher
+    repetition rules) with failing rules as a sorted joined string."""
+    from db_loganalyzer_spark.operators.textstats import quality_gate
+
+    return quality_gate(_t(spark, sf_dir, "documents"))
+
+
+T07_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) / len(w) END AS dr,
+         CASE WHEN len(w) > 0 THEN
+           list_max(list_transform(list_distinct(w),
+                                   u -> len(list_filter(w, x -> x = u)))) / len(w) END AS mwf
+  FROM t
+), r AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN n < 5 THEN 'too_few_tokens' END,
+           CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN COALESCE(mwf, 1.0) > 0.30 THEN 'repetitive_word' END,
+           CASE WHEN COALESCE(dr, 0.0) < 0.30 THEN 'low_diversity' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM s
+)
+SELECT doc_id, len(reasons) = 0 AS keep,
+       COALESCE(array_to_string(reasons, ','), '') AS reasons
+FROM r
+"""
+
+
+def t08_corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus health rollup: doc counts, quality-gate
+    keep rate, token/char volume. Ratios derive from integer aggregates so
+    the report is bitwise-deterministic under any reduction order."""
+    from db_loganalyzer_spark.operators.textstats import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+T08_SQL = r"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_chars,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT source, lang, n_chars, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) / len(w) END AS dr,
+         CASE WHEN len(w) > 0 THEN
+           list_max(list_transform(list_distinct(w),
+                                   u -> len(list_filter(w, x -> x = u)))) / len(w) END AS mwf
+  FROM t
+), k AS (
+  SELECT source, lang, n_chars, n,
+         (n >= 5 AND n <= 100000
+          AND COALESCE(mwf, 1.0) <= 0.30
+          AND COALESCE(dr, 0.0) >= 0.30) AS keep
+  FROM s
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(n) AS BIGINT) AS total_words,
+       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM k
+GROUP BY 1, 2
 """
 
 
@@ -2405,16 +2518,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, None),
     "sim04_ivf_topk": (sim04_ivf_topk, None),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, None),
-    # -- driver window, part 1b: new round-3 pipeline operators (4) --
+    # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
+    "t07_quality_gate": (t07_quality_gate, T07_SQL),
     "m05_hash_split": (m05_hash_split, M05_SQL),
     "m06_decontaminate": (m06_decontaminate, M06_SQL),
+    "m08_dedup_components": (m08_dedup_components, M08_SQL),
     # -- driver window, part 2: r2-red rows, fixed this round (3) --
     "w05_sessionization": (w05_sessionization, W05_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
     "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    # -- driver window, part 3: green family representatives (16) --
+    # -- driver window, part 3: green family representatives (14) --
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
@@ -2423,15 +2538,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
     "f01_time_window": (f01_time_window, F01_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "w01_value_drops": (w01_value_drops, W01_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
     "s07_processes": (s07_processes, S07_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    # -- past the window: green in CORRECTNESS_r02, pinned locally (31) --
+    # -- past the window: green in CORRECTNESS_r02, pinned locally (33) --
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "j01_equi_join": (j01_equi_join, J01_SQL),
     "w02_value_resets": (w02_value_resets, W02_SQL),

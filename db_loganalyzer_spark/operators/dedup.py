@@ -350,3 +350,61 @@ def ngram_contamination(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> dedup groups
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    that turns pairwise similarity (minhash_lsh_dedup / ngram_jaccard_
+    pairs output) into actual dedup groups, where each group keeps one
+    document (the min id = the component label).
+
+    Iterative min-label propagation: every node adopts the smallest label
+    among itself and its neighbors until a fixpoint; converges in
+    O(component diameter) rounds (near-dup components are shallow — long
+    chains require a chain of pairwise matches). Each round is one
+    equi-join + one groupBy-min, both shuffled on the id — no driver-side
+    graph. ``localCheckpoint`` truncates lineage per round so plans stay
+    O(1) deep; on a cluster with a checkpoint dir, ``checkpoint`` is the
+    durable equivalent.
+
+    Returns (id, component_id) for every id appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component_id")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component_id").alias("component_id"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -229,7 +229,10 @@ def pii_scrub(
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-document repetition signals (Rae et al. 2021 'Gopher' §A1.1
     repetition filters, restated declaratively):
@@ -262,8 +265,103 @@ def repetition_stats(
     )
     return df.select(
         id_col,
+        *keep_cols,
         n.alias("n_words"),
         F.round(F.when(n > 0, F.size(uniq) / n), 6).alias("distinct_ratio"),
         F.round(F.when(n > 0, max_word / n), 6).alias("max_word_frac"),
         F.round(F.when(nb > 0, max_bigram / nb), 6).alias("max_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality gate (composite keep/drop decision)
+# ---------------------------------------------------------------------------
+
+GATE_MIN_TOKENS = 5
+GATE_MAX_TOKENS = 100_000
+GATE_MAX_WORD_FRAC = 0.30
+GATE_MIN_DISTINCT_RATIO = 0.30
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+    include_stats: bool = False,
+) -> DataFrame:
+    """The pipeline's keep/drop decision per document: length bounds plus
+    Gopher-style repetition rules, with the failing rules materialized as
+    a sorted comma-joined string (scalar, engine-portable). One pass,
+    no shuffle; at 100 TB this is the filter stage ahead of every
+    training-data writer.
+
+    ``keep_cols`` are passed through untouched (group keys for downstream
+    rollups); ``include_stats`` additionally carries the repetition-stat
+    columns so callers can aggregate them without a second text pass."""
+    stats = repetition_stats(df, id_col, text_col, keep_cols=keep_cols)
+    rules = [
+        ("too_few_tokens", F.col("n_words") < GATE_MIN_TOKENS),
+        ("too_many_tokens", F.col("n_words") > GATE_MAX_TOKENS),
+        ("repetitive_word",
+         F.coalesce(F.col("max_word_frac"), F.lit(1.0)) > GATE_MAX_WORD_FRAC),
+        ("low_diversity",
+         F.coalesce(F.col("distinct_ratio"), F.lit(0.0)) < GATE_MIN_DISTINCT_RATIO),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
+    )
+    extra = (
+        ["n_words", "distinct_ratio", "max_word_frac", "max_bigram_frac"]
+        if include_stats
+        else []
+    )
+    return stats.select(
+        id_col,
+        *keep_cols,
+        *extra,
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(F.array_sort(reasons), ",").alias("reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus report (per-source/lang pipeline health rollup)
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(
+    df: DataFrame,
+    by: tuple = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus health sheet — the rollup every training-data
+    pipeline publishes after a filter pass: document counts, quality-gate
+    keep rate, and token/char volume per (source, lang) slice.
+
+    One text pass (the quality gate's projection) feeding one partial
+    aggregation: group keys are low-cardinality, so the shuffle moves only
+    |slices| x |partitions| pre-aggregated rows regardless of corpus size.
+    Ratios are derived from the integer aggregates (not averaged per-row
+    floats), so the result is bitwise-deterministic under any partition
+    or reduction order — at 100 TB the report is reproducible run-to-run.
+    """
+    per_doc = quality_gate(
+        df.withColumn("_n_chars", F.length(text_col)),
+        id_col,
+        text_col,
+        keep_cols=(*by, "_n_chars"),
+        include_stats=True,
+    )
+    n_docs = F.count("*")
+    n_kept = F.sum(F.col("keep").cast("bigint"))
+    total_words = F.sum("n_words")
+    return per_doc.groupBy(*by).agg(
+        n_docs.alias("n_docs"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept / n_docs, 6).alias("keep_rate"),
+        total_words.alias("total_words"),
+        F.round(total_words / n_docs, 4).alias("avg_words"),
+        F.sum("_n_chars").alias("total_chars"),
     )

@@ -442,3 +442,67 @@ def test_ngram_contamination_default_n8_needs_long_overlap(spark):
         [(0, "one two three four five six seven eight")], "doc_id long, text string"
     )
     assert DD.ngram_contamination(corpus, bench_long).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 7-8
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.component_id for r in DD.dedup_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_dedup_components_idempotent_on_singleton_edges(spark):
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    labels = {r.id: r.component_id for r in DD.dedup_components(pairs).collect()}
+    assert labels == {5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# Quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_quality_gate_rules(spark):
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog today"),  # keep
+        (1, "spam " * 50),            # repetitive_word + low_diversity
+        (2, "hi"),                    # too_few_tokens
+        (3, ""),                      # too_few_tokens (n=0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TS.quality_gate(df).collect()}
+    assert out[0].keep and out[0].reasons == ""
+    assert not out[1].keep
+    assert "repetitive_word" in out[1].reasons
+    assert "low_diversity" in out[1].reasons
+    # reasons string is sorted
+    assert out[1].reasons == ",".join(sorted(out[1].reasons.split(",")))
+    # single-word doc: max_word_frac=1.0 also trips the repetition rule
+    assert out[2].reasons == "repetitive_word,too_few_tokens"
+    # empty doc: missing stats coalesce to the failing side (conservative)
+    assert out[3].reasons == "low_diversity,repetitive_word,too_few_tokens"
+    assert not out[3].keep
+
+
+def test_corpus_report_rollup(spark):
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog today", "web", "en"),
+        (1, "hi", "web", "en"),                 # fails gate
+        (2, "one two three four five six seven", "books", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    out = {(r.source, r.lang): r for r in TS.corpus_report(df).collect()}
+    web = out[("web", "en")]
+    assert web.n_docs == 2 and web.n_kept == 1 and web.keep_rate == 0.5
+    assert web.total_words == 11  # 10 + 1
+    assert web.avg_words == 5.5
+    assert web.total_chars == len(rows[0][1]) + len(rows[1][1])
+    books = out[("books", "en")]
+    assert books.n_docs == 1 and books.n_kept == 1 and books.keep_rate == 1.0
