@@ -57,11 +57,22 @@ HEADLINE = [
 
 
 def main():
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("bench")
+    # Session-level (non-runtime) confs for the floor-bound small-SF regime:
+    # zero locality wait (all blocks are process-local in local mode — any
+    # wait is pure scheduling latency) and low default parallelism to match
+    # the small shuffle width.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.locality.wait": "0",
+            "spark.default.parallelism": os.environ.get(
+                "SPARK_GRAFT_BENCH_SHUFFLE", "4"
+            ),
+        },
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"),
+        os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"),
     )
     spark.conf.set(
         "spark.sql.adaptive.enabled",
@@ -78,14 +89,21 @@ def main():
     # same way; Spark still re-runs physical planning, codegen lookup,
     # broadcast builds, and full execution on every timed pass), then one
     # untimed pass over every query to absorb codegen compilation.
-    tables.cache_tables(spark, SF_DIR, partitions=max(cpus // 2, 8))
+    # 8 cache partitions, 4 shuffle partitions: at sf0.1 every query is
+    # scheduling-floor-bound, so fewer+larger tasks beat wide parallelism
+    # (measured: 8/4 ≈ 3.1s vs 16/8 ≈ 3.4s vs 32/8 ≈ 3.7s total). At
+    # cluster scale the same code uses session.py defaults (partitions ~
+    # cores, AQE on) — this block is small-input tuning only.
+    tables.cache_tables(
+        spark, SF_DIR, partitions=int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8"))
+    )
     dfs = {name: qs[name](spark, SF_DIR) for name in names}
     for name in names:
         dfs[name].write.format("noop").mode("overwrite").save()
 
     # min-of-N timed passes: local[32] on a shared host is noisy (GC, CPU
     # contention); the minimum is the standard noise-robust warm-run stat.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     for _ in range(reps):
         for name in names:

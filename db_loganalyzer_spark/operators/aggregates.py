@@ -19,10 +19,17 @@ from ..functions.scalars import bucket_start
 
 
 def dsum(c: Column | str, scale: int = 4) -> Column:
-    """Order-independent sum: per-row round to DECIMAL(38,6), exact decimal
-    sum, back to double rounded to ``scale``."""
+    """Order-independent sum: per-row round to DECIMAL(18,6), exact decimal
+    sum, back to double rounded to ``scale``.
+
+    Precision 18 (not 38): values ≤ 18 digits stay long-backed inside
+    Spark's Decimal (the compact fast path in codegen), while the sum's
+    result type widens to DECIMAL(28,6) — room for ~10^12 rows of 10^10
+    magnitudes before overflow, and mathematically identical to a wider
+    accumulator whenever inputs fit (they do: doubles of ~10^6 magnitude
+    at 6-decimal scale)."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(col.cast("decimal(38,6)")).cast("double"), scale)
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), scale)
 
 
 def davg(c: Column | str, scale: int | None = 4) -> Column:
@@ -31,7 +38,7 @@ def davg(c: Column | str, scale: int | None = 4) -> Column:
     reproducible across engines (exact decimal sum → nearest double →
     one IEEE division), whereas rounding can split on half-way ties."""
     col = F.col(c) if isinstance(c, str) else c
-    mean = F.sum(col.cast("decimal(38,6)")).cast("double") / F.count(col)
+    mean = F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col)
     return mean if scale is None else F.round(mean, scale)
 
 

@@ -42,9 +42,13 @@ def get_spark(
         # larger cached-columnar batches amortize per-batch dispatch in
         # whole-stage codegen over cached tables (default 10k is conservative)
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
-        # the driver's events.parquet stores ts as TIMESTAMP(NANOS) which
-        # Spark has no native type for; read as long + convert in load_table
+        # the driver's events.parquet has stored ts as TIMESTAMP(NANOS)
+        # (no native Spark type; read as long + convert in load_table) or
+        # as naive TIMESTAMP(MICROS). For the latter, NTZ inference is
+        # disabled so naive micros read as session-tz (UTC) timestamps —
+        # same interpretation as the DuckDB oracle's naive timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -35,6 +35,18 @@ def _cache_get(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     return None
 
 
+def _set_read_confs(spark: SparkSession) -> None:
+    """Runtime-settable SQL confs that must hold for ANY caller-provided
+    session (the verify driver passes a plain SparkSession that did not go
+    through our session.py builder). nanosAsLong: TIMESTAMP(NANOS) parquet
+    otherwise fails at read time with PARQUET_TYPE_ILLEGAL. NTZ inference
+    off: naive TIMESTAMP(MICROS) parquet otherwise reads as TIMESTAMP_NTZ,
+    which breaks epoch arithmetic and diverges from the oracle's naive
+    (session-tz/UTC) interpretation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def cache_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -91,18 +103,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan => columnar pruning +
     predicate pushdown for free; never infer/convert on the driver.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
-    convert to a microsecond timestamp (integer div — no double rounding).
+    ``events.ts`` has been stored as parquet TIMESTAMP(NANOS) (surfaces as
+    a long under ``nanosAsLong``; converted via integer div — no double
+    rounding) or naive TIMESTAMP(MICROS) (read as a session-tz timestamp
+    with NTZ inference off — UTC session matches the DuckDB oracle's naive
+    reading).
     """
     hit = _cache_get(spark, sf_dir, name)
     if hit is not None:
         return hit
-    # Runtime-settable SQL conf: must hold for ANY caller-provided session
-    # (the verify driver passes a plain SparkSession that did not go through
-    # our session.py builder). Without it, events.parquet (TIMESTAMP NANOS)
-    # fails at read time with PARQUET_TYPE_ILLEGAL.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -130,7 +140,7 @@ def events_time_slice(spark: SparkSession, sf_dir: str, lo, hi) -> DataFrame:
     hit = _cache_get(spark, sf_dir, name := "events")
     if hit is not None:
         return hit.filter(F.col("ts").between(lo_t, hi_t))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
         # unix_micros(lit) is foldable: ConstantFolding reduces both bounds

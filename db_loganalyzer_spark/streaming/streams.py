@@ -48,7 +48,9 @@ def read_events_stream(
     # RAW file schema (one footer read) — under nanosAsLong the
     # TIMESTAMP(NANOS) column arrives as bigint; the stream must declare
     # that raw type and apply the same conversion load_table does.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.tables import _set_read_confs
+
+    _set_read_confs(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     reader = spark.readStream.schema(raw.schema)
     if max_files_per_trigger:
