@@ -1078,20 +1078,124 @@ GROUP BY 1, 2
 
 
 def m03_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64 signatures — not expressible
-    in DuckDB; verified in pytest against exact Jaccard)."""
+    """MinHash+LSH near-dup pairs, portable hash family: signatures are
+    the affine family over a polynomial shingle hash, band buckets a
+    rolling fold — every stage (signatures, banding, candidate join,
+    exact-Jaccard verify) is exact integer/rational arithmetic, so the
+    FULL approximate pipeline, recall loss included, is hash-checked
+    against the DuckDB oracle below. The xxhash64 family remains as the
+    wider/faster option, pytest-verified."""
     from db_loganalyzer_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(docs, threshold=0.12, num_hashes=16, bands=8, n=2)
 
 
+# Portable-hash MinHash+LSH restated: H(g) = fold(7, 131·acc + codepoint)
+# mod 1e9+7 per shingle; sig[k] = min over shingles of (2k+1)·H + (10007k
+# + 12345) mod p; band bucket = fold(0, 31·acc + v) mod p over the band's
+# 2 signature values; candidates = same (band, bucket); verify = exact
+# Jaccard >= 0.12 (m02's machinery).
+M03_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                      i -> array_to_string(words[i:i+1], ' '))) AS gs
+  FROM base
+), gh AS (
+  SELECT doc_id, list_transform(gs, g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM grams WHERE len(gs) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(hs, h -> ((2*k + 1) * h + (10007*k + 12345)) % 1000000007))) AS sig
+  FROM gh
+), bands AS (
+  SELECT doc_id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[2*b+1:2*b+2]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id AS id, unnest(gs) AS shingle FROM grams
+), sizes AS (
+  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT cand.id_a, cand.id_b, COUNT(*) AS n_inter
+  FROM cand
+  JOIN sh sa ON sa.id = cand.id_a
+  JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.id_a
+JOIN sizes sb ON sb.id = inter.id_b
+WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+"""
+
+
 def m04_simhash_near_dups(spark, sf_dir):
-    """SimHash Hamming near-dups (xxhash64-based; rows-only check)."""
+    """SimHash Hamming near-dups, portable hash family: 62-bit token
+    hashes (two 31-bit polynomial halves), per-bit +1/-1 sums, 16-bit
+    chunk pigeonhole buckets — all exact integer ops, so fingerprints,
+    candidate buckets, and Hamming filter hash-check against the DuckDB
+    oracle below."""
     from db_loganalyzer_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=2)
+
+
+M04_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_distinct(
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+           x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         (((list_reduce(
+              list_prepend(CAST(7 AS BIGINT),
+                           list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+              (acc, x) -> (acc * 131 + x) % 2147483647) * 1103515245 + 12345) % 2147483647) << 31)
+         + ((list_reduce(
+              list_prepend(CAST(11 AS BIGINT),
+                           list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+              (acc, x) -> (acc * 137 + x) % 2147483647) * 69069 + 1) % 2147483647) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+), bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 61)) AS j) jj
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+), chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * 16)) & 65535 AS cv
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ci) cc
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM chunks a
+JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1132,8 +1236,12 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 
 def sim02_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (approximate by construction; recall vs
-    brute force asserted in pytest — rows-only check here)."""
+    """LSH-bucketed ANN top-k. The hyperplanes are seeded numpy literals,
+    so the whole approximate pipeline — sign-pattern buckets, candidate
+    join, exact cosine, per-query rank — is deterministic and the oracle
+    SQL (same plane constants embedded as a VALUES CTE) reproduces it
+    exactly, recall loss included. Recall vs brute force additionally
+    asserted in pytest."""
     from db_loganalyzer_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1145,8 +1253,58 @@ def sim02_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=10, n_planes=6)
 
 
+def _planes_cte(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The lsh hyperplanes as a DuckDB VALUES CTE. repr(float) round-trips
+    to the identical IEEE double in both engines, so the SQL literal IS
+    the Spark literal."""
+    from db_loganalyzer_spark.operators.similarity import _hyperplanes
+
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(_hyperplanes(dim, n_planes, seed))
+    )
+    return f"planes(pid, p) AS (VALUES\n  {rows})"
+
+
+_COS_SQL = """ROUND(
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+           4)"""
+
+_LSH_CTES = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+     FROM embeddings),
+cb AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * p.p[i])) > 0
+                       THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id
+)"""
+
+SIM02_SQL = f"""
+WITH {_planes_cte()},
+{_LSH_CTES},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id, {_COS_SQL} AS cosine
+  FROM cb qb
+  JOIN cb ob ON ob.bucket = qb.bucket
+  JOIN e a ON a.vec_id = qb.vec_id
+  JOIN e b ON b.vec_id = ob.vec_id AND b.vec_id <> a.vec_id
+  WHERE qb.vec_id < 5
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def sim03_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH self-join (rows-only)."""
+    """Embedding-cosine near-dup pairs via LSH self-join — deterministic
+    seeded hyperplanes, so bucket collisions and the exact-cosine filter
+    hash-check against the oracle (same plane constants)."""
     from db_loganalyzer_spark.operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1155,20 +1313,94 @@ def sim03_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.25, n_planes=6)
 
 
+SIM03_SQL = f"""
+WITH {_planes_cte()},
+{_LSH_CTES}
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+  FROM cb ca
+  JOIN cb ob ON ob.bucket = ca.bucket AND ca.vec_id < ob.vec_id
+  JOIN e a ON a.vec_id = ca.vec_id
+  JOIN e b ON b.vec_id = ob.vec_id
+) WHERE cosine >= 0.25
+"""
+
+
 def sim04_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k: KMeans coarse quantizer (seed 42) -> n_probe nearest
-    cells per query -> exact cosine on candidates. Approximate by
-    construction (rows-only check; exactness at n_probe==n_cells and
-    recall vs brute force asserted in pytest)."""
+    """IVF ANN top-k with a deterministic coarse quantizer for the oracle
+    row: cells are assigned on integer-quantized vectors (exact double
+    arithmetic — the cl02 pattern) against seed centroids = the 8 lowest
+    vec_ids, each query probes its n_probe=2 nearest cells, candidates
+    scored by exact cosine on the raw doubles. The Spark ML KMeans
+    quantizer (fit_ivf_centroids) is the scale default, pytest-pinned
+    (exactness at n_probe == n_cells; recall vs brute force)."""
     from db_loganalyzer_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    quant = _quantized_embeddings(spark, sf_dir)
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in quant.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    # assign/probe on the quantized vectors, score on the raw doubles
+    corpus = quant.withColumnRenamed("embedding", "qvec").join(
+        emb, "vec_id"
     )
-    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("qvec").alias("query_qvec"),
+    )
+    return ivf_topk(
+        corpus,
+        queries,
+        k=10,
+        n_cells=8,
+        n_probe=2,
+        centroids=centroids,
+        cell_vec_col="qvec",
+        query_cell_vec_col="query_qvec",
+    )
+
+
+SIM04_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 10000)) AS qv
+      FROM embeddings),
+seeds AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < 8),
+dists AS (
+  SELECT q.vec_id, s.cell,
+         list_sum(list_transform(range(1, 65), i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i]))) AS d2
+  FROM q CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dists WHERE vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, c.vec_id, {_COS_SQL} AS cosine
+  FROM probes p
+  JOIN assigned c ON c.cell = p.cell AND c.vec_id <> p.query_id
+  JOIN e a ON a.vec_id = p.query_id
+  JOIN e b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2222,21 +2454,44 @@ LEFT JOIN documents d ON r.rep_id = d.doc_id
 
 
 def cl04_kmeans_sizes(spark, sf_dir):
-    """M4 scale path — Spark ML KMeans (k=8, seed 42) cluster-size
-    distribution. Label numbering is implementation-defined, so output is
-    the size multiset only (rows-only check; assignment quality asserted
-    in pytest)."""
-    from db_loganalyzer_spark.operators.clustering import kmeans_clusters
+    """M4 cluster-size distribution on the deterministic quantizer path
+    (nearest-seed assignment over integer-quantized vectors, seeds = 8
+    lowest vec_ids — cl02's oracle pattern), so sizes hash-check against
+    the DuckDB restatement. The Spark ML KMeans scale path
+    (clustering.kmeans_clusters, k=8 seed 42) remains pytest-pinned —
+    its label numbering is implementation-defined, which is exactly what
+    makes it unrestatable in ANSI SQL."""
+    from db_loganalyzer_spark.operators.clustering import seed_centroid_assign
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = _quantized_embeddings(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), "embedding"
     )
-    out = kmeans_clusters(emb, k=8, seed=42)
     return (
-        out.groupBy("cluster")
+        seed_centroid_assign(emb, seeds)
+        .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("size"))
-        .select("size")
     )
+
+
+CL04_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 10000)) AS v
+  FROM embeddings
+), seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), s.cid) AS rn
+    FROM e CROSS JOIN seeds s
+  ) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS size FROM assigned GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2512,12 +2767,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, None),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, None),
-    "sim02_lsh_topk": (sim02_lsh_topk, None),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, None),
-    "sim04_ivf_topk": (sim04_ivf_topk, None),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, None),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),

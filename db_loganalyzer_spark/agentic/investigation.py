@@ -319,6 +319,10 @@ class InvestigationResult:
     reasoning: str
     tools_used: list = field(default_factory=list)
     iterations: int = 0
+    # (bucket_seconds, bucket_start_epoch) pairs in inspection order: 300s
+    # entries are phase-A heatmap glances, 10s entries are hotspot dives.
+    # Granularity is part of the coordinate — the same epoch int can appear
+    # once per granularity without being a re-inspection.
     inspected_buckets: list = field(default_factory=list)
 
 
@@ -597,7 +601,16 @@ class PhasedInvestigationAgent:
         hypothesis, confidence, reasoning = "", 0.0, ""
         tools_used: list[str] = []
         additional: list[tuple[str, object]] = []
-        inspected_buckets: list[int] = []
+        # Bucket coverage is tracked PER GRANULARITY — a 300s heatmap epoch
+        # and a 10s dive epoch are different coordinates even when the ints
+        # collide. glanced_300: phase-A heatmap rows (no events pulled — a
+        # glance, so it never blocks a dive). dived_10: 10s buckets whose
+        # events were actually context-windowed. exhausted_300: hotspots
+        # whose every eventful 10s sub-bucket has been dived.
+        glanced_300: set[int] = set()
+        dived_10: set[int] = set()
+        exhausted_300: set[int] = set()
+        dive_order: list[tuple[int, int]] = []  # (bucket_seconds, epoch) log
         bucket_data: list[dict] = []
         timeline_highlights: dict = {}
         timeline_summary: dict = {}
@@ -630,9 +643,11 @@ class PhasedInvestigationAgent:
                 )
                 additional.append(("bucket_heatmap", buckets))
                 tools_used.append("scanner.bucket_heatmap")
-                inspected_buckets.extend(
-                    int(b["bucket_start_epoch"]) for b in buckets[:10]
-                )
+                for b in buckets[:10]:
+                    e = int(b["bucket_start_epoch"])
+                    if e not in glanced_300:
+                        glanced_300.add(e)
+                        dive_order.append((300, e))
                 summary = T.global_summary(events)
                 additional.append(("global_summary", summary))
                 tools_used.append("scanner.global_summary")
@@ -790,30 +805,41 @@ class PhasedInvestigationAgent:
                 )
 
             # ---- hotspot dive (reference :1246-1305) ----
-            chosen = None
+            # A z-score hotspot is a 300s bucket; one context window covers
+            # ~10s. Dive it 10s sub-bucket at a time (eventful sub-buckets
+            # first, via the same uncovered-bucket query scoped to the
+            # hotspot's range) so successive iterations walk THROUGH the
+            # hotspot instead of marking 300s inspected after one 10s
+            # glimpse. A hotspot is skipped only once exhausted — a phase-A
+            # heatmap glance at the same epoch never suppresses the dive.
+            chosen_epoch = None
             zhot = last_det.get("zscore_hotspots", {})
             if zhot.get("detected") and zhot.get("hotspots"):
-                # Skip buckets already inspected (mirroring get_uncovered)
-                # so the dive advances hotspot-by-hotspot instead of
-                # re-reading hotspots[0] forever — otherwise context never
-                # grows and coverage_complete is unreachable.
-                seen = set(inspected_buckets)
-                chosen = next(
-                    (
-                        h
-                        for h in zhot["hotspots"]
-                        if int(h["bucket_start_epoch"]) not in seen
-                    ),
-                    None,
-                )
-            if chosen is None:
+                for h in zhot["hotspots"]:
+                    start = int(h["bucket_start_epoch"])
+                    if start in exhausted_300:
+                        continue
+                    in_hotspot = events.filter(
+                        F.col("ts").cast("double").between(start, start + 299.999)
+                    )
+                    sub = T.get_uncovered(
+                        in_hotspot, sorted(dived_10), min_severity=0,
+                        bucket_seconds=10,
+                    )
+                    if not sub:
+                        exhausted_300.add(start)
+                        continue
+                    chosen_epoch = int(sub[0]["bucket_start_epoch"])
+                    break
+            if chosen_epoch is None:
                 uncovered = T.get_uncovered(
-                    events, inspected_buckets, min_severity=10, bucket_seconds=10
+                    events, sorted(dived_10), min_severity=10, bucket_seconds=10
                 )
                 tools_used.append("hotspots.get_uncovered")
-                chosen = uncovered[0] if uncovered else None
-            if chosen is not None:
-                epoch = int(chosen["bucket_start_epoch"])
+                if uncovered:
+                    chosen_epoch = int(uncovered[0]["bucket_start_epoch"])
+            if chosen_epoch is not None:
+                epoch = chosen_epoch
                 around = epoch + 5.0  # mid-bucket for 10s buckets
                 win = T.context_window(events, around, 5.0, limit=200)
                 tools_used.append("context.context_window")
@@ -828,7 +854,8 @@ class PhasedInvestigationAgent:
                     acc = acc.unionByName(win).dropDuplicates(["event_id"])
                 if grew:
                     context_dirty = True
-                inspected_buckets.append(epoch)
+                dived_10.add(epoch)
+                dive_order.append((10, epoch))
                 hotspot_inspected = True
             else:
                 coverage_complete = True
@@ -844,5 +871,5 @@ class PhasedInvestigationAgent:
             reasoning=reasoning,
             tools_used=tools_used,
             iterations=iteration,
-            inspected_buckets=inspected_buckets,
+            inspected_buckets=dive_order,
         )

@@ -629,9 +629,13 @@ def detect_recoveries(
             F.col("ts").alias("recovery_ts"),
             F.element_at("fields", F.lit("StatusCode")).try_cast("int").alias("state_code"),
         )
-        # NULL/missing StatusCode rows are KEPT and decode to 'unknown'
-        # (matching the reference decode path and the D11 oracle SQL, which
-        # has no IS NOT NULL filter in its recs CTE).
+        # NULL/missing StatusCode rows are KEPT and decode to 'unknown'.
+        # Deliberate deviation from the reference, which SKIPS events whose
+        # StatusCode is missing/unparseable (recovery_detector.py:117-118
+        # `continue` on None) and only decodes unmapped codes to 'unknown'.
+        # Keeping them surfaces malformed recovery events instead of
+        # silently dropping them, and matches the D11 oracle SQL (no IS NOT
+        # NULL filter in its recs CTE).
         .withColumn(
             "state_name",
             F.coalesce(state_map[F.col("state_code")], F.lit("unknown")),

@@ -14,14 +14,43 @@ comments, log_analysis/cluster_code_coverage.py:33-47) to the shapes a
 - SimHash           : 64-bit fingerprint; near-dups = small Hamming
                       distance (bucketed by rotated prefixes).
 
-All hashes are xxhash64 (deterministic, seedable, JVM-side) — no Python
-in any hot path.
+Two hash families, both JVM-side column expressions (no Python in any
+hot path):
+
+- ``portable`` (default): polynomial codepoint hashes mod a 31-bit prime
+  — exact integer arithmetic any SQL engine reproduces, so MinHash/LSH
+  and SimHash outputs (candidate generation included) are verifiable
+  against an ANSI-SQL oracle end to end.
+- ``xxhash64``: Spark's native seeded hash — faster per byte and 64-bit
+  wide, but engine-specific (pytest-verified only).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# 31-bit primes for the portable family: values stay < 2^31, so every
+# intermediate product (coef * h, acc * base + code) fits signed 64-bit
+# in ANY engine — no unsigned/overflow semantics to reconcile.
+_PMOD = 1_000_000_007
+_P31 = 2_147_483_647
+
+
+def portable_hash(
+    c: Column | str, base: int = 131, init: int = 7, mod: int = _PMOD
+) -> Column:
+    """Engine-portable polynomial string hash over code points:
+    ``h = fold(init, h*base + codepoint) mod p``. Matches the DuckDB
+    restatement ``list_reduce(list_prepend(init, codepoints),
+    (acc, x) -> (acc*base + x) % mod)`` exactly (same idiom as
+    textstats._token_hash / the t04 fingerprint oracle)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(init).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
 
 
 def normalize_text(c: Column | str) -> Column:
@@ -138,39 +167,80 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "portable",
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One narrow pass — no shuffle.
+    """MinHash signature per document: sig[i] = min over shingles of the
+    i-th hash of the shingle. One narrow pass — no shuffle.
 
-    The shingle array is materialized in a first projection so the
-    num_hashes per-seed expressions reference a column, not num_hashes
-    inlined copies of the whole normalize/split/shingle chain — keeps the
-    expression tree (and codegen time) linear in num_hashes."""
+    ``portable``: the i-th hash is the affine family
+    ``((2i+1)*H(g) + (10007*i + 12345)) mod p`` over ONE portable base
+    hash H per shingle — (2i+1) is odd so every coefficient is a unit
+    mod p, and H is computed once then reused by all num_hashes members
+    (cheap AND restatable in the DuckDB oracle). ``xxhash64``:
+    ``xxhash64(g, i)`` — the (shingle, seed-index) pair indexes the
+    family without unrolling num_hashes expression copies.
+
+    The shingle (or hashed-shingle) array is materialized in a first
+    projection so the num_hashes per-seed expressions reference a column,
+    not num_hashes inlined copies of the whole normalize/split/shingle
+    chain — keeps the expression tree (and codegen time) linear in
+    num_hashes."""
     grams_df = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
     )
-    grams = F.col("grams")
-    # xxhash64(g, i) hashes the (shingle, seed-index) pair, giving an
-    # indexed hash family without unrolling num_hashes separate
-    # expressions in Python — the nested transform keeps the codegen
-    # unit small and num_hashes a runtime value.
+    if hash_family == "xxhash64":
+        grams = F.col("grams")
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(grams, lambda g: F.xxhash64(g, i))
+            ),
+        )
+        return grams_df.select(
+            "id",
+            F.when(F.size(grams) > 0, sig).alias("signature"),
+        ).filter(F.col("signature").isNotNull())
+    hs_df = grams_df.select(
+        "id",
+        F.transform("grams", lambda g: portable_hash(g)).alias("hs"),
+    )
+    hs = F.col("hs")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, i))),
+        lambda i: F.array_min(
+            F.transform(
+                hs, lambda h: ((2 * i + 1) * h + (10007 * i + 12345)) % _PMOD
+            )
+        ),
     )
-    return grams_df.select(
+    return hs_df.select(
         "id",
-        F.when(F.size(grams) > 0, sig).alias("signature"),
+        F.when(F.size(hs) > 0, sig).alias("signature"),
     ).filter(F.col("signature").isNotNull())
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame, bands: int = 8, hash_family: str = "portable"
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` rows of
     (band_id, band_hash); docs sharing any band bucket become candidate
     pairs. Equi-join on (band, hash) => shuffle is hash-partitioned, no
-    cross product. Returns distinct candidate (id_a < id_b) pairs."""
+    cross product. Returns distinct candidate (id_a < id_b) pairs.
+
+    ``portable`` folds the band's values with the same rolling combine
+    the t04 fingerprint uses (``(acc*31 + v) mod p``) so the bucket ids
+    are reproducible in the oracle SQL; ``xxhash64`` hashes the band
+    slice's string form."""
+
+    def band_bucket(band_slice: Column) -> Column:
+        if hash_family == "xxhash64":
+            return F.xxhash64(band_slice.cast("string"))
+        return F.aggregate(
+            band_slice,
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 31 + v) % _PMOD,
+        )
+
     sig_len_col = F.size("signature")
     banded = signatures.select(
         "id",
@@ -179,12 +249,12 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    band_bucket(
                         F.slice(
                             F.col("signature"),
                             b * (sig_len_col / bands).cast("int") + 1,
                             (sig_len_col / bands).cast("int"),
-                        ).cast("string")
+                        )
                     ).alias("bucket"),
                 ),
             )
@@ -211,12 +281,13 @@ def minhash_lsh_dedup(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> verify candidates with EXACT n-gram Jaccard (join back to the
     shingle sets only for candidates). Returns verified pairs >= threshold."""
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
-    cands = minhash_lsh_candidates(sigs, bands)
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_family)
+    cands = minhash_lsh_candidates(sigs, bands, hash_family)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
@@ -234,20 +305,49 @@ def minhash_lsh_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_family: str = "portable",
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document: per token-hash bit j, sum
-    +1/-1 across tokens; bit j of the fingerprint = (sum > 0).
+    """SimHash fingerprint per document: per token-hash bit j, sum +1/-1
+    across tokens; bit j of the fingerprint = (sum > 0).
 
-    Implemented as an explode + single groupBy with 64 conditional sums —
-    one shuffle keyed by doc id; near-dup = small Hamming distance
-    (use bit_count(x ^ y) on candidate pairs)."""
+    ``portable`` token hash: two independent 31-bit polynomial hashes
+    (bases 131/137, inits 7/11, mod the Mersenne prime 2^31-1) packed as
+    ``h1 << 31 | h2`` — 62 usable bits, every operation exact signed
+    64-bit integer arithmetic, so the fingerprints (and the candidate
+    buckets built on them) are restatable in the DuckDB oracle.
+    ``xxhash64`` gives the full 64 bits but is engine-specific.
+
+    Implemented as an explode + single groupBy with one conditional sum
+    per bit — one shuffle keyed by doc id; near-dup = small Hamming
+    distance (use bit_count(x ^ y) on candidate pairs)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(normalize_text(text_col), " "))
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).filter(F.col("tok") != "")
+    if hash_family == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+    else:
+        bits = min(bits, 62)
+        # Affine post-mix: a raw polynomial hash of a short token is a
+        # SMALL integer (high bits all zero), which would correlate
+        # fingerprints of short-token documents. Multiplying by a large
+        # constant mod p redistributes any value across the full 31-bit
+        # range while staying exact signed-64 arithmetic.
+        h1 = (
+            portable_hash("tok", base=131, init=7, mod=_P31) * 1103515245
+            + 12345
+        ) % _P31
+        h2 = (
+            portable_hash("tok", base=137, init=11, mod=_P31) * 69069 + 1
+        ) % _P31
+        toks = toks.withColumn("h", F.shiftleft(h1, 31) + h2)
+
     def bit(j):
         return F.shiftleft(F.lit(1).cast("long"), j)
 
@@ -270,11 +370,12 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
     chunks (a pair within Hamming<=3 shares at least one of 4 chunks —
     pigeonhole), so the join is equi on (chunk_index, chunk_value)."""
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, hash_family=hash_family)
     chunks = fps.select(
         "id",
         "simhash",
@@ -407,4 +508,15 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausted max_iterations without reaching the fixpoint: labels
+        # are still moving, so some component spans more than one label —
+        # callers would get WRONG dedup groups with no signal. Fail loudly;
+        # near-dup components are shallow, so hitting this means either a
+        # pathological chain or max_iterations set far too low.
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iterations} "
+            "iterations; component diameter exceeds the budget — raise "
+            "max_iterations"
+        )
     return labels

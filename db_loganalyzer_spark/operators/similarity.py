@@ -239,10 +239,18 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: list[list[float]] | None = None,
+    cell_vec_col: str | None = None,
+    query_cell_vec_col: str | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: KMeans coarse quantizer -> corpus partitioned into
     cells (one narrow pass) -> each query probes its n_probe nearest
     cells -> exact cosine + per-query top-k on the candidates only.
+
+    ``cell_vec_col``/``query_cell_vec_col`` optionally decouple the
+    vectors used for cell assignment/probing from the ones scored — e.g.
+    integer-quantized copies whose distance comparisons are exact (the
+    deterministic-oracle configuration), while cosine still uses the raw
+    doubles.
 
     The scale shape: the fit sees the corpus once (or a sample via
     ``centroids=``); assignment is scan-bound column arithmetic; the
@@ -251,18 +259,20 @@ def ivf_topk(
     ``n_probe == n_cells`` the probe covers every cell and the result is
     exactly brute force — the recall/latency dial is explicit.
     """
+    cell_vec_col = cell_vec_col or vec_col
+    query_cell_vec_col = query_cell_vec_col or query_vec_col
     if centroids is None:
         centroids = fit_ivf_centroids(
-            corpus, n_cells=n_cells, seed=seed, vec_col=vec_col
+            corpus, n_cells=n_cells, seed=seed, vec_col=cell_vec_col
         )
     c = corpus.select(
-        id_col, vec_col, ivf_cell(F.col(vec_col), centroids).alias("cell")
+        id_col, vec_col, ivf_cell(F.col(cell_vec_col), centroids).alias("cell")
     )
     q = queries.select(
         query_id_col,
         query_vec_col,
         F.explode(
-            ivf_probe_cells(F.col(query_vec_col), centroids, n_probe)
+            ivf_probe_cells(F.col(query_cell_vec_col), centroids, n_probe)
         ).alias("cell"),
     )
     scored = (

@@ -263,7 +263,18 @@ def severity_first_ranking(
     # on the total order, rank within each range partition, then shift by
     # the (tiny, collected) per-partition row counts. Every stage is
     # parallel; the only driver-side data is one row count per partition.
-    part = df.repartitionByRange(*order).sortWithinPartitions(*order)
+    #
+    # localCheckpoint(eager) pins ONE physical partitioning: the
+    # RangePartitioner samples with a seed derived from the per-execution
+    # RDD id, so without materialization the counts job and every later
+    # execution of the returned DataFrame would each re-sample — different
+    # boundaries, misaligned offsets, silently wrong ranks. Checkpointing
+    # makes the counted partitioning the same one all consumers read.
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
+    )
     with_pid = part.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
         (r["__pid"], r["cnt"])
