@@ -2797,12 +2797,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w01_value_drops": (w01_value_drops, W01_SQL),
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
-    "s07_processes": (s07_processes, S07_SQL),
+    # t08 added in round 3 past the window — rotated in (displacing
+    # s07_processes, green in r02 AND r03) so every registry entry has
+    # had a driver row; s07 stays pinned in scripts/check_oracle.py CI.
+    "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    # -- past the window: green in CORRECTNESS_r02, pinned locally (33) --
+    # -- past the window: green in CORRECTNESS_r02/r03, pinned locally --
+    "s07_processes": (s07_processes, S07_SQL),
     "j05_anti_join": (j05_anti_join, J05_SQL),
     "w06_burst_windows": (w06_burst_windows, W06_SQL),
-    "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "j01_equi_join": (j01_equi_join, J01_SQL),
     "w02_value_resets": (w02_value_resets, W02_SQL),

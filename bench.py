@@ -15,7 +15,14 @@ measured — warm connection, views over the same parquet):
   is a per-plan-shape constant, not a per-row cost — at 100 TB it vanishes;
   at sf0.1 it would dominate).
 - Timed queries execute against the noop sink, so the full distributed plan
-  runs but no driver-side materialization skews the number.
+  runs but no driver-side materialization skews the number. NOTE: the sink
+  wraps the PRE-BUILT DataFrame in a fresh write command per pass, so every
+  pass re-runs physical planning and the complete DAG with fresh shuffle
+  ids — no stage/broadcast reuse. (Do NOT switch the timed pass to
+  ``collect()`` on a reused DataFrame: the DAG scheduler then finds the
+  prior pass's registered map outputs and SKIPS every shuffle map stage —
+  q01's 600k-row scan never re-runs and the "measurement" drops ~4x. It is
+  a stage-reuse artifact, not query latency; measured and rejected.)
 
 Config deltas vs session.py defaults, applied at runtime for small SFs:
 - ``spark.sql.shuffle.partitions=8``: 600k-row shuffles don't need 32
@@ -103,7 +110,7 @@ def main():
 
     # min-of-N timed passes: local[32] on a shared host is noisy (GC, CPU
     # contention); the minimum is the standard noise-robust warm-run stat.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
     times: dict[str, float] = {}
     for _ in range(reps):
         for name in names:

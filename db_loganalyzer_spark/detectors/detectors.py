@@ -334,9 +334,13 @@ def zscore_hotspots(
     b = events.groupBy(
         bucket_start("ts", bucket_seconds).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("count"), F.max("severity").alias("max_severity"))
-    s = b.agg(F.avg("count").alias("mean_cnt"), F.stddev_samp("count").alias("std_cnt"))
+    # whole-frame window over the (small) bucket table: one plan, no
+    # separate broadcast-build job; the single window partition holds
+    # bucket rows only, never events — scale-safe at any data volume
+    w = Window.partitionBy()
     hot = (
-        b.crossJoin(F.broadcast(s))
+        b.withColumn("mean_cnt", F.avg("count").over(w))
+        .withColumn("std_cnt", F.stddev_samp("count").over(w))
         .filter(F.col("std_cnt").isNotNull() & (F.col("std_cnt") > 0))
         .withColumn("zscore", (F.col("count") - F.col("mean_cnt")) / F.col("std_cnt"))
         .filter(F.col("zscore") >= min_z)

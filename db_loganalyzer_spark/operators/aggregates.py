@@ -12,7 +12,7 @@ oracle (and makes results reproducible run-to-run at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import bucket_start
@@ -190,21 +190,23 @@ def zscore_hotspots(
     """A10 — z-score of per-bucket event counts vs the global bucket-count
     distribution (reference: detectors.py:234-285).
 
-    The 1-row global stats attach via a broadcast cross join — the Spark
-    equivalent of the reference's ``FROM bucketed b, stats s``; cheaper
-    than a whole-frame window (no single-partition sort) at scale.
+    The global stats attach via a whole-frame window over the BUCKET
+    table, not the events: one plan, no separate broadcast-build job.
+    The single window partition holds only timespan/bucket_seconds rows
+    (~100k for a year of 300s buckets) regardless of event volume, so
+    this is scale-safe — the heavy lifting (events -> bucket counts) is
+    a partial-agg shuffle keyed by bucket.
     """
     buckets = df.groupBy(
         bucket_start(ts_col, bucket_seconds).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
-    stats = buckets.agg(
-        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("std_n")
-    )
+    w = Window.partitionBy()
     z = F.when(
         F.col("std_n") != 0, (F.col("n") - F.col("mean_n")) / F.col("std_n")
     )
     out = (
-        buckets.crossJoin(F.broadcast(stats))
+        buckets.withColumn("mean_n", F.avg("n").over(w))
+        .withColumn("std_n", F.stddev_samp("n").over(w))
         .select("bucket", "n", F.round(z, 4).alias("zscore"))
         .filter(F.col("zscore") >= min_z)
     )
