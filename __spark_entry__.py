@@ -2507,12 +2507,14 @@ SELECT cluster, COUNT(*) AS size FROM assigned GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def _drain(df, prefix: str):
+def _drain(df, prefix: str, output_mode: str = "append"):
     import tempfile
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    return ST.run_available_now(df, name, tempfile.mkdtemp(prefix="st_ck_"))
+    return ST.run_available_now(
+        df, name, tempfile.mkdtemp(prefix="st_ck_"), output_mode=output_mode
+    )
 
 
 def st01_streaming_rollup(spark, sf_dir):
@@ -2600,6 +2602,92 @@ SELECT user_id, event_id, ts_us, value, prev_value,
        prev_value - value AS drop_amount
 FROM lagged
 WHERE value IS NOT NULL AND prev_value IS NOT NULL AND value < prev_value
+"""
+
+
+def st04_streaming_dedup(spark, sf_dir):
+    """m01's streaming form: running exact-dup groups over a document
+    feed (ingest-time dedup). State = one row per distinct content hash;
+    drained complete for a deterministic final table, so the oracle is
+    the batch GROUP BY restatement (same as m01)."""
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    return _drain(
+        ST.streaming_exact_dedup(stream), "st04", output_mode="complete"
+    )
+
+
+ST04_SQL = r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def sim05_embedding_dedup_groups(spark, sf_dir):
+    """sim03 -> m08 composition: embedding-cosine near-dup pairs turned
+    into dedup GROUPS via distributed connected components (min-label
+    propagation; component label = min vec_id = the keeper). The full
+    semantic-dedup shape for a training corpus — and the oracle restates
+    the LSH bucketing, cosine filter, AND the component fixpoint as a
+    recursive transitive closure."""
+    from db_loganalyzer_spark.operators.dedup import dedup_components
+    from db_loganalyzer_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = embedding_near_dups(emb, threshold=0.25, n_planes=6)
+    return dedup_components(pairs).select("id", "component_id")
+
+
+SIM05_SQL = f"""
+WITH RECURSIVE {_planes_cte()},
+{_LSH_CTES},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM cb ca
+    JOIN cb ob ON ob.bucket = ca.bucket AND ca.vec_id < ob.vec_id
+    JOIN e a ON a.vec_id = ca.vec_id
+    JOIN e b ON b.vec_id = ob.vec_id
+  ) WHERE cosine >= 0.25
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a WHERE g.b <> r.a
+)
+SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY 1
+"""
+
+
+def w11_ewma(spark, sf_dir):
+    """W11 — per-key EWMA smoother (alpha=0.3), the analytic the
+    reference documents but never built. applyInPandas sequential fold
+    per user series; pandas ewm(adjust=False) is bitwise-identical to
+    the fold s = (1-a)*s + a*x (verified), so the oracle restates it as
+    a per-prefix list_reduce — a genuinely non-SQL-shaped operator still
+    hash-checked exactly."""
+    ev = _events(spark, sf_dir)
+    out = W.ewma(ev, "value", ["user_id"], alpha=0.3)
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+W11_SQL = """
+WITH g AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events GROUP BY 1
+)
+SELECT unnest(ids) AS event_id, user_id,
+       ROUND(unnest(list_transform(generate_series(1, len(vs)), i ->
+         list_reduce(vs[1:i], (acc, x) -> (1 - 0.3)*acc + 0.3*x))), 6) AS ewma
+FROM g
 """
 
 
@@ -2837,6 +2925,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    # -- round-4 additions (rotate into the window next round) --
+    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
+    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
 }
 
 

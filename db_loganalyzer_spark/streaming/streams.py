@@ -61,6 +61,53 @@ def read_events_stream(
     return df
 
 
+def read_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over any testdata table's parquet — the
+    landing-directory model: ingest appends files, the stream picks them
+    up. Schema comes from one batch footer read (no inference race)."""
+    from ..sources.tables import _set_read_confs
+
+    _set_read_confs(spark)
+    raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reader = spark.readStream.schema(raw.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """m01's streaming form: running exact-duplicate groups over a
+    document feed — the ingest-time dedup a training pipeline runs so
+    downstream stages never see a copy twice.
+
+    State is one row per DISTINCT content (32-byte hash key, min id,
+    counter), not per document seen — the shuffle and the state store
+    carry hashes, never text. Use ``outputMode("update")`` into an
+    upsert sink in production (only changed groups re-emit per trigger);
+    the test harness drains with ``complete`` for a deterministic final
+    table."""
+    from ..operators.dedup import normalize_text
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(normalize_text(text_col), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def streaming_rollup(
     events: DataFrame,
     window_seconds: int,
