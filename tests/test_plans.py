@@ -128,6 +128,56 @@ def test_m03_lsh_band_join_is_equi(spark, sf_dir, qs, cold_cache):
     assert "CartesianProduct" not in p
 
 
+@pytest.mark.parametrize(
+    "name", ["m03_minhash_lsh_dedup", "m04_simhash_near_dups"]
+)
+def test_portable_hash_family_stays_jvm_side(
+    spark, sf_dir, qs, cold_cache, name
+):
+    # the portable polynomial hashes are HOF column expressions — the
+    # plan must contain no Python evaluation node (that would turn a
+    # scan-bound 100 TB dedup pass into an Arrow round-trip per batch)
+    p = plan_str(spark, qs[name](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sim03_lsh_self_join_is_equi(spark, sf_dir, qs, cold_cache):
+    # embedding near-dups: the self-join must be equi on bucket — an
+    # all-pairs product over the corpus is the thing LSH exists to avoid
+    p = plan_str(spark, qs["sim03_embedding_near_dups"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_portable_hash_pinned_values(spark):
+    # the portable family is a cross-engine CONTRACT: these constants are
+    # mirrored character-for-character in the DuckDB oracle SQL, so any
+    # drift here silently breaks every m03/m04 oracle. h("abc") =
+    # fold(7, h*131 + cp) mod 1e9+7 = ((7*131+97)*131+98)*131+99 mod p
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.dedup import portable_hash
+
+    row = (
+        spark.range(1)
+        .select(
+            portable_hash(F.lit("abc")).alias("h1"),
+            portable_hash(F.lit("")).alias("h_empty"),
+            portable_hash(F.lit("abc"), base=137, init=11, mod=2147483647).alias("h2"),
+        )
+        .collect()[0]
+    )
+    assert row["h1"] == ((7 * 131 + 97) * 131 + 98) * 131 + 99
+    # Spark split("", "") is [""] (one empty element), so "" folds ONCE
+    # with ascii("") = 0 -> 7*131. Engines differ on empty-string
+    # splitting, which is why every call site filters '' out BEFORE
+    # hashing (shingles join non-empty words; simhash filters tok != '').
+    assert row["h_empty"] == 7 * 131
+    assert row["h2"] == ((11 * 137 + 97) * 137 + 98) * 137 + 99
+
+
 def test_q01_wholestage_codegen(spark, sf_dir, qs, cold_cache):
     # AQE finalizes the physical plan only at execution: run to the noop
     # sink, then audit the executed plan for fused codegen stages
