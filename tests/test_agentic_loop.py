@@ -302,6 +302,49 @@ def test_phased_loop_dive_advances_across_hotspots(scenario):
     assert res.iterations > 1
 
 
+def test_phased_loop_dive_walks_through_hotspot_in_10s_steps(spark):
+    """A 300s z-score hotspot must be dived 10s sub-bucket at a time —
+    granularity is part of the bucket coordinate, so a phase-A heatmap
+    glance (300s, no events pulled) at the same epoch never suppresses
+    the dive, and one 10s window never marks the whole hotspot done."""
+    # two eventful 10s sub-buckets ~100s apart inside one 300s bucket
+    rows = [
+        (i, T0 + dt.timedelta(seconds=s), 40, "TLogFailed", "TLog",
+         {"LogId": str(i)})
+        for i, s in enumerate([0, 1, 2, 100, 101, 102])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, severity int, event string, role string,"
+        "fields map<string,string>",
+    )
+
+    def llm(prompt):
+        return json.dumps(
+            {"hypothesis": "CLUSTER 1: unclear", "confidence": 0.1,
+             "reasoning": ""}
+        )
+
+    agent = PhasedInvestigationAgent(
+        llm,
+        max_iterations=5,
+        max_llm_calls=5,
+        confidence_threshold=0.99,
+        now=lambda: dt.datetime(2024, 1, 15, 12, 0, 0, tzinfo=dt.timezone.utc),
+        sleep=lambda _: None,
+    )
+    res = agent.investigate(ev, "q")
+    dives = [e for (secs, e) in res.inspected_buckets if secs == 10]
+    glances = [e for (secs, e) in res.inspected_buckets if secs == 300]
+    # phase A glanced the (single) 300s bucket AND the dive still went in
+    assert glances and dives
+    # both eventful 10s sub-buckets were dived — distinct epochs inside
+    # the same 300s bucket, not one window covering the whole hotspot
+    assert len(set(dives)) >= 2
+    base = glances[0]
+    assert all(base <= e < base + 300 for e in dives)
+
+
 def test_phased_loop_llm_budget(scenario):
     calls = {"n": 0}
 
