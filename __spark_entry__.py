@@ -2669,12 +2669,18 @@ def w11_ewma(spark, sf_dir):
     per user series; pandas ewm(adjust=False) is bitwise-identical to
     the fold s = (1-a)*s + a*x (verified), so the oracle restates it as
     a per-prefix list_reduce — a genuinely non-SQL-shaped operator still
-    hash-checked exactly."""
-    ev = _events(spark, sf_dir)
+    hash-checked exactly.
+
+    Two determinism guards: (a) NULL values are filtered BEFORE the
+    smoother on both sides — pandas ewm renormalizes over NaN while a
+    SQL fold NULL-poisons the rest of the series, so the engines only
+    agree on dense series; (b) the raw doubles are compared UNROUNDED —
+    they are bit-identical, whereas Spark's and DuckDB's round-to-6
+    implementations split on half-way ties (measured: 19/100k rows at
+    sf0.1)."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     out = W.ewma(ev, "value", ["user_id"], alpha=0.3)
-    return out.select(
-        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
-    )
+    return out.select("event_id", "user_id", "ewma")
 
 
 W11_SQL = """
@@ -2682,11 +2688,11 @@ WITH g AS (
   SELECT user_id,
          list(value ORDER BY ts, event_id) AS vs,
          list(event_id ORDER BY ts, event_id) AS ids
-  FROM events GROUP BY 1
+  FROM events WHERE value IS NOT NULL GROUP BY 1
 )
 SELECT unnest(ids) AS event_id, user_id,
-       ROUND(unnest(list_transform(generate_series(1, len(vs)), i ->
-         list_reduce(vs[1:i], (acc, x) -> (1 - 0.3)*acc + 0.3*x))), 6) AS ewma
+       unnest(list_transform(generate_series(1, len(vs)), i ->
+         list_reduce(vs[1:i], (acc, x) -> (1 - 0.3)*acc + 0.3*x))) AS ewma
 FROM g
 """
 

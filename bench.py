@@ -25,8 +25,10 @@ measured — warm connection, views over the same parquet):
   a stage-reuse artifact, not query latency; measured and rejected.)
 
 Config deltas vs session.py defaults, applied at runtime for small SFs:
-- ``spark.sql.shuffle.partitions=8``: 600k-row shuffles don't need 32
-  reducers; task-launch overhead dominates below ~8.
+- ``spark.sql.shuffle.partitions=4`` and ``spark.default.parallelism=4``
+  (both from $SPARK_GRAFT_BENCH_SHUFFLE): 600k-row shuffles don't need 32
+  reducers; task-launch overhead dominates. ``spark.locality.wait=0``:
+  all blocks are process-local in local mode, any wait is pure latency.
 - AQE off: its stage-by-stage materialization adds fixed latency that a
   sub-second query can't amortize. At cluster scale AQE stays ON (it is the
   session.py default); this is a small-input tuning, controlled by

@@ -815,22 +815,38 @@ class PhasedInvestigationAgent:
             chosen_epoch = None
             zhot = last_det.get("zscore_hotspots", {})
             if zhot.get("detected") and zhot.get("hotspots"):
-                for h in zhot["hotspots"]:
-                    start = int(h["bucket_start_epoch"])
-                    if start in exhausted_300:
-                        continue
-                    in_hotspot = events.filter(
-                        F.col("ts").cast("double").between(start, start + 299.999)
+                # ONE distributed query per iteration covering ALL live
+                # hotspots at once (not one job per hotspot): restrict
+                # events to rows whose 300s bucket is a live hotspot,
+                # bucket THOSE at 10s, drop dived sub-buckets, then pick
+                # by (hotspot rank, epoch) driver-side — the candidate
+                # list is tiny (≤ 30 sub-buckets per hotspot).
+                live = [
+                    e
+                    for h in zhot["hotspots"]
+                    if (e := int(h["bucket_start_epoch"])) not in exhausted_300
+                ]
+                if live:
+                    in_live = events.filter(
+                        (F.floor(F.col("ts").cast("double") / 300) * 300)
+                        .cast("long")
+                        .isin(live)
                     )
                     sub = T.get_uncovered(
-                        in_hotspot, sorted(dived_10), min_severity=0,
+                        in_live, sorted(dived_10), min_severity=0,
                         bucket_seconds=10,
                     )
-                    if not sub:
-                        exhausted_300.add(start)
-                        continue
-                    chosen_epoch = int(sub[0]["bucket_start_epoch"])
-                    break
+                    rank = {e: i for i, e in enumerate(live)}
+                    cands = sorted(
+                        (rank[s - s % 300], s)
+                        for s in (int(r["bucket_start_epoch"]) for r in sub)
+                    )
+                    if cands:
+                        chosen_epoch = cands[0][1]
+                    else:
+                        # no live hotspot has an uncovered eventful
+                        # sub-bucket left — all of them are exhausted
+                        exhausted_300.update(live)
             if chosen_epoch is None:
                 uncovered = T.get_uncovered(
                     events, sorted(dived_10), min_severity=10, bucket_seconds=10

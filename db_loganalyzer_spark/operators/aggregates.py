@@ -18,27 +18,33 @@ from pyspark.sql import functions as F
 from ..functions.scalars import bucket_start
 
 
-def dsum(c: Column | str, scale: int = 4) -> Column:
-    """Order-independent sum: per-row round to DECIMAL(18,6), exact decimal
+def dsum(c: Column | str, scale: int = 4, wide: bool = False) -> Column:
+    """Order-independent sum: per-row round to decimal, exact decimal
     sum, back to double rounded to ``scale``.
 
-    Precision 18 (not 38): values ≤ 18 digits stay long-backed inside
-    Spark's Decimal (the compact fast path in codegen), while the sum's
-    result type widens to DECIMAL(28,6) — room for ~10^12 rows of 10^10
-    magnitudes before overflow, and mathematically identical to a wider
-    accumulator whenever inputs fit (they do: doubles of ~10^6 magnitude
-    at 6-decimal scale)."""
+    Default precision 18 (not 38): values ≤ 18 digits stay long-backed
+    inside Spark's Decimal (the compact fast path in codegen), while the
+    sum's result type widens to DECIMAL(28,6) — room for ~10^12 rows of
+    10^10 magnitudes before overflow, and mathematically identical to a
+    wider accumulator whenever inputs fit. CAVEAT: a per-row |value| ≥
+    10^12 does NOT fit DECIMAL(18,6) — under ANSI mode (Spark 4 default)
+    the cast throws NUMERIC_VALUE_OUT_OF_RANGE. Pass ``wide=True`` for
+    columns with unbounded magnitudes (byte counters, epoch micros):
+    DECIMAL(38,6) handles ±10^32 at ~2x the aggregation cost."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), scale)
+    prec = 38 if wide else 18
+    return F.round(F.sum(col.cast(f"decimal({prec},6)")).cast("double"), scale)
 
 
-def davg(c: Column | str, scale: int | None = 4) -> Column:
+def davg(c: Column | str, scale: int | None = 4, wide: bool = False) -> Column:
     """Order-independent mean built from the decimal sum / exact count.
     ``scale=None`` skips the final ROUND: the unrounded double is bitwise
     reproducible across engines (exact decimal sum → nearest double →
-    one IEEE division), whereas rounding can split on half-way ties."""
+    one IEEE division), whereas rounding can split on half-way ties.
+    ``wide`` as in dsum: required for per-row magnitudes ≥ 10^12."""
     col = F.col(c) if isinstance(c, str) else c
-    mean = F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(col)
+    prec = 38 if wide else 18
+    mean = F.sum(col.cast(f"decimal({prec},6)")).cast("double") / F.count(col)
     return mean if scale is None else F.round(mean, scale)
 
 

@@ -489,34 +489,43 @@ def dedup_components(
         .distinct()
         .withColumn("component_id", F.col("id"))
     )
-    for _ in range(max_iterations):
+    def propagate(cur: DataFrame) -> tuple[DataFrame, int]:
         nbr = edges.join(
-            labels.withColumnRenamed("id", "src"), "src"
+            cur.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "component_id")
-        new_labels = (
-            labels.unionByName(nbr)
+        nxt = (
+            cur.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+        moved = (
+            nxt.alias("n")
+            .join(cur.alias("o"), "id")
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        return nxt, moved
+
+    for _ in range(max_iterations):
+        labels, changed = propagate(labels)
         if changed == 0:
             break
     else:
-        # Exhausted max_iterations without reaching the fixpoint: labels
-        # are still moving, so some component spans more than one label —
-        # callers would get WRONG dedup groups with no signal. Fail loudly;
-        # near-dup components are shallow, so hitting this means either a
-        # pathological chain or max_iterations set far too low.
-        raise RuntimeError(
-            f"dedup_components did not converge in {max_iterations} "
-            "iterations; component diameter exceeds the budget — raise "
-            "max_iterations"
-        )
+        # The budget ran out with the LAST round still changing labels —
+        # but that round may itself have completed the propagation
+        # (convergence is only observable one round after the final
+        # change). Probe once more before deciding: if labels are still
+        # moving, some component genuinely spans multiple labels and
+        # callers would get WRONG dedup groups — fail loudly rather than
+        # return them. Near-dup components are shallow, so a true
+        # non-convergence means a pathological chain or a far-too-low
+        # max_iterations.
+        labels, changed = propagate(labels)
+        if changed != 0:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iterations} "
+                "iterations; component diameter exceeds the budget — "
+                "raise max_iterations"
+            )
     return labels

@@ -45,20 +45,7 @@ def read_events_stream(
     ingest appends parquet files into; ``maxFilesPerTrigger`` throttles
     catch-up so one giant backlog doesn't produce one giant micro-batch.
     """
-    # RAW file schema (one footer read) — under nanosAsLong the
-    # TIMESTAMP(NANOS) column arrives as bigint; the stream must declare
-    # that raw type and apply the same conversion load_table does.
-    from ..sources.tables import _set_read_confs
-
-    _set_read_confs(spark)
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    reader = spark.readStream.schema(raw.schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return read_table_stream(spark, sf_dir, "events", max_files_per_trigger)
 
 
 def read_table_stream(
@@ -69,7 +56,10 @@ def read_table_stream(
 ) -> DataFrame:
     """File-source stream over any testdata table's parquet — the
     landing-directory model: ingest appends files, the stream picks them
-    up. Schema comes from one batch footer read (no inference race)."""
+    up. Schema comes from one batch footer read (no inference race);
+    under nanosAsLong a TIMESTAMP(NANOS) ``ts`` arrives as bigint, so
+    the stream declares that raw type and applies the same conversion
+    load_table does."""
     from ..sources.tables import _set_read_confs
 
     _set_read_confs(spark)
@@ -77,7 +67,10 @@ def read_table_stream(
     reader = spark.readStream.schema(raw.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+    df = reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def streaming_exact_dedup(
