@@ -74,9 +74,11 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
     assert (0, 1) in capped and capped[(0, 1)] == 1.0
 
 
-def test_minhash_lsh_finds_near_dups(spark, docs):
+@pytest.mark.parametrize("family", ["portable", "xxhash64"])
+def test_minhash_lsh_finds_near_dups(spark, docs, family):
     got = {(r.id_a, r.id_b) for r in
-           DD.minhash_lsh_dedup(docs, threshold=0.3, num_hashes=16, bands=8, n=2).collect()}
+           DD.minhash_lsh_dedup(docs, threshold=0.3, num_hashes=16, bands=8,
+                                n=2, hash_family=family).collect()}
     # exact duplicates are always caught (identical signatures)
     assert (0, 1) in got
     # verified jaccard means no false positives vs exact
@@ -85,14 +87,17 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert got <= exact
 
 
-def test_simhash_invariants(spark, docs):
-    fps = {r.id: r.simhash for r in DD.simhash(docs).collect()}
+@pytest.mark.parametrize("family", ["portable", "xxhash64"])
+def test_simhash_invariants(spark, docs, family):
+    fps = {r.id: r.simhash for r in
+           DD.simhash(docs, hash_family=family).collect()}
     assert fps[0] == fps[1]  # identical normalized token sets
     ham02 = bin(fps[0] ^ fps[2]).count("1")
     ham03 = bin(fps[0] ^ fps[3]).count("1")
     assert ham02 < ham03  # near dup closer than unrelated doc
     pairs = {(r.id_a, r.id_b) for r in
-             DD.simhash_near_dups(docs, max_hamming=0).collect()}
+             DD.simhash_near_dups(docs, max_hamming=0,
+                                  hash_family=family).collect()}
     assert (0, 1) in pairs
 
 
