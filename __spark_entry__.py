@@ -12,7 +12,19 @@ returns a DataFrame.
 Determinism rules used throughout (so the order-insensitive value hash
 matches between a multi-threaded Spark run and single-threaded DuckDB):
 - timestamps surface as exact epoch microseconds (``*_us`` BIGINT);
-- double sums go through DECIMAL(38,6) (order-independent), then round(4);
+- double sums go through DECIMAL (order-independent), surfaced UNROUNDED:
+  the exact decimal's nearest double is deterministic in both engines;
+- RATIONAL outputs (sums, averages, percentile interpolations, count
+  ratios) are NEVER rounded for the hash — Spark's ROUND (HALF_UP on the
+  double's decimal string) and C-engine ROUND (multiply-and-rint on the
+  binary value) split on half-way ties, which exact-decimal data hits
+  routinely (measured: 4/3600 event averages at sf0.1). The raw doubles
+  are bitwise cross-engine equal; compare those. Rounding stays ONLY on
+  irrational-denominator outputs (stddev, z-scores, cosines), where ties
+  are measure-zero and raw values differ in final ulps anyway;
+- DuckDB oracle SQL must CAST to DOUBLE explicitly — a ``* 1.0`` literal
+  is DECIMAL(2,1) there and routes division through decimal arithmetic,
+  which diverges from Spark's IEEE double division in late decimals;
 - every LIMIT is preceded by a total order with a unique tiebreak column;
 - computed columns are aliased identically on both sides.
 """
@@ -100,13 +112,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -173,9 +185,9 @@ def a05_rollup_3600s(spark, sf_dir):
 A05_SQL = """
 SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS window_start,
        event_type, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
        MAX(value) AS max_value,
-       ROUND(quantile_cont(value, 0.95), 4) AS p95_value
+       quantile_cont(value, 0.95) AS p95_value
 FROM events GROUP BY 1, 2
 """
 
@@ -188,10 +200,10 @@ def a06_metric_baselines(spark, sf_dir):
 
 A06_SQL = """
 SELECT event_type,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS mean,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean,
        ROUND(stddev_samp(value), 4) AS stddev,
        COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
-       ROUND(quantile_cont(value, 0.95), 4) AS p95
+       quantile_cont(value, 0.95) AS p95
 FROM events GROUP BY 1 HAVING COUNT(value) >= 10
 """
 
@@ -268,8 +280,8 @@ def a14_summary_stats(spark, sf_dir):
 
 A14_SQL = """
 SELECT MAX(value) AS max_value,
-       ROUND(quantile_cont(value, 0.95), 4) AS p95_value,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS mean_value,
+       quantile_cont(value, 0.95) AS p95_value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean_value,
        COUNT(*) AS n,
        epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us
 FROM events WHERE event_type = 'error'
@@ -474,7 +486,7 @@ def j01_equi_join(spark, sf_dir):
 
 J01_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
@@ -567,11 +579,11 @@ WITH ev AS (
   SELECT *, CAST(user_id % 3 AS VARCHAR) AS role FROM events
 ), per_role AS (
   SELECT event_type, role,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS baseline_mean
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS baseline_mean
   FROM ev GROUP BY 1, 2 HAVING role = '0'
 ), all_rows AS (
   SELECT event_type, 'ALL' AS role,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4) AS baseline_mean
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS baseline_mean
   FROM ev GROUP BY 1
 ), baselines AS (SELECT * FROM per_role UNION ALL SELECT * FROM all_rows)
 SELECT p.event_id, p.event_type, p.role,
@@ -842,7 +854,7 @@ def q03_shipping_priority(spark, sf_dir):
 
 Q03_SQL = """
 SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -874,7 +886,7 @@ def q05_nation_revenue(spark, sf_dir):
 
 Q05_SQL = """
 SELECT r_name, n_name,
-       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -956,11 +968,11 @@ _M02_CTES = r"""sh AS (
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+         n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
   FROM inter
   JOIN sizes sa ON sa.id = id_a
   JOIN sizes sb ON sb.id = id_b
-  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
 )"""
 
 M02_SQL = f"""
@@ -1068,9 +1080,9 @@ WITH t AS (
 SELECT source, lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate,
        CAST(SUM(n) AS BIGINT) AS total_words,
-       ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_words,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_words,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM k
 GROUP BY 1, 2
@@ -1139,11 +1151,11 @@ WITH base AS (
   GROUP BY 1, 2
 )
 SELECT inter.id_a, inter.id_b,
-       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = inter.id_a
 JOIN sizes sb ON sb.id = inter.id_b
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.12
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
 """
 
 
@@ -1424,9 +1436,9 @@ def t02_text_stats(spark, sf_dir):
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(mean_word_len("text"), 4).alias("mean_word_len"),
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(stopword_ratio("text", "en"), 4).alias("stopword_ratio_en"),
+        mean_word_len("text").alias("mean_word_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text", "en").alias("stopword_ratio_en"),
         quality_score("text").alias("quality"),
     )
 
@@ -1440,20 +1452,20 @@ WITH base AS (
 ), stats AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
          CASE WHEN len(toks) > 0
-              THEN list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) END AS mwl,
+              THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mwl,
          CASE WHEN length(text) > 0
-              THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text) END AS pr,
+              THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
          CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, t -> list_contains(
-                     ['the','a','and','of','to','in','is','that','it','for'], t))) * 1.0 / len(toks)
+              THEN CAST(len(list_filter(toks, t -> list_contains(
+                     ['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(toks)
               END AS swr,
          len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
   FROM base
 )
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_bpe AS INT) AS n_bpe_tokens,
        CAST(length(text) AS INT) AS n_chars,
-       ROUND(mwl, 4) AS mean_word_len, ROUND(pr, 4) AS punct_ratio,
-       ROUND(swr, 4) AS stopword_ratio_en,
+       mwl AS mean_word_len, pr AS punct_ratio,
+       swr AS stopword_ratio_en,
        ROUND(
          (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
          + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.25 ELSE 0.0 END)
@@ -1582,7 +1594,7 @@ all_chunks AS (
 SELECT doc_id,
        COUNT(*) AS n_chunks,
        CAST(SUM(length(chunk_text)) AS BIGINT) AS total_chars,
-       ROUND(AVG(length(chunk_text)), 4) AS avg_chunk_len,
+       AVG(length(chunk_text)) AS avg_chunk_len,
        CAST(SUM(len(regexp_extract_all(chunk_text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens
 FROM all_chunks GROUP BY doc_id
 """
@@ -2273,7 +2285,7 @@ def m07_similarity_eval(spark, sf_dir):
     )
     pairs = a.join(b, "doc_id")
     out = score_predictions(pairs)
-    return out.select("doc_id", F.round("sim", 6).alias("sim"), "is_correct")
+    return out.select("doc_id", "sim", "is_correct")
 
 
 M07_SQL = """
@@ -2285,7 +2297,7 @@ p AS (
              / greatest(length(lower(pred)), length(lower(truth)), 1) AS sim
   FROM a JOIN b USING (doc_id)
 )
-SELECT doc_id, ROUND(sim, 6) AS sim, sim > 0.6 AS is_correct FROM p
+SELECT doc_id, sim, sim > 0.6 AS is_correct FROM p
 """
 
 
@@ -2765,14 +2777,14 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_words,
-       ROUND(CASE WHEN n > 0 THEN len(list_distinct(w)) / n END, 6) AS distinct_ratio,
-       ROUND(CASE WHEN n > 0 THEN
+       CASE WHEN n > 0 THEN len(list_distinct(w)) / n END AS distinct_ratio,
+       CASE WHEN n > 0 THEN
          list_max(list_transform(list_distinct(w),
-                                 u -> len(list_filter(w, x -> x = u)))) / n END, 6)
+                                 u -> len(list_filter(w, x -> x = u)))) / n END
          AS max_word_frac,
-       ROUND(CASE WHEN len(bg) > 0 THEN
+       CASE WHEN len(bg) > 0 THEN
          list_max(list_transform(list_distinct(bg),
-                                 u -> len(list_filter(bg, x -> x = u)))) / len(bg) END, 6)
+                                 u -> len(list_filter(bg, x -> x = u)))) / len(bg) END
          AS max_bigram_frac
 FROM b
 """

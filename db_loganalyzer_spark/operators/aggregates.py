@@ -18,9 +18,16 @@ from pyspark.sql import functions as F
 from ..functions.scalars import bucket_start
 
 
-def dsum(c: Column | str, scale: int = 4, wide: bool = False) -> Column:
+def dsum(
+    c: Column | str, scale: int | None = None, wide: bool = False
+) -> Column:
     """Order-independent sum: per-row round to decimal, exact decimal
-    sum, back to double rounded to ``scale``.
+    sum, back to double — UNROUNDED by default. The exact decimal → its
+    nearest double is deterministic in every engine, whereas a final
+    ROUND splits on half-way ties (Spark rounds the decimal string of
+    the double HALF_UP, C-engines multiply-and-rint the binary value —
+    measured divergence on 6-decimal sums and averages). Pass ``scale``
+    only for display surfaces that never feed an oracle hash.
 
     Default precision 18 (not 38): values ≤ 18 digits stay long-backed
     inside Spark's Decimal (the compact fast path in codegen), while the
@@ -33,15 +40,19 @@ def dsum(c: Column | str, scale: int = 4, wide: bool = False) -> Column:
     DECIMAL(38,6) handles ±10^32 at ~2x the aggregation cost."""
     col = F.col(c) if isinstance(c, str) else c
     prec = 38 if wide else 18
-    return F.round(F.sum(col.cast(f"decimal({prec},6)")).cast("double"), scale)
+    total = F.sum(col.cast(f"decimal({prec},6)")).cast("double")
+    return total if scale is None else F.round(total, scale)
 
 
-def davg(c: Column | str, scale: int | None = 4, wide: bool = False) -> Column:
-    """Order-independent mean built from the decimal sum / exact count.
-    ``scale=None`` skips the final ROUND: the unrounded double is bitwise
-    reproducible across engines (exact decimal sum → nearest double →
-    one IEEE division), whereas rounding can split on half-way ties.
-    ``wide`` as in dsum: required for per-row magnitudes ≥ 10^12."""
+def davg(
+    c: Column | str, scale: int | None = None, wide: bool = False
+) -> Column:
+    """Order-independent mean built from the decimal sum / exact count,
+    UNROUNDED by default (see dsum — the raw double is bitwise
+    reproducible across engines: exact decimal sum → nearest double →
+    one IEEE division; rounding splits on half-way ties, measured at
+    4/3600 groups on sf0.1 event averages). ``wide`` as in dsum:
+    required for per-row magnitudes ≥ 10^12."""
     col = F.col(c) if isinstance(c, str) else c
     prec = 38 if wide else 18
     mean = F.sum(col.cast(f"decimal({prec},6)")).cast("double") / F.count(col)
@@ -123,14 +134,18 @@ def windowed_rollup(
     # overflows Decimal(38,6) on sentinel values like -DBL_MAX that real
     # trace metrics contain; the reference's own rollup is a plain double
     # AVG, so the parity path opts out.
-    mean = davg(value_col) if deterministic_avg else F.round(F.avg(value_col), 4)
+    mean = davg(value_col) if deterministic_avg else F.avg(value_col)
+    # avg and p95 stay UNROUNDED: both are rational combinations of
+    # exact-decimal inputs, where a final ROUND is the one operation the
+    # engines disagree on (half-way ties); the raw doubles are bitwise
+    # cross-engine reproducible.
     out = df.groupBy(
         bucket_start(ts_col, window_seconds).alias("window_start"), *keys
     ).agg(
         F.count(F.lit(1)).alias("n"),
         mean.alias("avg_value"),
         F.max(value_col).alias("max_value"),
-        F.round(pctl, 4).alias("p95_value"),
+        pctl.alias("p95_value"),
     )
     return out.orderBy("window_start", *keys) if ordered else out
 
@@ -149,6 +164,9 @@ def metric_baselines(
     reference: global_scanner.py:57-172 (upsert path) — here the result is
     just a DataFrame; persist with ``.write`` where the reference upserted.
     """
+    # mean/p95 unrounded (rational — ROUND tie risk, see dsum); stddev
+    # KEEPS its ROUND: sqrt output is irrational, ties are measure-zero,
+    # and the raw value differs across engines' merge orders anyway.
     aggs = [
         davg(value_col).alias("mean"),
         F.round(F.stddev_samp(value_col), 4).alias("stddev"),
@@ -157,7 +175,7 @@ def metric_baselines(
         F.max(value_col).alias("max_value"),
     ]
     if with_p95:
-        aggs.append(F.round(F.percentile(value_col, 0.95), 4).alias("p95"))
+        aggs.append(F.percentile(value_col, 0.95).alias("p95"))
     out = df.groupBy(*keys).agg(*aggs).filter(F.col("n") >= min_count)
     return out.orderBy(*keys) if ordered else out
 
@@ -258,7 +276,7 @@ def summary_stats(
     """
     return df.agg(
         F.max(value_col).alias("max_value"),
-        F.round(F.percentile(value_col, 0.95), 4).alias("p95_value"),
+        F.percentile(value_col, 0.95).alias("p95_value"),
         davg(value_col).alias("mean_value"),
         F.count(F.lit(1)).alias("n"),
         F.unix_micros(F.min(ts_col)).alias("first_ts_us"),

@@ -128,7 +128,7 @@ def chunk_summaries(
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("chunk_len").alias("total_chars"),
-            F.round(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+            F.avg("chunk_len").alias("avg_chunk_len"),
             F.sum("n_tokens").alias("total_tokens"),
         )
     )

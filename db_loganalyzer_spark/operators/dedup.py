@@ -155,7 +155,7 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
     )
@@ -298,7 +298,7 @@ def minhash_lsh_dedup(
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

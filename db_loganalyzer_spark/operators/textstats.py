@@ -171,9 +171,9 @@ def text_stats(
         token_count(text_col).alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         F.length(text_col).alias("n_chars"),
-        F.round(mean_word_len(text_col), 4).alias("mean_word_len"),
-        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(text_col, "en"), 4).alias("stopword_ratio_en"),
+        mean_word_len(text_col).alias("mean_word_len"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col, "en").alias("stopword_ratio_en"),
         quality_score(text_col).alias("quality"),
         detect_language(text_col).alias("lang_detected"),
         fingerprint(text_col).alias("fingerprint"),
@@ -267,9 +267,9 @@ def repetition_stats(
         id_col,
         *keep_cols,
         n.alias("n_words"),
-        F.round(F.when(n > 0, F.size(uniq) / n), 6).alias("distinct_ratio"),
-        F.round(F.when(n > 0, max_word / n), 6).alias("max_word_frac"),
-        F.round(F.when(nb > 0, max_bigram / nb), 6).alias("max_bigram_frac"),
+        F.when(n > 0, F.size(uniq) / n).alias("distinct_ratio"),
+        F.when(n > 0, max_word / n).alias("max_word_frac"),
+        F.when(nb > 0, max_bigram / nb).alias("max_bigram_frac"),
     )
 
 
@@ -360,8 +360,8 @@ def corpus_report(
     return per_doc.groupBy(*by).agg(
         n_docs.alias("n_docs"),
         n_kept.alias("n_kept"),
-        F.round(n_kept / n_docs, 6).alias("keep_rate"),
+        (n_kept / n_docs).alias("keep_rate"),
         total_words.alias("total_words"),
-        F.round(total_words / n_docs, 4).alias("avg_words"),
+        (total_words / n_docs).alias("avg_words"),
         F.sum("_n_chars").alias("total_chars"),
     )
