@@ -119,6 +119,23 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB directory
+    design for the events table: partition by day (or day/hour), and a
+    time predicate prunes whole directories BEFORE any parquet footer is
+    read — Catalyst turns the filter into PartitionFilters at the scan
+    (pinned in tests/test_sinks.py::test_partitioned_scan_prunes). This
+    is the lever the reference's B-tree ts-index maps to (SURVEY §4):
+    coarse pruning from the directory tree, fine pruning from row-group
+    min/max stats within the surviving files."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_metric_baselines(
     baselines: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

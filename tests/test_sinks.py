@@ -134,3 +134,27 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     assert n == ev.count()
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    """Day-partitioned layout: a predicate on the partition column lands
+    in the scan's PartitionFilters — whole directories are skipped before
+    any parquet footer is read (the 100 TB time-slice path)."""
+    from db_loganalyzer_spark.sources.sinks import write_partitioned
+    from db_loganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["event_date"])
+
+    back = spark.read.parquet(path)
+    one_day = ev.groupBy("event_date").count().orderBy("event_date").first()
+    sliced = back.filter(F.col("event_date") == F.lit(one_day["event_date"]))
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate must be a directory-level filter, not a
+    # row-level one: PartitionFilters carries it, PushedFilters does not
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert sliced.count() == one_day["count"]
