@@ -1494,10 +1494,10 @@ WITH base AS (
 ), scored AS (
   SELECT CASE WHEN len(toks) = 0 THEN NULL
               ELSE list_max([
-    {'score': len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) * 1.0 / len(toks), 'lang': 'en'},
-    {'score': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','ich'], t))) * 1.0 / len(toks), 'lang': 'de'},
-    {'score': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que','pour','dans'], t))) * 1.0 / len(toks), 'lang': 'fr'},
-    {'score': len(list_filter(toks, t -> list_contains(['el','la','los','y','es','un','una','que','por','como'], t))) * 1.0 / len(toks), 'lang': 'es'}
+    {'score': CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(toks), 'lang': 'en'},
+    {'score': CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','ich'], t))) AS DOUBLE) / len(toks), 'lang': 'de'},
+    {'score': CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','que','pour','dans'], t))) AS DOUBLE) / len(toks), 'lang': 'fr'},
+    {'score': CAST(len(list_filter(toks, t -> list_contains(['el','la','los','y','es','un','una','que','por','como'], t))) AS DOUBLE) / len(toks), 'lang': 'es'}
   ]) END AS best
   FROM base
 )
@@ -2293,7 +2293,7 @@ WITH a AS (SELECT doc_id, substr(text, 1, 80) AS pred FROM documents),
 b AS (SELECT doc_id - 1 AS doc_id, substr(text, 1, 80) AS truth FROM documents),
 p AS (
   SELECT a.doc_id,
-         1 - levenshtein(lower(pred), lower(truth)) * 1.0
+         1 - CAST(levenshtein(lower(pred), lower(truth)) AS DOUBLE)
              / greatest(length(lower(pred)), length(lower(truth)), 1) AS sim
   FROM a JOIN b USING (doc_id)
 )
