@@ -2,6 +2,8 @@
 stats, chunking, multimodal plumbing."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from db_loganalyzer_spark.operators import dedup as DD
@@ -72,6 +74,50 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
                   docs, threshold=0.3, n=2, max_doc_freq=2
               ).collect()}
     assert (0, 1) in capped and capped[(0, 1)] == 1.0
+
+
+def _poly_ref(s: str, base: int = 131, init: int = 7, mod: int = 1_000_000_007) -> int:
+    h = init
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_portable_hash_triple_engine_contract(spark, strings):
+    """portable_hash is a CROSS-ENGINE contract: the Spark HOF fold, the
+    DuckDB list_reduce restatement used by every m03/m04 oracle, and a
+    pure-Python reference must agree on arbitrary printable-ASCII input,
+    not just the corpus the gate happens to exercise."""
+    import duckdb
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", DD.portable_hash("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    sql = (
+        "SELECT list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(string_split(?, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(acc, x) -> (acc * 131 + x) % 1000000007)"
+    )
+    for s in strings:
+        want = _poly_ref(s)
+        duck = con.execute(sql, [s]).fetchone()[0]
+        assert got[s] == want == duck, (s, got[s], want, duck)
 
 
 @pytest.mark.parametrize("family", ["portable", "xxhash64"])
