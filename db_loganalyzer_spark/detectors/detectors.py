@@ -673,17 +673,34 @@ def detect_recoveries(
         comment.alias("comment"),
     ).filter(F.col("priority").isNotNull())
 
-    joined = recs.join(
-        cand,
-        (F.col("ts") >= F.col("recovery_ts") - F.expr(f"INTERVAL {look_back_seconds} SECONDS"))
-        & (F.col("ts") < F.col("recovery_ts")),
-        "left",
+    # Range-join bucketing: a pure range condition would plan as a
+    # nested-loop product (anchors x candidates — measured 8s at sf0.1,
+    # unbounded at scale). An event in [anchor - L, anchor) lives either
+    # in the anchor's L-second time bucket or the one before it, so the
+    # anchor side explodes to those TWO bucket ids and the join becomes
+    # equi on bucket + band filter — a shuffled hash join whose work is
+    # bounded by bucket co-residency, the same shape as J3's equi-keyed
+    # look-back. Left semantics (recoveries with no cause survive) are
+    # restored by the final left join from recs.
+    def tbucket(c):
+        return F.floor(F.col(c).cast("double") / look_back_seconds).cast("long")
+
+    rec_b = recs.withColumn(
+        "__b", F.explode(F.array(tbucket("recovery_ts"), tbucket("recovery_ts") - 1))
     )
+    cand_b = cand.withColumn("__b", tbucket("ts"))
+    matched = rec_b.join(
+        cand_b,
+        (rec_b["__b"] == cand_b["__b"])
+        & (F.col("ts") >= F.col("recovery_ts") - F.expr(f"INTERVAL {look_back_seconds} SECONDS"))
+        & (F.col("ts") < F.col("recovery_ts")),
+        "inner",
+    ).drop("__b")
     w = Window.partitionBy("recovery_id").orderBy(
         F.col("priority").asc_nulls_last(), F.desc("ts"), F.desc("event_id")
     )
-    picked = (
-        joined.withColumn("rn", F.row_number().over(w))
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .withColumn(
             "cause",
@@ -696,6 +713,10 @@ def detect_recoveries(
                                F.lit(" (severity "), F.col("severity").cast("string"),
                                F.lit(")")))),
         )
+        .select("recovery_id", "cause")
+    )
+    picked = (
+        recs.join(best, "recovery_id", "left")
         .select("recovery_id", "recovery_ts", "state_code", "state_name", "cause")
         .orderBy("recovery_id")
     )
