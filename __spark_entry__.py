@@ -192,6 +192,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def a18_multi_rollup(spark, sf_dir):
+    """A5 extension — the reference's 60s/600s/3600s rollup family in ONE
+    scan + one shuffle (it re-runs CTAS per size); the size dimension is
+    exploded inline so the 100 TB scan is paid once."""
+    return A.multi_windowed_rollup(
+        _events(spark, sf_dir), [60, 600, 3600], ["event_type"], "value"
+    )
+
+
+A18_SQL = """
+SELECT ws AS window_seconds,
+       CAST(FLOOR(epoch_us(ts) / 1000000.0 / ws) * ws AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       MAX(value) AS max_value,
+       quantile_cont(value, 0.95) AS p95_value
+FROM events CROSS JOIN (SELECT unnest([60, 600, 3600]) AS ws) s
+GROUP BY 1, 2, 3
+"""
+
+
 def a06_metric_baselines(spark, sf_dir):
     return A.metric_baselines(
         _events(spark, sf_dir), ["event_type"], "value", min_count=10, ordered=False
@@ -2947,6 +2968,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
     "w11_ewma": (w11_ewma, W11_SQL),
+    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
 }
 
 

@@ -150,6 +150,48 @@ def windowed_rollup(
     return out.orderBy("window_start", *keys) if ordered else out
 
 
+def multi_windowed_rollup(
+    df: DataFrame,
+    window_sizes: list[int],
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    exact_percentile: bool = True,
+) -> DataFrame:
+    """A5 extension — EVERY rollup granularity in one scan + one shuffle.
+
+    The reference re-runs its CTAS once per window size (1s/10s/60s,
+    README.md:297; tools/storage.py:338-352 takes one size per call). At
+    100 TB the scan dominates, so re-reading the events table per
+    granularity multiplies the most expensive stage; exploding the size
+    dimension inline amortizes the single scan across all granularities
+    (output rows grow by len(window_sizes), the shuffle stays keyed by
+    (size, window, keys) — no hot key)."""
+    pctl = (
+        F.percentile(value_col, 0.95)
+        if exact_percentile
+        else F.percentile_approx(value_col, 0.95)
+    )
+    ws = F.col("window_seconds")
+    exploded = df.select(
+        ts_col,
+        *keys,
+        value_col,
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in window_sizes])
+        ).alias("window_seconds"),
+    )
+    win = (F.floor(F.col(ts_col).cast("double") / ws) * ws).cast("long")
+    return exploded.groupBy(
+        "window_seconds", win.alias("window_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(value_col).alias("avg_value"),
+        F.max(value_col).alias("max_value"),
+        pctl.alias("p95_value"),
+    )
+
+
 def metric_baselines(
     df: DataFrame,
     keys: list[str],
