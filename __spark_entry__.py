@@ -2811,6 +2811,67 @@ FROM b
 """
 
 
+def m09_stratified_sample(spark, sf_dir):
+    """Deterministic dataset MIXING: per-source keep rates as a pure
+    projection — membership is a stable function of (doc_id, salt), so
+    the same documents are selected across runs, engines, and
+    re-partitions; exact at 1e-6 rate resolution."""
+    from db_loganalyzer_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
+M09_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 <
+      CASE source WHEN 'src0' THEN 1000000
+                  WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 250000
+                  ELSE 100000 END
+"""
+
+
+def a19_stats_report_grouping_sets(spark, sf_dir):
+    """A17's four-scan stats report as ONE pass: GROUPING SETS
+    ((severity), (event_type), ()) share a single scan + shuffle — the
+    same shared-scan economics as a18, applied to the reference's
+    stats surface (cli_wrapper/main.py:434-512 runs each aggregate as a
+    separate query). Spark's cube() is filtered by grouping flags to the
+    three sets; GROUPING() flags disambiguate a genuinely-NULL key from
+    a rolled-up one."""
+    ev = _events(spark, sf_dir)
+    g_sev = F.grouping("severity").cast("int")
+    g_et = F.grouping("event_type").cast("int")
+    return (
+        ev.cube("severity", "event_type")
+        .agg(
+            g_sev.alias("g_sev"),
+            g_et.alias("g_et"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("g_sev") + F.col("g_et")) >= 1)
+    )
+
+
+A19_SQL = """
+WITH ev AS (
+  SELECT CAST(FLOOR(value) AS INT) AS severity, event_type FROM events
+)
+SELECT severity, event_type,
+       CAST(GROUPING(severity) AS INT) AS g_sev,
+       CAST(GROUPING(event_type) AS INT) AS g_et,
+       COUNT(*) AS n
+FROM ev
+GROUP BY GROUPING SETS ((severity), (event_type), ())
+"""
+
+
 def m05_hash_split(spark, sf_dir):
     """Deterministic train/val/test split audit: Knuth multiplicative
     hash of doc_id -> bucket -> 80/10/10 labels, per-split counts."""
@@ -2969,6 +3030,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
     "w11_ewma": (w11_ewma, W11_SQL),
     "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
+    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
+    "a19_stats_report_grouping_sets": (
+        a19_stats_report_grouping_sets,
+        A19_SQL,
+    ),
 }
 
 

@@ -55,6 +55,31 @@ def hash_split(
     return df.withColumn("split", assign_split(id_col, splits, salt))
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-MIXING primitive:
+    keep each row iff ``hash_bucket(id) < rate[stratum] * denominator``,
+    so "30% of web, 100% of books, 5% of logs" is a pure projection over
+    the corpus (scan-bound at 100 TB, no shuffle) and membership is a
+    stable function of (id, salt): re-runs, engine ports, and upstream
+    re-partitions all select the SAME documents. Rates are exact at
+    1/denominator resolution; ``df.sample()`` can do none of this."""
+    col = F.col(strata_col)
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.lit(int(rate * denominator))
+        thresh = F.when(col == stratum, t) if thresh is None else thresh.when(col == stratum, t)
+    thresh = thresh.otherwise(F.lit(int(default_rate * denominator)))
+    return df.filter(hash_bucket(id_col, denominator, salt) < thresh)
+
+
 def split_sizes(
     df: DataFrame,
     id_col: str = "doc_id",
