@@ -588,15 +588,44 @@ def recovery_episodes(
         "duration_s",
         F.col("n_events").alias("n_recoveries"),
     )
-    halo = episodes.join(
-        events.select("ts", "severity"),
-        (F.col("ts") >= F.col("start_ts") - F.expr(f"INTERVAL {halo_seconds} SECONDS"))
-        & (F.col("ts") <= F.col("end_ts") + F.expr(f"INTERVAL {halo_seconds} SECONDS")),
-        "left",
+    # Range-join bucketing (same shape as detect_recoveries): a pure
+    # interval condition would plan episodes x events as a nested-loop
+    # product. Each episode's halo [start-H, end+H] is exploded to the
+    # H-second buckets it covers and events carry their own bucket, so
+    # the join is equi on bucket + band filter — work bounded by bucket
+    # co-residency, scale-safe however many episodes exist. Left
+    # semantics (an episode whose halo holds no event still surfaces)
+    # come from the final left join back to episodes.
+    def tbucket(col):
+        return F.floor(col.cast("double") / halo_seconds).cast("long")
+
+    lo = F.col("start_ts") - F.expr(f"INTERVAL {halo_seconds} SECONDS")
+    hi = F.col("end_ts") + F.expr(f"INTERVAL {halo_seconds} SECONDS")
+    ep_b = episodes.withColumn("__lo", lo).withColumn("__hi", hi).withColumn(
+        "__b", F.explode(F.sequence(tbucket(F.col("__lo")), tbucket(F.col("__hi"))))
     )
-    out = halo.groupBy(
-        "episode_id", "start_ts", "end_ts", "duration_s", "n_recoveries"
-    ).agg(F.max("severity").alias("max_severity_halo")).orderBy("episode_id")
+    ev_b = events.select(
+        "ts", "severity", tbucket(F.col("ts")).alias("__b")
+    )
+    halo_max = (
+        ep_b.join(
+            ev_b,
+            (ep_b["__b"] == ev_b["__b"])
+            & (F.col("ts") >= F.col("__lo"))
+            & (F.col("ts") <= F.col("__hi")),
+            "inner",
+        )
+        .groupBy("episode_id")
+        .agg(F.max("severity").alias("max_severity_halo"))
+    )
+    out = (
+        episodes.join(halo_max, "episode_id", "left")
+        .select(
+            "episode_id", "start_ts", "end_ts", "duration_s", "n_recoveries",
+            "max_severity_halo",
+        )
+        .orderBy("episode_id")
+    )
     return {"episodes": out}
 
 
