@@ -2925,15 +2925,25 @@ GROUP BY 1
 
 
 # The driver checks only the FIRST 50 registry entries per round, so the
-# window is curated per round (VERDICT r2 tasks 2-3): round 3 front-loads
-# the 27 entries the r1/r2 windows never reached (LLM-pipeline m/sim/t/c/
-# cl/mm/st families + f07/w10/l02/s04/s09/m07) plus the three rows that
-# were red in r2 (w05/d08/d10 — fixed this round, kept in-window to prove
-# it), plus one green representative per operator family for regression
-# cover. The 27 entries past position 50 all have a green driver row from
-# CORRECTNESS_r02 and stay pinned by scripts/check_oracle.py + CI.
+# window is curated per round (VERDICT r2 tasks 2-3; VERDICT r4 task 1):
+# round 5 front-loads the 6 round-4 additions (the only entries that have
+# never had a driver row), keeps every entry whose sole driver row is r4
+# (a second row proves stability), and closes with 6 headline reps
+# (q01/q03/q05/a05/a10/j03) for bench-query regression cover. Displaced
+# past the window this round: a06/f01/j06/w01/w08/t01 — each green in
+# r2+r3+r4 — which stay pinned by scripts/check_oracle.py + CI.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # -- driver window, part 1: previously-unchecked entries (27) --
+    # -- driver window, part 0: round-4 additions, first driver row (6) --
+    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
+    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
+    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
+    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
+    "a19_stats_report_grouping_sets": (
+        a19_stats_report_grouping_sets,
+        A19_SQL,
+    ),
+    # -- driver window, part 1: single-row (r4) entries (27) --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
@@ -2972,25 +2982,22 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w05_sessionization": (w05_sessionization, W05_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
     "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    # -- driver window, part 3: green family representatives (14) --
+    # -- driver window, part 3: single-row (r4) rotations + headline reps --
+    "t08_corpus_report": (t08_corpus_report, T08_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    # -- past the window: multi-round driver-green, pinned locally --
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "w01_value_drops": (w01_value_drops, W01_SQL),
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
-    # t08 added in round 3 past the window — rotated in (displacing
-    # s07_processes, green in r02 AND r03) so every registry entry has
-    # had a driver row; s07 stays pinned in scripts/check_oracle.py CI.
-    "t08_corpus_report": (t08_corpus_report, T08_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    # -- past the window: green in CORRECTNESS_r02/r03, pinned locally --
     "s07_processes": (s07_processes, S07_SQL),
     "j05_anti_join": (j05_anti_join, J05_SQL),
     "w06_burst_windows": (w06_burst_windows, W06_SQL),
@@ -3025,16 +3032,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
-    # -- round-4 additions (rotate into the window next round) --
-    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
-    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
-    "w11_ewma": (w11_ewma, W11_SQL),
-    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
-    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
-    "a19_stats_report_grouping_sets": (
-        a19_stats_report_grouping_sets,
-        A19_SQL,
-    ),
 }
 
 
