@@ -112,13 +112,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  CAST(SUM(CAST(FLOOR((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+  CAST(SUM(CAST(FLOOR((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+  CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+  CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(FLOOR((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(FLOOR((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(FLOOR((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -185,7 +185,7 @@ def a05_rollup_3600s(spark, sf_dir):
 A05_SQL = """
 SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS window_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS avg_value,
        MAX(value) AS max_value,
        quantile_cont(value, 0.95) AS p95_value
 FROM events GROUP BY 1, 2
@@ -205,7 +205,7 @@ A18_SQL = """
 SELECT ws AS window_seconds,
        CAST(FLOOR(epoch_us(ts) / 1000000.0 / ws) * ws AS BIGINT) AS window_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS avg_value,
        MAX(value) AS max_value,
        quantile_cont(value, 0.95) AS p95_value
 FROM events CROSS JOIN (SELECT unnest([60, 600, 3600]) AS ws) s
@@ -221,7 +221,7 @@ def a06_metric_baselines(spark, sf_dir):
 
 A06_SQL = """
 SELECT event_type,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS mean,
        ROUND(stddev_samp(value), 4) AS stddev,
        COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
        quantile_cont(value, 0.95) AS p95
@@ -302,7 +302,7 @@ def a14_summary_stats(spark, sf_dir):
 A14_SQL = """
 SELECT MAX(value) AS max_value,
        quantile_cont(value, 0.95) AS p95_value,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS mean_value,
        COUNT(*) AS n,
        epoch_us(MIN(ts)) AS first_ts_us, epoch_us(MAX(ts)) AS last_ts_us
 FROM events WHERE event_type = 'error'
@@ -507,7 +507,7 @@ def j01_equi_join(spark, sf_dir):
 
 J01_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
@@ -600,11 +600,11 @@ WITH ev AS (
   SELECT *, CAST(user_id % 3 AS VARCHAR) AS role FROM events
 ), per_role AS (
   SELECT event_type, role,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS baseline_mean
+         CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS baseline_mean
   FROM ev GROUP BY 1, 2 HAVING role = '0'
 ), all_rows AS (
   SELECT event_type, 'ALL' AS role,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS baseline_mean
+         CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS baseline_mean
   FROM ev GROUP BY 1
 ), baselines AS (SELECT * FROM per_role UNION ALL SELECT * FROM all_rows)
 SELECT p.event_id, p.event_type, p.role,
@@ -875,7 +875,7 @@ def q03_shipping_priority(spark, sf_dir):
 
 Q03_SQL = """
 SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -907,7 +907,7 @@ def q05_nation_revenue(spark, sf_dir):
 
 Q05_SQL = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -2566,7 +2566,7 @@ ST01_SQL = """
 WITH roll AS (
   SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS window_start,
          event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+         CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value) AS avg_value,
          MAX(value) AS max_value
   FROM events GROUP BY 1, 2
 )
