@@ -296,19 +296,50 @@ def recovery_loop(
     window_seconds: float = 60,
     start_time=None,
     end_time=None,
+    bucket_seconds: float | None = None,
 ) -> dict[str, DataFrame]:
     """D4 — count sliding windows of `threshold` MasterRecoveryState
     events within `window_seconds` (reference: detectors.py:176-203; note
     the reference's ``range(len - threshold)`` skips the final window —
     we count all of them, a strict superset that can only raise
     loop_count by one).
+
+    The lag runs inside coarse time buckets (``bucket_seconds``, default
+    16x the detection window) with a one-``window_seconds`` halo of the
+    previous bucket's tail replicated in, so no task ever holds the whole
+    (rare but data-dependent) recovery stream. This is exactly the global
+    computation: a native row's within-bucket ``lag(k)`` equals the global
+    ``lag(k)`` whenever that row lies at or after ``bucket_start -
+    window_seconds``; when the true lag row is older the in-bucket lag is
+    NULL (the bucket+halo is a contiguous range of the global order, so
+    fewer than k predecessors exist in it) and the true span necessarily
+    exceeds ``window_seconds`` — excluded from the count either way.
     """
     recs = _time_filter(
         events.filter(F.col("event") == "MasterRecoveryState"), start_time, end_time
     ).select("ts", "event_id")
-    w = Window.orderBy("ts", "event_id")
+    if bucket_seconds is None:
+        bucket_seconds = 16 * window_seconds
+    if bucket_seconds < window_seconds:
+        raise ValueError("bucket_seconds must be >= window_seconds (one-bucket halo)")
+    bs_us = int(round(bucket_seconds * 1_000_000))
+    win_us = int(round(window_seconds * 1_000_000))
+    us = F.unix_micros(F.col("ts"))
+    bkt = F.expr(f"unix_micros(ts) div {bs_us}L")
+    native = recs.withColumn("__b", bkt).withColumn("__native", F.lit(True))
+    halo = (
+        recs.withColumn("__b", bkt + 1)
+        .withColumn("__native", F.lit(False))
+        .filter(us >= (bkt + 1) * F.lit(bs_us) - F.lit(win_us))
+    )
+    w = Window.partitionBy("__b").orderBy("ts", "event_id")
     span = F.col("ts").cast("double") - F.lag("ts", threshold - 1).over(w).cast("double")
-    flagged = recs.withColumn("span", span)
+    flagged = (
+        native.unionByName(halo)
+        .withColumn("span", span)
+        .filter(F.col("__native"))
+        .drop("__b", "__native")
+    )
     summary = flagged.agg(
         (F.count_if(F.col("span") <= window_seconds) > 0).alias("detected"),
         F.count_if(F.col("span") <= window_seconds).alias("loop_count"),

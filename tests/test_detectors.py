@@ -178,3 +178,32 @@ def test_baseline_window_anomalies(spark, log_events):
     )["anomalies"]
     # the 1.2M lag bucket deviates wildly from the ~100 baseline
     assert out.filter(F.col("metric") == "VersionLag").count() >= 1
+
+
+def test_recovery_loop_bucketed_equals_global(spark):
+    # A recovery stream that straddles several bucket boundaries, with
+    # bursts placed exactly on / just inside / just outside the halo edge,
+    # must count identically to the single-partition global lag.
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    offsets = [
+        0, 10, 20,            # burst inside bucket 0
+        95, 100, 105,         # burst straddling the 100s bucket boundary
+        195, 200, 260,        # spans boundary, last gap exactly 60s window
+        299, 301, 360,        # straddles boundary, gap > window
+        400, 700, 1000,       # sparse - never within window
+    ]
+    rows = [
+        (base + datetime.timedelta(seconds=o), f"e{i:03d}", "MasterRecoveryState")
+        for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_id string, event string")
+    bucketed = D.recovery_loop(
+        df, threshold=3, window_seconds=60, bucket_seconds=100
+    )["summary"].collect()[0]
+    glob = D.recovery_loop(
+        df, threshold=3, window_seconds=60, bucket_seconds=10**9
+    )["summary"].collect()[0]
+    assert bucketed.asDict() == glob.asDict()
+    assert bucketed.loop_count == 3  # spans 20s, 10s, 41s; the 41s one crosses a boundary
