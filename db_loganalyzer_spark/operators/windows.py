@@ -4,8 +4,13 @@ The reference walks Python lists ordered by ts; here each becomes a Spark
 window function. Every operator takes ``partition_by`` — at test scale a
 global order (no partitions) reproduces the reference exactly; at 100 TB
 you partition by a natural stream key (machine/trace_file/user) so no
-single task holds the whole ordering. See ``stitched`` variants' notes for
-the boundary-merge strategy when a truly global order is unavoidable.
+single task holds the whole ordering. When a truly global order is
+unavoidable, use the ``*_stitched`` variants below: they range-shuffle on
+the total order, run the window inside each range partition, and stitch
+the partition boundaries with per-partition carry values (last non-null /
+last row / session offsets) collected driver-side — one tiny row per
+partition, the same machinery as ``severity_first_ranking``'s unbounded
+rank. Output is bit-identical to the single-partition window.
 """
 
 from __future__ import annotations
@@ -294,6 +299,184 @@ def severity_first_ranking(
     return (
         with_pid.withColumn("rank", (F.row_number().over(w) + off_expr).cast("long"))
         .drop("__pid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stitched global-order variants (W1-W3, W5 with no partition key).
+#
+# Shared recipe: repartitionByRange on the total order + sortWithinPartitions
+# + localCheckpoint (pinning ONE physical partitioning — the RangePartitioner
+# re-samples per execution otherwise, exactly the severity_first_ranking
+# hazard), then a per-range-partition window plus a boundary carry computed
+# from a collected per-partition summary (one row per partition). Every
+# stage is parallel; the driver only ever sees #partitions rows.
+# ---------------------------------------------------------------------------
+
+
+def _range_sorted(df: DataFrame, ts_col: str, tiebreak: str | None, num_partitions: int | None):
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    part = part.sortWithinPartitions(*order).localCheckpoint(eager=True)
+    return part.withColumn("__pid", F.spark_partition_id()), order
+
+
+def _pid_map(pairs: dict[int, object], value_type: str):
+    """A literal pid -> value lookup column (NULL for absent pids)."""
+    if not pairs:
+        return F.lit(None).cast(value_type)
+    entries = [x for pid, v in pairs.items() for x in (F.lit(pid), F.lit(v).cast(value_type))]
+    return F.element_at(F.create_map(*entries), F.col("__pid"))
+
+
+def _last_value_carry(part: DataFrame, order, value_col: str, nonnull_only: bool):
+    """pid -> value to carry INTO each partition: the last (by total order)
+    value among all EARLIER partitions; last non-null when nonnull_only."""
+    src = part.filter(F.col(value_col).isNotNull()) if nonnull_only else part
+    tail = (
+        src.groupBy("__pid")
+        .agg(F.max(F.struct(*order, F.col(value_col).alias("__v"))).alias("__s"))
+        .select("__pid", F.col("__s.__v").alias("__v"))
+        .collect()
+    )
+    lasts = {r["__pid"]: r["__v"] for r in tail}
+    # carry[pid] = last value of the nearest earlier partition that has one.
+    # A NULL carry (plain-lag mode, predecessor's last value is NULL) and an
+    # absent carry (no predecessor rows at all) both surface as NULL
+    # prev_value downstream, so None entries are simply dropped.
+    carry, running, seen = {}, None, False
+    for pid in range(part.rdd.getNumPartitions()):
+        if seen and running is not None:
+            carry[pid] = running
+        if pid in lasts:
+            running, seen = lasts[pid], True
+    return carry
+
+
+def _stitched_prev(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    tiebreak: str | None,
+    num_partitions: int | None,
+    nonnull_only: bool,
+):
+    """df + global ``prev_value`` (last non-null before each row when
+    ``nonnull_only``, else plain lag-1), computed without any
+    single-partition window."""
+    part, order = _range_sorted(df, ts_col, tiebreak, num_partitions)
+    vtype = dict(df.dtypes)[value_col]
+    carry = _pid_map(_last_value_carry(part, order, value_col, nonnull_only), vtype)
+    w = Window.partitionBy("__pid").orderBy(*order)
+    if nonnull_only:
+        local_prev = F.last(F.col(value_col), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.coalesce(local_prev, carry)
+    else:
+        rn = F.row_number().over(w)
+        prev = F.when(rn == 1, carry).otherwise(F.lag(F.col(value_col)).over(w))
+    return part.withColumn("prev_value", prev).drop("__pid")
+
+
+def value_drops_stitched(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W1 over a truly global order, no single-partition window."""
+    out = _stitched_prev(df, value_col, ts_col, tiebreak, num_partitions, True)
+    return out.filter(
+        F.col(value_col).isNotNull()
+        & F.col("prev_value").isNotNull()
+        & (F.col(value_col) < F.col("prev_value"))
+    ).withColumn("drop_amount", F.col("prev_value") - F.col(value_col))
+
+
+def value_resets_stitched(
+    df: DataFrame,
+    value_col: str,
+    high: float,
+    low: float,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W2 over a truly global order."""
+    out = _stitched_prev(df, value_col, ts_col, tiebreak, num_partitions, True)
+    return out.filter((F.col("prev_value") > high) & (F.col(value_col) < low))
+
+
+def lag_regressions_stitched(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W3 over a truly global order."""
+    out = _stitched_prev(df, value_col, ts_col, tiebreak, num_partitions, False)
+    return out.filter(
+        F.col("prev_value").isNotNull() & (F.col(value_col) < F.col("prev_value"))
+    ).withColumn("drop_amount", F.col("prev_value") - F.col(value_col))
+
+
+def sessionize_stitched(
+    df: DataFrame,
+    gap_seconds: float,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W5 over a truly global order: per-partition gaps-and-islands plus a
+    driver-stitched boundary — whether each partition's first row opens a
+    new session depends on the previous partition's last ts, and each
+    partition's session ids shift by the total sessions opened before it.
+    """
+    part, order = _range_sorted(df, ts_col, tiebreak, num_partitions)
+    w = Window.partitionBy("__pid").orderBy(*order)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    g = part.withColumn("__gap", gap)
+    summaries = {
+        r["__pid"]: r
+        for r in g.groupBy("__pid")
+        .agg(
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+            F.count_if(F.col("__gap") > gap_seconds).alias("n_internal"),
+        )
+        .collect()
+    }
+    first_new, offsets = {}, {}
+    acc, prev_last = 0, None
+    for pid in range(part.rdd.getNumPartitions()):
+        s = summaries.get(pid)
+        if s is None:
+            continue
+        opens = (
+            prev_last is None
+            or (s["first_ts"].timestamp() - prev_last.timestamp()) > gap_seconds
+        )
+        first_new[pid] = opens
+        offsets[pid] = acc
+        acc += s["n_internal"] + (1 if opens else 0)
+        prev_last = s["last_ts"]
+    rn = F.row_number().over(w)
+    is_new = F.when(
+        rn == 1, _pid_map(first_new, "boolean").cast("int")
+    ).otherwise((F.col("__gap") > gap_seconds).cast("int"))
+    local = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        g.withColumn(
+            "session_id", (_pid_map(offsets, "long") + local - F.lit(1)).cast("long")
+        )
+        .drop("__gap", "__pid")
     )
 
 

@@ -59,3 +59,71 @@ def test_first_matching(spark):
     df = _df(spark, [(0, 1.0), (1, 50.0), (2, 60.0)])
     out = W.first_matching(df, F.col("value") >= 50).collect()
     assert len(out) == 1 and out[0].event_id == 1
+
+
+# ---------------------------------------------------------------------------
+# Stitched global-order variants: must be bit-identical to the single-
+# partition global window at >= 2 range partitions, including null runs,
+# ts ties, and partitions whose carry must skip over all-null predecessors.
+# ---------------------------------------------------------------------------
+
+
+def _wide_df(spark, n=120, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # ts ties every ~4 rows; ~1/3 null values; long null runs at 40-60
+        s = (i // 4) * 3
+        v = None if (40 <= i < 60 or rng.random() < 0.33) else float(rng.randint(0, 50))
+        rows.append((i, datetime(2024, 1, 1, 0, 0, 0), v, s))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double, off long"
+    ).withColumn("ts", F.timestamp_add("SECOND", F.col("off"), F.col("ts"))).drop("off")
+    return df
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def test_value_drops_stitched_matches_global(spark):
+    df = _wide_df(spark)
+    glob = W.value_drops(df, "value")
+    st = W.value_drops_stitched(df, "value", num_partitions=5)
+    # the window really runs across multiple range partitions
+    part, _ = W._range_sorted(df, "ts", "event_id", 5)
+    assert part.rdd.getNumPartitions() >= 2
+    assert _sorted_rows(st) == _sorted_rows(glob)
+
+
+def test_value_resets_stitched_matches_global(spark):
+    df = _wide_df(spark, seed=11)
+    glob = W.value_resets(df, "value", high=40.0, low=10.0)
+    st = W.value_resets_stitched(df, "value", high=40.0, low=10.0, num_partitions=6)
+    assert _sorted_rows(st) == _sorted_rows(glob)
+
+
+def test_lag_regressions_stitched_matches_global(spark):
+    df = _wide_df(spark, seed=13)
+    glob = W.lag_regressions(df, "value")
+    st = W.lag_regressions_stitched(df, "value", num_partitions=5)
+    assert _sorted_rows(st) == _sorted_rows(glob)
+
+
+def test_sessionize_stitched_matches_global(spark):
+    df = _wide_df(spark, seed=17)
+    glob = W.sessionize(df, gap_seconds=2)
+    st = W.sessionize_stitched(df, gap_seconds=2, num_partitions=5)
+    assert _sorted_rows(st) == _sorted_rows(glob)
+
+
+def test_sessionize_stitched_boundary_continuation(spark):
+    # One long session spanning every partition: all ids must stay 0.
+    df = _df(spark, [(i, 1.0) for i in range(0, 40, 2)])
+    st = W.sessionize_stitched(df, gap_seconds=5, num_partitions=4)
+    assert {r.session_id for r in st.collect()} == {0}
