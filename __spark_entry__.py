@@ -1128,7 +1128,9 @@ def m03_minhash_lsh_dedup(spark, sf_dir):
 # mod 1e9+7 per shingle; sig[k] = min over shingles of (2k+1)·H + (10007k
 # + 12345) mod p; band bucket = fold(0, 31·acc + v) mod p over the band's
 # 2 signature values; candidates = same (band, bucket); verify = exact
-# Jaccard >= 0.12 (m02's machinery).
+# Jaccard >= 0.12 over the DISTINCT SHINGLE-HASH sets — the hash family
+# is shared between engines, so both see identical sets (equal to
+# string-set Jaccard absent a 31-bit collision, where they still agree).
 M03_SQL = r"""
 WITH base AS (
   SELECT doc_id,
@@ -1161,7 +1163,7 @@ WITH base AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ), sh AS (
-  SELECT doc_id AS id, unnest(gs) AS shingle FROM grams
+  SELECT doc_id AS id, unnest(list_distinct(hs)) AS shingle FROM gh
 ), sizes AS (
   SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (

@@ -53,6 +53,18 @@ def portable_hash(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition to the session's parallelism when the input scan
+    yields fewer partitions — a small corpus arrives as one parquet split
+    and would otherwise run every CPU-bound hashing projection on one
+    core. At real scale the scan already has >= parallelism partitions
+    and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(c: Column | str) -> Column:
     """lowercase, collapse whitespace, trim (reference M2,
     cluster_code_coverage.py:33-47)."""
@@ -107,6 +119,70 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     )
 
 
+def _token_hash_pows(toks: Column) -> Column:
+    """Per token, ``struct(p, w)`` = (raw polynomial hash with init 0,
+    131^len(token) mod p) — both in ONE pass over the token's characters.
+    These are the two quantities polynomial hashes compose from:
+    ``H(s1 || s2) = (H(s1) * w(s2) + p(s2)) mod p``."""
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.struct(F.lit(0).cast("long").alias("p"), F.lit(1).cast("long").alias("w")),
+            lambda acc, ch: F.struct(
+                ((acc["p"] * 131 + F.ascii(ch)) % _PMOD).alias("p"),
+                ((acc["w"] * 131) % _PMOD).alias("w"),
+            ),
+        ),
+    )
+
+
+def shingle_hashes_from_tp(tp: Column, n: int) -> Column:
+    """Compose the n-gram hashes from a MATERIALIZED ``_token_hash_pows``
+    column. ``tp`` must be a bound column (attribute), not an expression:
+    HOF lambdas get no common-subexpression elimination, so an inline
+    expression here would be re-evaluated for every ``element_at`` — an
+    O(chars x shingles) blowup (measured 8x the whole pipeline). Against
+    an attribute each ``element_at`` is O(1) array indexing."""
+
+    def one(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(7).cast("long"),
+            lambda acc, k: (
+                F.when(k > 0, (acc * 131 + 32) % _PMOD).otherwise(acc)
+                * F.element_at(tp, i + k + 1)["w"]
+                + F.element_at(tp, i + k + 1)["p"]
+            )
+            % _PMOD,
+        )
+
+    grams = F.transform(F.sequence(F.lit(0), F.size(tp) - n), one)
+    return F.when(F.size(tp) >= n, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def shingle_hashes(c: Column | str, n: int) -> Column:
+    """``portable_hash`` of every word n-gram of the normalized text,
+    WITHOUT materializing the n-gram strings: each token's characters are
+    folded once (``_token_hash_pows``), then each shingle's hash is
+    composed from n (hash, power) pairs plus the ``" "`` separator
+    (codepoint 32) — O(chars + n*shingles) instead of O(n*chars), with no
+    string slicing/joining. Bit-identical to
+    ``transform(word_shingles(c, n), portable_hash)`` up to multiplicity:
+    positions are kept (MinHash takes array_min, for which the duplicate
+    strings array_distinct would drop are irrelevant).
+
+    One-shot convenience for tests/small frames: inlines the token pass,
+    which re-evaluates per reference (see ``shingle_hashes_from_tp``) —
+    in a hot path project ``_token_hash_pows`` into its own column first,
+    as ``minhash_signatures`` does."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(normalize_text(col), " ")
+    return shingle_hashes_from_tp(_token_hash_pows(toks), n)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -129,6 +205,7 @@ def ngram_jaccard_pairs(
     exact Jaccard over that vocabulary (discriminative shingles), not an
     estimate of the uncapped value. Default None keeps the exact
     semantics the DuckDB oracle checks."""
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
@@ -184,39 +261,55 @@ def minhash_signatures(
     projection so the num_hashes per-seed expressions reference a column,
     not num_hashes inlined copies of the whole normalize/split/shingle
     chain — keeps the expression tree (and codegen time) linear in
-    num_hashes."""
-    grams_df = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
-    )
+    num_hashes. The portable branch never builds shingle strings at all:
+    ``shingle_hashes_from_tp`` composes each n-gram's hash from
+    once-folded per-token hashes.
+
+    Documents too short to have any shingle are dropped by a CHEAP
+    pre-filter on the token count, never by ``filter(signature IS NOT
+    NULL)``: a predicate on the signature column gets pushed through the
+    projections (and the repartition) to the scan with the whole
+    signature expression inlined — the entire pipeline re-computed per
+    row as a single-partition filter. That anti-pattern was measured at
+    8x the cost of the signatures themselves."""
+    toks = F.split(normalize_text(text_col), " ")
+    df = _spread(df.filter(F.size(toks) >= n))
     if hash_family == "xxhash64":
-        grams = F.col("grams")
+        grams_df = df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
+        )
         sig = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: F.array_min(
-                F.transform(grams, lambda g: F.xxhash64(g, i))
+                F.transform(F.col("grams"), lambda g: F.xxhash64(g, i))
             ),
         )
+        # the size() guard is always true (pre-filter) but adds a second
+        # reference to `grams`, which stops CollapseProject from inlining
+        # the shingle expression into the per-seed lambda (where it would
+        # be re-evaluated num_hashes times per row)
         return grams_df.select(
-            "id",
-            F.when(F.size(grams) > 0, sig).alias("signature"),
-        ).filter(F.col("signature").isNotNull())
-    hs_df = grams_df.select(
-        "id",
-        F.transform("grams", lambda g: portable_hash(g)).alias("hs"),
+            "id", F.when(F.size("grams") > 0, sig).alias("signature")
+        )
+    tp_df = df.select(
+        F.col(id_col).alias("id"), _token_hash_pows(toks).alias("tp")
     )
-    hs = F.col("hs")
+    hs_df = tp_df.select(
+        "id", shingle_hashes_from_tp(F.col("tp"), n).alias("hs")
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                hs, lambda h: ((2 * i + 1) * h + (10007 * i + 12345)) % _PMOD
+                F.col("hs"),
+                lambda h: ((2 * i + 1) * h + (10007 * i + 12345)) % _PMOD,
             )
         ),
     )
-    return hs_df.select(
-        "id",
-        F.when(F.size(hs) > 0, sig).alias("signature"),
-    ).filter(F.col("signature").isNotNull())
+    # always-true size() guard = second reference to `hs`: keeps
+    # CollapseProject from inlining the shingle-hash expression into the
+    # per-seed lambda (num_hashes re-evaluations per row otherwise)
+    return hs_df.select("id", F.when(F.size("hs") > 0, sig).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -285,12 +378,30 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> verify candidates with EXACT n-gram Jaccard (join back to the
-    shingle sets only for candidates). Returns verified pairs >= threshold."""
+    shingle sets only for candidates). Returns verified pairs >= threshold.
+
+    The portable family verifies over the DISTINCT SHINGLE-HASH sets
+    rather than the shingle strings: the hash family is shared with the
+    oracle SQL, so both engines see the same sets, and Jaccard over them
+    equals string-set Jaccard except under a 31-bit hash collision inside
+    one candidate pair (~|shingles|^2 / 2e9 per doc — negligible, and
+    both engines agree even then). Skipping string materialization
+    (slice + array_join per shingle) halves the verify stage's cost."""
     sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_family)
     cands = minhash_lsh_candidates(sigs, bands, hash_family)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
+    if hash_family == "portable":
+        toks = F.split(normalize_text(text_col), " ")
+        tp_df = _spread(df.filter(F.size(toks) >= n)).select(
+            F.col(id_col).alias("id"), _token_hash_pows(toks).alias("tp")
+        )
+        sh = tp_df.select(
+            "id",
+            F.array_distinct(shingle_hashes_from_tp(F.col("tp"), n)).alias("sh"),
+        )
+    else:
+        sh = _spread(df).select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+        )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -324,7 +435,7 @@ def simhash(
     Implemented as an explode + single groupBy with one conditional sum
     per bit — one shuffle keyed by doc id; near-dup = small Hamming
     distance (use bit_count(x ^ y) on candidate pairs)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(normalize_text(text_col), " "))

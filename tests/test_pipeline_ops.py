@@ -557,3 +557,35 @@ def test_corpus_report_rollup(spark):
     assert web.total_chars == len(rows[0][1]) + len(rows[1][1])
     books = out[("books", "en")]
     assert books.n_docs == 1 and books.n_kept == 1 and books.keep_rate == 1.0
+
+
+def test_shingle_hashes_compose_to_portable_hash(spark):
+    """The compositional per-token path must produce exactly the hash
+    values of portable_hash over the materialized n-gram strings (up to
+    multiplicity — MinHash only consumes the value set via array_min)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a",),
+        ("one two three four five",),
+        ("  Mixed   CASE  and\tspacing  ",),
+        ("repeat repeat repeat repeat",),
+        ("unicode café naïve 中文 token",),
+        ("",),
+        ("short",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (1, 2, 3):
+        got = df.select(
+            F.sort_array(F.array_distinct(DD.shingle_hashes("text", n))).alias("h")
+        ).collect()
+        want = df.select(
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(
+                        DD.word_shingles("text", n), lambda g: DD.portable_hash(g)
+                    )
+                )
+            ).alias("h")
+        ).collect()
+        assert [r.h for r in got] == [r.h for r in want], f"n={n}"
