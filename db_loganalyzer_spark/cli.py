@@ -95,7 +95,16 @@ def handle_load(args) -> int:
         events.write.mode(args.mode).saveAsTable("events")
         print(f"loaded {spark.table('events').count()} preprocessed events")
         return 0
-    tables = ingest(spark, paths)
+    # appending into a populated DB: continue event_ids past the current
+    # max so ids stay unique across CLI invocations (the reference tracks
+    # the DB's max id the same way, cli_wrapper/main.py:296-301)
+    id_offset = 0
+    if args.mode == "append" and spark.catalog.tableExists("events"):
+        from pyspark.sql import functions as F
+
+        cur = spark.table("events").agg(F.max("event_id")).first()[0]
+        id_offset = (cur or 0) + 1
+    tables = ingest(spark, paths, id_offset)
     for name, df in tables.items():
         df.write.mode(args.mode).saveAsTable(name)
         print(f"{name}: {spark.table(name).count()} rows")
