@@ -1,0 +1,330 @@
+"""Scenario-level integration tests against the reference's ground-truth
+diagnosis docs (VERDICT r4 item 3).
+
+Each scenario synthesizes a FIXTURES.md-shaped log stream mirroring a
+reference problem family and asserts that THIS engine's detectors,
+timeline, and phased investigation loop (stub LLM) surface exactly the
+evidence the corresponding ground-truth doc names:
+
+- CloggedSideband  (reference rag-corpus/problem-summary/
+  problem_CloggedSideband.md — Cluster 7 commit_proxy_pipeline_crash):
+  proxy throughput, relocation-cancellation storm, CommitProxyTerminated
+  BEFORE MasterTerminated (the doc's key timing pattern), recovery with
+  the known-cause CodeCoverage comment attributed.
+- ClogWithRollbacks (problem_ClogWithRollbacks.md — Cluster 0
+  recovery_restart_cascade): repeated recovery windows that never reach
+  fully_recovered, FileOpenError attributed as each window's cause,
+  rollback version-drops, and the loop's metrics-over-event-names
+  confidence rule pushing the stub LLM off the "file not found" red
+  herring the doc warns about.
+"""
+
+import datetime as dt
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.agentic import PhasedInvestigationAgent, build_rag_query
+from db_loganalyzer_spark.agentic.timeline import build_timeline
+from db_loganalyzer_spark.detectors import detectors as D
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+SCHEMA = (
+    "event_id long, ts timestamp, severity int, event string, role string,"
+    "machine_id string, fields map<string,string>"
+)
+
+
+def _ev(i, t, sev, event, role, fields, machine="2.0.1.0:1"):
+    return (i, T0 + dt.timedelta(seconds=t), sev, event, role, machine, fields)
+
+
+# ---------------------------------------------------------------------------
+# CloggedSideband — Cluster 7 commit_proxy_pipeline_crash
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clogged_sideband(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    # T+0..2s: healthy commit pipeline — proxies emitting throughput,
+    # CommittedVersion advancing (problem_CloggedSideband.md "T+0s")
+    v = 5_000_000
+    for k in range(4):
+        t = 0.5 * k
+        v += 1_000_000
+        add(t, 10, "ProxyMetrics", "CP", {
+            "TxnCommitOut": "52.5",
+            "CommitBatchOut": "12.0",
+            "CommittedVersion": str(v),
+            "LastAssignedCommitVersion": str(v + 500_000),
+        }, machine=f"2.0.1.{k % 3}:1")
+    # T+2-5s: RelocateShard / FetchKeys cancellation storm (secondary
+    # stress, explicitly NOT the root cause per the doc)
+    for k in range(12):
+        t = 2.0 + 0.25 * k
+        ev = "RelocateShard_StartMoveKeys" if k % 2 == 0 else "FetchKeys"
+        add(t, 20, ev, "DD" if k % 2 == 0 else "SS",
+            {"Error": "operation_cancelled", "ErrorCode": "1101"})
+    # T+6-10s: commit batch output decays, versions plateau
+    for k in range(4):
+        t = 6.0 + 1.0 * k
+        add(t, 10, "ProxyMetrics", "CP", {
+            "TxnCommitOut": str(12.0 - 4 * k if k < 3 else 0.0),
+            "CommitBatchOut": "0.5",
+            "CommittedVersion": str(v),  # no longer advancing
+            "LastAssignedCommitVersion": str(v + 2_500_000),
+        })
+    # T+10-11s: the pipeline breaks — proxy first, master as REACTION
+    add(10.2, 40, "CommitProxyTerminated", "CP", {"Error": "please_reboot"})
+    add(10.5, 40, "ResolverTerminated", "RV", {"Error": "please_reboot"})
+    add(11.0, 40, "MasterTerminated", "MS", {"Reason": "commit pipeline failure"})
+    add(11.2, 10, "CodeCoverage", None,
+        {"Comment": "Terminated due to commit proxy failure", "File": "Proxy.cpp"})
+    # T+11.5s on: full recovery walk
+    for k, code in enumerate([0, 2, 3, 7, 9, 11, 14]):
+        add(11.5 + 0.25 * k, 30, "MasterRecoveryState", "MS",
+            {"StatusCode": str(code)})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sideband_proxy_terminates_before_master(spark, clogged_sideband):
+    # problem_CloggedSideband.md "Key timing patterns": CommitProxyTerminated
+    # preceding MasterTerminated identifies proxy pipeline failure as root
+    sev40 = (
+        clogged_sideband.filter(F.col("severity") >= 40)
+        .orderBy("ts", "event_id")
+        .select("event")
+        .collect()
+    )
+    assert [r.event for r in sev40][:2] == [
+        "CommitProxyTerminated",
+        "ResolverTerminated",
+    ]
+    assert [r.event for r in sev40].index("MasterTerminated") > 0
+
+
+def test_sideband_recovery_cause_is_proxy_failure(spark, clogged_sideband):
+    # D11 must attribute every recovery event in the episode to the
+    # known-cause CodeCoverage comment (recovery_detector.py semantics)
+    recs = D.detect_recoveries(clogged_sideband)["recoveries"].collect()
+    assert len(recs) == 7
+    assert [r.state_name for r in recs] == [
+        "reading_coordinated_state",
+        "recruiting_proxies",
+        "reading_transaction_system_state",
+        "recruiting_transaction_servers",
+        "recovery_transaction",
+        "accepting_commits",
+        "fully_recovered",
+    ]
+    assert all(r.cause == "Terminated due to commit proxy failure" for r in recs)
+
+
+def test_sideband_single_recovery_episode(spark, clogged_sideband):
+    eps = D.recovery_episodes(clogged_sideband)["episodes"].collect()
+    assert len(eps) == 1
+    assert eps[0].n_recoveries == 7
+
+
+def test_sideband_timeline_story(spark, clogged_sideband):
+    tl = build_timeline(clogged_sideband)
+    # earliest >=30-severity event is the proxy termination, not the
+    # relocation noise (the doc's false-positive guidance)
+    assert tl["timeline"][0]["event"] == "CommitProxyTerminated"
+    notes = [item["note"] for item in tl["timeline"]]
+    assert "Recovery activity begins" in notes
+
+
+def test_sideband_phased_loop_surfaces_evidence(spark, clogged_sideband):
+    prompts, rag_queries = [], []
+
+    def llm(prompt):
+        prompts.append(prompt)
+        return json.dumps({
+            "hypothesis": (
+                "CLUSTER 7 commit_proxy_pipeline_crash: commit pipeline "
+                "broke first; relocations are downstream symptoms"
+            ),
+            "confidence": 0.85,
+            "reasoning": "proxy terminated before master; recovery follows",
+        })
+
+    def rag(query):
+        rag_queries.append(query)
+        return "problem_CloggedSideband.md: pipeline collapse is root cause"
+
+    agent = PhasedInvestigationAgent(llm, rag=rag, max_iterations=6)
+    res = agent.investigate(
+        clogged_sideband, "What is the root cause of this incident?"
+    )
+    assert res.confidence >= 0.8
+    assert "commit_proxy_pipeline_crash" in res.hypothesis
+    # phase A tools + phase B detector suite all ran
+    for tool in (
+        "scanner.recovery_episodes",
+        "detectors.recovery_loop",
+        "detectors.zscore_hotspots",
+        "context.context_window",
+    ):
+        assert tool in res.tools_used, tool
+    # the LLM saw the knowledge base AND the recovery evidence
+    assert "CLUSTER" in prompts[0]
+    assert "recovery_episodes" in prompts[0]
+    assert "MasterRecoveryState" in prompts[0] or "Recovery" in prompts[0]
+    # the RAG query advertises what the detectors actually found
+    assert any("recovery" in q.lower() for q in rag_queries)
+
+
+# ---------------------------------------------------------------------------
+# ClogWithRollbacks — Cluster 0 recovery_restart_cascade
+# ---------------------------------------------------------------------------
+
+WINDOW_STARTS = [0.0, 90.0, 180.0]  # >60s apart => separate episodes
+
+
+@pytest.fixture(scope="module")
+def clog_with_rollbacks(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    for w in WINDOW_STARTS:
+        # the doc's per-window sequence: recruit failure -> missing
+        # logqueue files -> retry -> recovery walk that never completes
+        add(w + 0.0, 20, "RecruitStorageNotAvailable", "CC",
+            {"Error": "no_more_servers", "ErrorCode": "1008"})
+        add(w + 2.0, 40, "FileOpenError", "SS",
+            {"Error": "file_not_found",
+             "File": "/simfdb/.../logqueue-V_7-5168af5e1e29-1.fdq"})
+        add(w + 2.5, 20, "ClusterRecoveryRetrying", "CC",
+            {"Error": "no_more_servers"})
+        for k, code in enumerate([0, 1, 2, 3, 7]):  # stuck at recruiting
+            add(w + 3.0 + 1.0 * k, 30, "MasterRecoveryState", "MS",
+                {"StatusCode": str(code)})
+        # Cluster 6 monitoring snapshots (secondary, not root cause)
+        add(w + 10.0, 30, "SlowSSLoopx100", "SS", {"Elapsed": "7"})
+    # rollback workload: committed version drops + one large->small reset
+    versions = [8_000_000, 9_000_000, 3_000_000, 4_000_000, 2_000_000,
+                5_000_000, 900_000]
+    for k, ver in enumerate(versions):
+        add(200.0 + k, 10, "ProxyMetrics", "CP",
+            {"CommittedVersion": str(ver), "DurableVersion": str(ver - 50_000)})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rec_times():
+    return sorted(
+        w + 3.0 + 1.0 * k for w in WINDOW_STARTS for k in range(5)
+    )
+
+
+def test_rollbacks_recovery_loop_detected(spark, clog_with_rollbacks):
+    s = D.recovery_loop(clog_with_rollbacks, threshold=3, window_seconds=60)[
+        "summary"
+    ].collect()[0]
+    # brute-force oracle over the synthesized recovery timestamps
+    ts = _rec_times()
+    expected = sum(1 for j in range(2, len(ts)) if ts[j] - ts[j - 2] <= 60)
+    assert s.detected
+    assert s.loop_count == expected
+
+
+def test_rollbacks_three_episodes_never_recovered(spark, clog_with_rollbacks):
+    eps = D.recovery_episodes(clog_with_rollbacks)["episodes"].collect()
+    assert len(eps) == len(WINDOW_STARTS)
+    assert all(e.n_recoveries == 5 for e in eps)
+    recs = D.detect_recoveries(clog_with_rollbacks)["recoveries"].collect()
+    states = {r.state_name for r in recs}
+    # stuck in recruiting_transaction_servers, never fully_recovered —
+    # the doc: "recovery state stuck in recruiting_transaction_servers"
+    assert "recruiting_transaction_servers" in states
+    assert "fully_recovered" not in states
+
+
+def test_rollbacks_cause_attributed_to_file_open_error(spark, clog_with_rollbacks):
+    recs = D.detect_recoveries(clog_with_rollbacks)["recoveries"].collect()
+    by_ts = sorted(recs, key=lambda r: r.recovery_ts)
+    # first recovery of each window is within 5s of that window's
+    # FileOpenError; the fail-name tier must attribute it
+    for w_idx in range(len(WINDOW_STARTS)):
+        first = by_ts[w_idx * 5]
+        assert first.cause == "Detected failure event: FileOpenError", first
+
+
+def test_rollbacks_version_rollback_detected(spark, clog_with_rollbacks):
+    s = D.rollback_analysis(clog_with_rollbacks)["summary"].collect()[0]
+    assert s.detected
+    assert s.num_drops >= 2  # committed 9M->3M, 4M->2M, 5M->0.9M + durable
+    assert s.num_resets >= 1  # 5M -> 0.9M crosses the 1M reset line
+
+
+def test_rollbacks_loop_rejects_file_not_found_red_herring(
+    spark, clog_with_rollbacks
+):
+    """The doc's interpretation guidance: FileOpenError lines alone are not
+    the diagnosis — the loop's L4 rule must cap an event-name hypothesis
+    and accept the metrics-grounded recovery-cascade hypothesis."""
+    prompts = []
+    responses = [
+        {
+            # red herring: chases the literal "file not found" log line
+            "hypothesis": "Root cause is the file not found errors",
+            "confidence": 0.9,
+            "reasoning": "FileOpenError appears before each recovery",
+        },
+        {
+            "hypothesis": (
+                "CLUSTER 0 recovery_restart_cascade: storage recruitment "
+                "fails every window, recovery never completes"
+            ),
+            "confidence": 0.75,  # +0.1 metric-focus boost => 0.85
+            "reasoning": (
+                "storage pressure metrics and SlowSSLoop degradation recur "
+                "across all recovery windows; versions roll back"
+            ),
+        },
+    ]
+
+    def llm(prompt):
+        prompts.append(prompt)
+        idx = min(len(prompts) - 1, len(responses) - 1)
+        return json.dumps(responses[idx])
+
+    agent = PhasedInvestigationAgent(llm, max_iterations=8)
+    res = agent.investigate(
+        clog_with_rollbacks, "Why does recovery keep restarting?"
+    )
+    # first answer was capped below the threshold (0.9 -> 0.4), so the
+    # loop kept going and accepted the cascade hypothesis with the boost
+    assert len(prompts) >= 2
+    assert res.confidence == pytest.approx(0.85)
+    assert "recovery_restart_cascade" in res.hypothesis
+    assert res.reasoning.startswith("[Confidence boosted")
+    assert any(kind == 10 for kind, _ in res.inspected_buckets)
+
+
+def test_rollbacks_rag_query_names_the_evidence(spark, clog_with_rollbacks):
+    det = {
+        "recovery_loop": D.recovery_loop(clog_with_rollbacks)["summary"]
+        .collect()[0]
+        .asDict(),
+        "rollback_analysis": D.rollback_analysis(clog_with_rollbacks)["summary"]
+        .collect()[0]
+        .asDict(),
+    }
+    q = build_rag_query(det)
+    assert "recovery_loop" in q
+    assert "rollback_analysis" in q
