@@ -10,6 +10,15 @@ from db_loganalyzer_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realbackend: exercises a real model library (tiktoken, "
+        "sentence-transformers) when importable; select with -m realbackend "
+        "on a deployment that ships the wheels",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)

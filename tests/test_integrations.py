@@ -34,6 +34,7 @@ SAMPLES = [
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.realbackend
 @pytest.mark.skipif(not HAS_TIKTOKEN, reason="tiktoken not installed")
 def test_token_count_pudf_matches_tiktoken(spark):
     """The default backend must agree with driver-side tiktoken exactly —
@@ -92,6 +93,7 @@ def test_token_count_pudf_injected_encoder_runs_batched(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.realbackend
 @pytest.mark.skipif(not HAS_ST, reason="sentence_transformers not installed")
 def test_embed_texts_with_real_sentence_transformer(spark):
     """A real model drops into embed_texts unchanged: same mapInPandas
@@ -112,3 +114,63 @@ def test_embed_texts_with_real_sentence_transformer(spark):
     assert len(out) == len(SAMPLES)
     dims = {len(r["embedding"]) for r in out}
     assert dims == {384}  # MiniLM-L6 output width
+
+
+# ---------------------------------------------------------------------------
+# Interface-drift guards, runnable WITHOUT the wheels: the fake-default
+# path and an injected real-shaped backend must produce IDENTICAL output
+# schemas, so swapping in the real library cannot change the contract.
+# ---------------------------------------------------------------------------
+
+
+def test_embed_texts_schema_identical_across_backends(spark):
+    from db_loganalyzer_spark.operators.clustering import embed_texts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SAMPLES)], "doc_id long, text string"
+    )
+    fake_default = embed_texts(df)  # hashing-trick fake encoder
+
+    def real_shaped(texts):  # what a SentenceTransformer wrapper returns
+        return [[float(len(t)), 0.5] for t in texts]
+
+    injected = embed_texts(df, encoder=real_shaped)
+    assert injected.schema == fake_default.schema
+    assert [len(r["embedding"]) for r in injected.collect()] == [2] * len(SAMPLES)
+
+
+def test_decode_media_schema_identical_across_backends(spark):
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        fake_decode_backend,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG123"), "image/png")],
+        "media_id long, payload binary, media_type string",
+    )
+    via_fake = decode_media(df, decode_backend=fake_decode_backend)
+
+    def real_shaped(payload, media_type):  # PIL/av adapter contract
+        return {"width": 640, "height": 480, "n_frames": 1, "format": "png"}
+
+    via_injected = decode_media(df, decode_backend=real_shaped)
+    assert via_injected.schema == via_fake.schema
+    row = via_injected.collect()[0]
+    assert (row["width"], row["height"], row["format"]) == (640, 480, "png")
+
+
+def test_token_count_types_identical_across_backends(spark):
+    from db_loganalyzer_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count_pudf,
+    )
+
+    class Enc:
+        def encode(self, t):
+            return t.split()
+
+    df = spark.createDataFrame([(t,) for t in SAMPLES], "text string")
+    regex_path = df.select(bpe_ish_token_count("text").alias("n"))
+    pudf_path = df.select(token_count_pudf(encoder_factory=Enc)("text").alias("n"))
+    assert regex_path.schema["n"].dataType == pudf_path.schema["n"].dataType
