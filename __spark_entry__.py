@@ -2926,14 +2926,104 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: stitched global-order window through the driver
+# contract, sequence packing, corpus vocabulary stats
+# ---------------------------------------------------------------------------
+
+
+def w12_value_drops_global(spark, sf_dir):
+    """W1 over a truly GLOBAL order via the stitched variant: range-
+    shuffle on (ts, event_id), per-range-partition window, boundary carry
+    from a collected per-partition summary (windows.value_drops_stitched)
+    — no single-partition window anywhere. Bit-identical to the global
+    window, which is exactly what the oracle below states."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.value_drops_stitched(ev, "value", ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "prev_value", F.col("value"), "drop_amount")
+
+
+W12_SQL = """
+WITH lagged AS (
+  SELECT event_id, value,
+         last_value(value IGNORE NULLS) OVER (
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value
+  FROM events
+)
+SELECT event_id, prev_value, value, prev_value - value AS drop_amount
+FROM lagged
+WHERE value IS NOT NULL AND prev_value IS NOT NULL AND value < prev_value
+"""
+
+
+def pack01_sequence_packing(spark, sf_dir):
+    """Contiguous greedy sequence packing into 512-token bins per source
+    shard (operators/sampling.pack_sequences): one window cumsum + one
+    groupBy, key-parallel at scale, deterministic id-ordered fill."""
+    from db_loganalyzer_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=512, by=["source"])
+
+
+PACK01_SQL = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '')) AS n_toks
+  FROM documents
+), cum AS (
+  SELECT source, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base
+)
+SELECT source, CAST(FLOOR((c - n_toks) / 512.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY 1, 2
+"""
+
+
+def t09_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary head: top-20 tokens by total frequency + doc
+    frequency, deterministic (count desc, token asc) tiebreak."""
+    from db_loganalyzer_spark.operators.textstats import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, k=20)
+
+
+T09_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM base
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 # The driver checks only the FIRST 50 registry entries per round, so the
 # window is curated per round (VERDICT r2 tasks 2-3; VERDICT r4 task 1):
 # round 5 front-loads the 6 round-4 additions (the only entries that have
-# never had a driver row), keeps every entry whose sole driver row is r4
-# (a second row proves stability), and closes with 6 headline reps
-# (q01/q03/q05/a05/a10/j03) for bench-query regression cover. Displaced
-# past the window this round: a06/f01/j06/w01/w08/t01 — each green in
-# r2+r3+r4 — which stay pinned by scripts/check_oracle.py + CI.
+# never had a driver row) plus the 3 round-5 additions, keeps every entry
+# whose sole driver row is r4 (a second row proves stability), and closes
+# with 3 headline reps (q01/q03/q05) for bench-query regression cover.
+# Displaced past the window this round: a05/a10/j03 (bench-timed every
+# round anyway) and a06/f01/j06/w01/w08/t01 — each green in r2+r3+r4 —
+# all pinned by scripts/check_oracle.py + CI.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- driver window, part 0: round-4 additions, first driver row (6) --
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
@@ -2945,6 +3035,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         a19_stats_report_grouping_sets,
         A19_SQL,
     ),
+    # -- driver window, part 0b: round-5 additions, first driver row (3) --
+    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
+    "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
+    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
     # -- driver window, part 1: single-row (r4) entries (27) --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -2990,10 +3084,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    # -- past the window: multi-round driver-green, pinned locally --
     "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    # -- past the window: multi-round driver-green, pinned locally --
     "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
     "f01_time_window": (f01_time_window, F01_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),

@@ -11,7 +11,7 @@ unlike xxhash64/sha2, whose availability differs across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth's multiplicative constant
@@ -91,4 +91,52 @@ def split_sizes(
         hash_split(df, id_col, splits, salt)
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    by: list[str] = ("source",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous greedy sequence packing for LLM training batches: within
+    each ``by`` shard, documents are taken in ``id_col`` order and packed
+    into bins of ~``budget_tokens`` whitespace tokens. A document joins the
+    current pack whenever the pack has ANY room left (overflow-tolerant
+    greedy — the standard contiguous-fill strategy when docs are much
+    smaller than the context window), so
+
+        ``pack_id = floor((cumulative_tokens - doc_tokens) / budget)``
+
+    which makes the whole assignment one window cumulative sum — no
+    sequential fold, no Python. Key-parallel at scale: each shard's
+    window is independent, and the deterministic (id-ordered) fill means
+    reruns and engines agree exactly.
+
+    Returns one row per pack: shard keys, pack_id, n_docs, pack_tokens,
+    first/last doc id.
+    """
+    from .textstats import token_count
+
+    by = list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        df.select(*by, F.col(id_col), token_count(text_col).alias("n_toks"))
+        .withColumn("__cum", F.sum("n_toks").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("__cum") - F.col("n_toks")) / F.lit(float(budget_tokens))).cast("long"),
+        )
+    )
+    return assigned.groupBy(*by, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("pack_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

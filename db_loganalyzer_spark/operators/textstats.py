@@ -386,3 +386,29 @@ def corpus_report(
         (total_words / n_docs).alias("avg_words"),
         F.sum("_n_chars").alias("total_chars"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by total frequency with
+    document frequency — the standard pre-training corpus inspection pass
+    (vocabulary coverage, boilerplate detection). One explode + one
+    shuffled groupBy keyed on the token, then a bounded top-k
+    (TakeOrderedAndProject, no global sort); deterministic tiebreak
+    (count desc, token asc) so the LIMIT boundary is engine-stable."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )

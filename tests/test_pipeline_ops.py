@@ -589,3 +589,40 @@ def test_shingle_hashes_compose_to_portable_hash(spark):
             ).alias("h")
         ).collect()
         assert [r.h for r in got] == [r.h for r in want], f"n={n}"
+
+
+def test_pack_sequences_semantics(spark):
+    from db_loganalyzer_spark.operators.sampling import pack_sequences
+
+    # token counts: 3, 4, 2, 5, 1 in doc_id order; budget 6 =>
+    # cum:  3, 7, 9, 14, 15 ; prev_cum: 0, 3, 7, 9, 14
+    # pack: 0, 0, 1, 1, 2  (overflow-tolerant greedy fill)
+    rows = [
+        (1, "a b c"),
+        (2, "d e f g"),
+        (3, "h i"),
+        (4, "j k l m n"),
+        (5, "o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s1")
+    )
+    out = {
+        r["pack_id"]: (r["n_docs"], r["pack_tokens"], r["first_doc"], r["last_doc"])
+        for r in pack_sequences(df, budget_tokens=6).collect()
+    }
+    assert out == {0: (2, 7, 1, 2), 1: (2, 7, 3, 4), 2: (1, 1, 5, 5)}
+
+
+def test_vocab_stats_tiebreak(spark):
+    from db_loganalyzer_spark.operators.textstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "b c c")], "doc_id long, text string"
+    )
+    out = vocab_stats(df, k=2).collect()
+    # a, b, c all appear twice; tiebreak is token asc => a then b
+    assert [(r["token"], r["n"], r["n_docs"]) for r in out] == [
+        ("a", 2, 1),
+        ("b", 2, 2),
+    ]
