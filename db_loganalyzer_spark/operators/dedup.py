@@ -595,6 +595,12 @@ def dedup_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # Materialize the edge list ONCE: it is re-joined every propagation
+    # round, and without this the whole upstream pair pipeline (an LSH or
+    # shingle self-join) re-executes per round — measured 45s for a 4.9s
+    # pipeline at sf0.1. The edge list is the iteration's working set and
+    # is bounded by the near-dup pair count, far smaller than the corpus.
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
