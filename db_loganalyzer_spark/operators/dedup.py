@@ -546,7 +546,7 @@ def ngram_contamination(
     decontamination pass is scan + broadcast-probe. Output: one row per
     contaminated corpus doc with the evidence counts.
     """
-    corp = corpus.select(
+    corp = _spread(corpus).select(
         F.col(id_col).alias("corpus_id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )

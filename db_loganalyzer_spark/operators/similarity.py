@@ -19,6 +19,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 
 def dot(u: Column, v: Column) -> Column:
     return F.aggregate(
@@ -306,7 +308,10 @@ def embedding_near_dups(
     then exact cosine filter. The dedup-by-meaning shape for a training
     corpus."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    # _spread: a small corpus arrives as 1-2 parquet splits; the self-join
+    # broadcasts one side, so pair generation runs on the PROBE side's scan
+    # partitions - parallelize them first (no-op at real scale)
+    c = _spread(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
