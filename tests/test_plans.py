@@ -206,3 +206,31 @@ def test_f01_slice_matches_unsliced_filter(spark, sf_dir, qs, cold_cache):
     )
     assert sliced.count() == plain.count()
     assert sliced.exceptAll(plain).count() == 0
+
+
+def test_t09_vocab_topk_is_take_ordered(spark, sf_dir, qs, cold_cache):
+    # the corpus vocabulary head must be per-partition top-k + merge,
+    # never a global sort of the whole token histogram
+    df = qs["t09_vocab_stats"](spark, sf_dir)
+    p = plan_str(spark, df)
+    assert "TakeOrderedAndProject" in p, p[:800]
+    assert "Sort [" not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_pack01_single_shuffle(spark, sf_dir, qs, cold_cache):
+    # packing = window cumsum + groupBy sharing the (source) key: the agg
+    # must reuse the window's partitioning, ONE exchange total
+    df = qs["pack01_sequence_packing"](spark, sf_dir)
+    p = plan_str(spark, df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p[:1200]
+
+
+def test_w12_stitched_no_single_partition_window(spark, sf_dir, qs, cold_cache):
+    # the stitched global-order drops must range-partition; the only
+    # window in the plan is keyed by the range partition id, and no
+    # Window operator runs with an empty partition spec
+    df = qs["w12_value_drops_global"](spark, sf_dir)
+    p = plan_str(spark, df)
+    assert "rangepartitioning" in p.lower(), p[:800]
+    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", p.lower()):
+        assert "__pid" in frag, frag
