@@ -226,11 +226,14 @@ def test_pack01_single_shuffle(spark, sf_dir, qs, cold_cache):
 
 
 def test_w12_stitched_no_single_partition_window(spark, sf_dir, qs, cold_cache):
-    # the stitched global-order drops must range-partition; the only
-    # window in the plan is keyed by the range partition id, and no
-    # Window operator runs with an empty partition spec
+    # the stitched global-order drops never run a single-partition window:
+    # every window spec is keyed by the range-partition id (the range
+    # shuffle itself is inside the localCheckpoint, so it does not appear
+    # in this downstream plan - the carry/offset machinery depends on it
+    # being pinned there, see windows._range_sorted)
     df = qs["w12_value_drops_global"](spark, sf_dir)
     p = plan_str(spark, df)
-    assert "rangepartitioning" in p.lower(), p[:800]
-    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", p.lower()):
+    frags = re.findall(r"windowspecdefinition\(([^)]*)\)", p.lower())
+    assert frags, p[:800]
+    for frag in frags:
         assert "__pid" in frag, frag
