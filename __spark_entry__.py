@@ -3015,6 +3015,104 @@ LIMIT 20
 """
 
 
+def pipe01_training_corpus(spark, sf_dir):
+    """The end-to-end training-corpus assembly pipeline, composed from
+    the engine's own stages in ONE DataFrame flow: quality gate (t07) ->
+    exact dedup keepers (m01) -> benchmark decontamination (m06, eval
+    slice = doc_id % 50 == 0 of the RAW corpus) -> deterministic
+    train/val/test split (m05) -> per-(split, source) token accounting.
+    Each stage's semantics are individually oracle-checked elsewhere;
+    this entry pins the COMPOSITION (stage order, join keys, anti-join
+    semantics) against a chained-CTE restatement."""
+    from db_loganalyzer_spark.operators.dedup import (
+        exact_dedup_groups,
+        ngram_contamination,
+    )
+    from db_loganalyzer_spark.operators.sampling import assign_split
+    from db_loganalyzer_spark.operators.textstats import (
+        quality_gate,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(
+        quality_gate(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    keepers = exact_dedup_groups(kept).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    deduped = kept.join(keepers, "doc_id")
+    corpus = deduped.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = ngram_contamination(corpus, bench, n=3).select(
+        F.col("corpus_id").alias("doc_id")
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    return (
+        clean.withColumn("split", assign_split("doc_id"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+PIPE01_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) / len(w) END AS dr,
+         CASE WHEN len(w) > 0 THEN
+           list_max(list_transform(list_distinct(w),
+                                   u -> len(list_filter(w, x -> x = u)))) / len(w) END AS mwf
+  FROM t
+), gate AS (
+  SELECT doc_id FROM s
+  WHERE n >= 5 AND n <= 100000
+    AND COALESCE(mwf, 1.0) <= 0.30 AND COALESCE(dr, 0.0) >= 0.30
+), kept AS (
+  SELECT t.* FROM t JOIN gate USING (doc_id)
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+), corpus AS (
+  SELECT k.* FROM kept k JOIN keepers USING (doc_id)
+  WHERE doc_id % 50 <> 0
+), shc AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                ELSE [] END)) AS shingle
+  FROM corpus
+), shb AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                ELSE [] END)) AS shingle
+  FROM t WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT shc.doc_id FROM shc JOIN shb USING (shingle)
+), clean AS (
+  SELECT * FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+FROM (SELECT *, ((doc_id * 2654435761) % 4294967296) % 100 AS b FROM clean)
+GROUP BY 1, 2
+"""
+
+
 # The driver checks only the FIRST 50 registry entries per round, so the
 # window is curated per round (VERDICT r2 tasks 2-3; VERDICT r4 task 1):
 # round 5 front-loads the 6 round-4 additions (the only entries that have
@@ -3035,10 +3133,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         a19_stats_report_grouping_sets,
         A19_SQL,
     ),
-    # -- driver window, part 0b: round-5 additions, first driver row (3) --
+    # -- driver window, part 0b: round-5 additions, first driver row (4) --
     "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
+    "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     # -- driver window, part 1: single-row (r4) entries (27) --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3083,8 +3182,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     # -- past the window: multi-round driver-green, pinned locally --
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
