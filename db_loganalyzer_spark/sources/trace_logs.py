@@ -161,10 +161,25 @@ def events_from_attrs(parsed: DataFrame, id_offset: int = 0) -> DataFrame:
     )
 
 
-def read_trace_events(spark: SparkSession, paths, id_offset: int = 0) -> DataFrame:
+def read_trace_events(
+    spark: SparkSession,
+    paths,
+    id_offset: int = 0,
+    per_file_offsets: bool = False,
+) -> DataFrame:
     """S3 — unified entry: dispatch XML vs JSONL/plaintext by extension
     (tools/parser.py:58-71), union the results. Accepts a str glob or a
-    list of paths."""
+    list of paths.
+
+    ``per_file_offsets`` reproduces the reference's multi-file uniqueness
+    scheme (cli_wrapper/main.py:296-301: each file's ids start past the
+    previous files' total) without its sequential per-file loop: one tiny
+    count aggregate (one row per file) builds cumulative offsets in path
+    order driver-side, then a broadcast join attaches each file's offset.
+    Deliberate deviation: we offset by per-file LINE counts rather than
+    parsed-event counts — line-numbered ids can exceed the event count
+    (blank/non-event lines keep their numbers), so count-based offsets
+    could still collide; line-count offsets cannot."""
     if isinstance(paths, str):
         paths = [paths]
     xml = [p for p in paths if p.endswith(".xml")]
@@ -179,6 +194,35 @@ def read_trace_events(spark: SparkSession, paths, id_offset: int = 0) -> DataFra
     parsed = parts[0]
     for p in parts[1:]:
         parsed = parsed.unionByName(p)
+    if per_file_offsets and len(paths) > 1:
+        lines = read_trace_lines(spark, paths)
+        counts = {
+            r["trace_file"]: r["n"]
+            for r in lines.groupBy("trace_file")
+            .agg(F.max("line_no").alias("n"))
+            .collect()
+        }
+
+        def match(path: str) -> str:
+            # input_file_name() yields a URI (file:///...); resolve each
+            # requested path to the URI it produced
+            for uri in counts:
+                if uri.endswith("/" + path.lstrip("/")) or uri == path:
+                    return uri
+            raise ValueError(f"no loaded file matches {path!r}")
+
+        acc, rows = id_offset, []
+        for p in paths:
+            uri = match(p)
+            rows.append((uri, acc))
+            acc += counts[uri]
+        offsets = spark.createDataFrame(rows, "trace_file string, __off long")
+        parsed = (
+            parsed.join(F.broadcast(offsets), "trace_file")
+            .withColumn("line_no", F.col("line_no") + F.col("__off"))
+            .drop("__off")
+        )
+        return events_from_attrs(parsed, 0)
     return events_from_attrs(parsed, id_offset)
 
 
@@ -345,9 +389,18 @@ def derive_process_roles(events: DataFrame, strict_reference: bool = False) -> D
     )
 
 
-def ingest(spark: SparkSession, paths, id_offset: int = 0) -> dict[str, DataFrame]:
-    """S7 as one declarative pipeline: events + all derived tables."""
-    events = read_trace_events(spark, paths, id_offset)
+def ingest(
+    spark: SparkSession,
+    paths,
+    id_offset: int = 0,
+    per_file_offsets: bool = True,
+) -> dict[str, DataFrame]:
+    """S7 as one declarative pipeline: events + all derived tables.
+    Multi-file loads get per-file id offsets by default (reference
+    parity: ids stay unique across files, cli_wrapper/main.py:296-301)."""
+    events = read_trace_events(
+        spark, paths, id_offset, per_file_offsets=per_file_offsets
+    )
     return {
         "events": events,
         "event_metrics": derive_event_metrics(events),

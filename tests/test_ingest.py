@@ -209,3 +209,25 @@ def test_code_coverage_reference_sample(spark):
     assert all(r.severity == 10 for r in rows)
     assert all(r.src_file and r.src_line for r in rows)
     assert any("push between commits" in r.comment for r in rows)
+
+
+def test_multi_file_per_file_offsets(spark, fixture_dir, tmp_path):
+    """S5: ids must be unique ACROSS files, each file offset past the
+    previous files' line span in path order (reference multi-file
+    uniqueness, cli_wrapper/main.py:296-301). Blank lines keep their
+    numbers, so the offset is the LINE span, collision-proof."""
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text('{"Type":"E1","Severity":"10"}\n\n{"Type":"E2","Severity":"10"}\n')
+    b.write_text('{"Type":"E3","Severity":"10"}\n{"Type":"E4","Severity":"10"}\n')
+    ev = TL.read_trace_events(
+        spark, [str(a), str(b)], per_file_offsets=True
+    )
+    got = {r["event_id"]: r["event"] for r in ev.collect()}
+    # a: lines 1 and 3 (blank line 2 keeps its number); b: offset by a's
+    # 3-line span -> 4 and 5
+    assert got == {1: "E1", 3: "E2", 4: "E3", 5: "E4"}
+    # without the flag the old single-offset behavior is preserved
+    legacy = TL.read_trace_events(spark, [str(a), str(b)], id_offset=100)
+    ids = [r["event_id"] for r in legacy.collect()]
+    assert sorted(ids) == [101, 101, 102, 103]
