@@ -3015,6 +3015,31 @@ LIMIT 20
 """
 
 
+def st05_streaming_ewma(spark, sf_dir):
+    """w11's streaming form: per-key EWMA as a custom stateful operator
+    (applyInPandasWithState, one double of state per key). The recursive
+    fold is float-op-identical to the batch pandas ewm(adjust=False)
+    path, so the drained stream reproduces w11's output bit-for-bit and
+    shares its oracle: NULL values filtered before the smoother, raw
+    doubles compared unrounded (both sides bit-identical)."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    return _drain(ST.streaming_ewma(stream, alpha=0.3), "st05")
+
+
+ST05_SQL = """
+WITH g AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vs,
+         list(event_id ORDER BY ts, event_id) AS ids
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT user_id, unnest(ids) AS event_id,
+       unnest(list_transform(generate_series(1, len(vs)), i ->
+         list_reduce(vs[1:i], (acc, x) -> (1 - 0.3)*acc + 0.3*x))) AS ewma
+FROM g
+"""
+
+
 def pipe01_training_corpus(spark, sf_dir):
     """The end-to-end training-corpus assembly pipeline, composed from
     the engine's own stages in ONE DataFrame flow: quality gate (t07) ->
@@ -3133,11 +3158,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         a19_stats_report_grouping_sets,
         A19_SQL,
     ),
-    # -- driver window, part 0b: round-5 additions, first driver row (4) --
+    # -- driver window, part 0b: round-5 additions, first driver row (5) --
     "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
+    "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     # -- driver window, part 1: single-row (r4) entries (27) --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3181,8 +3207,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     # -- past the window: multi-round driver-green, pinned locally --
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),

@@ -6,6 +6,7 @@ from .streams import (  # noqa: F401
     streaming_exact_dedup,
     streaming_rollup,
     streaming_sessions,
+    streaming_ewma,
     streaming_value_drops,
     write_stream_parquet,
 )

@@ -256,6 +256,67 @@ def streaming_value_drops(
 
 
 # ---------------------------------------------------------------------------
+# W11 streaming form — per-key EWMA via applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def _ewma_fn_factory(alpha: float):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """Recursive smoother s = (1-a)*s + a*x carried across
+        micro-batches; the fold is float-op-identical to pandas
+        ``ewm(alpha, adjust=False)`` (the batch w11 path), so a stream
+        drained in order reproduces the batch output bit-for-bit. State
+        is ONE double per key — the minimum for this semantics."""
+        s = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        for _, row in pdf.iterrows():
+            v = row["value"]
+            if pd.isna(v):
+                continue
+            v = float(v)
+            s = v if s is None else (1.0 - alpha) * s + alpha * v
+            out.append((int(row["user_id"]), int(row["event_id"]), s))
+        if s is not None:
+            state.update((s,))
+        yield pd.DataFrame(out, columns=[f.name for f in _EWMA_SCHEMA])
+
+    return fn
+
+
+def streaming_ewma(
+    events: DataFrame, alpha: float = 0.3, key: str = "user_id"
+) -> DataFrame:
+    """W11's streaming form: per-key exponentially weighted moving
+    average as a custom stateful operator. The smoothed value survives
+    micro-batch boundaries in GroupState, so the recursive fold continues
+    seamlessly across batches — the per-key scalar-state shape
+    (`streaming_value_drops`) applied to an analytic the reference only
+    documents."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _ewma_fn_factory(alpha),
+            outputStructType=_EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------
 

@@ -242,3 +242,60 @@ def test_streaming_value_drops_state_spans_batches(
     assert sorted(r["event_id"] for r in got.collect()) == sorted(
         r["event_id"] for r in want.collect()
     )
+
+
+def test_streaming_ewma_matches_batch(
+    spark, events_stream, events_batch, tmp_path_factory
+):
+    from db_loganalyzer_spark.streaming import streaming_ewma
+
+    ck = str(tmp_path_factory.mktemp("ck_ewma"))
+    got = run_available_now(streaming_ewma(events_stream), "ewma_stream", ck)
+    want = W.ewma(
+        events_batch.filter(F.col("value").isNotNull()),
+        "value",
+        partition_by=["user_id"],
+    )
+    got_rows = {r["event_id"]: r["ewma"] for r in got.collect()}
+    want_rows = {r["event_id"]: r["ewma"] for r in want.collect()}
+    assert set(got_rows) == set(want_rows) and len(want_rows) > 0
+    # the recursive fold is float-op-identical to pandas ewm(adjust=False)
+    assert all(got_rows[k] == want_rows[k] for k in want_rows)
+
+
+def test_streaming_ewma_state_crosses_batches(spark, tmp_path, tmp_path_factory):
+    """The per-key smoothed value must survive micro-batch boundaries:
+    feed two files as separate micro-batches and check the second
+    batch's first smoothed value continues from the first batch's last
+    state, not from a fresh series."""
+    import datetime as dt
+    import os
+
+    from db_loganalyzer_spark.streaming import streaming_ewma
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, 10.0),
+         (2, dt.datetime(2024, 1, 1, 0, 0, 1), 7, 20.0)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    b2 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 0, 0, 2), 7, 30.0)], schema
+    )
+    b2.coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_ewma2"))
+    out = run_available_now(streaming_ewma(stream), "ewma_two_batches", ck)
+    rows = {r["event_id"]: r["ewma"] for r in out.collect()}
+    # s1=10; s2=0.7*10+0.3*20=13; s3 must CONTINUE: 0.7*13+0.3*30=18.1
+    assert rows[1] == 10.0
+    assert abs(rows[2] - 13.0) < 1e-12
+    assert abs(rows[3] - 18.1) < 1e-12
