@@ -127,3 +127,47 @@ def test_sessionize_stitched_boundary_continuation(spark):
     df = _df(spark, [(i, 1.0) for i in range(0, 40, 2)])
     st = W.sessionize_stitched(df, gap_seconds=5, num_partitions=4)
     assert {r.session_id for r in st.collect()} == {0}
+
+
+def test_stitched_equivalence_property(spark):
+    """Randomized equivalence: for arbitrary (ts-tied, null-ridden)
+    series and partition counts, every stitched variant must equal its
+    single-partition global form. Hypothesis shrinks failures to minimal
+    series; examples are capped so the suite stays fast."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    values = st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9).map(float)),
+        min_size=2,
+        max_size=24,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(vals=values, nparts=st.integers(min_value=2, max_value=5),
+           gap=st.integers(min_value=1, max_value=4))
+    def check(vals, nparts, gap):
+        rows = [
+            # ts ties every 2 rows; event_id breaks them
+            (i, datetime(2024, 1, 1, 0, 0, 0) + __import__("datetime").timedelta(
+                seconds=(i // 2) * gap), v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        )
+        assert _sorted_rows(
+            W.value_drops_stitched(df, "value", num_partitions=nparts)
+        ) == _sorted_rows(W.value_drops(df, "value"))
+        assert _sorted_rows(
+            W.lag_regressions_stitched(df, "value", num_partitions=nparts)
+        ) == _sorted_rows(W.lag_regressions(df, "value"))
+        assert _sorted_rows(
+            W.sessionize_stitched(df, gap_seconds=gap, num_partitions=nparts)
+        ) == _sorted_rows(W.sessionize(df, gap_seconds=gap))
+
+    check()
