@@ -17,6 +17,13 @@ evidence the corresponding ground-truth doc names:
   rollback version-drops, and the loop's metrics-over-event-names
   confidence rule pushing the stub LLM off the "file not found" red
   herring the doc warns about.
+- Storage-engine pressure (Cluster 6 — the family every CloggedX doc
+  names as the post-incident monitoring window; FIXTURES.md "required
+  embedded patterns" shape): the VersionLag 0 -> >50k -> >1M ramp with
+  case-variant keys, D1 z-score + absolute-threshold detection against
+  derived baselines, throttle/SlowSSLoop/negative-latency surfacing in
+  extract_metrics, the metrics-over-severity prompt sections, and the
+  timeline's 100k -> 1M escalation marks.
 """
 
 import datetime as dt
@@ -328,3 +335,114 @@ def test_rollbacks_rag_query_names_the_evidence(spark, clog_with_rollbacks):
     q = build_rag_query(det)
     assert "recovery_loop" in q
     assert "rollback_analysis" in q
+
+
+# ---------------------------------------------------------------------------
+# Storage-engine pressure — Cluster 6 (the FIXTURES.md "required embedded
+# patterns" shape; the family every CloggedX ground-truth doc names as the
+# post-incident monitoring window)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def storage_pressure(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    # healthy steady state: lag near zero across storage servers
+    for k in range(20):
+        add(k * 1.0, 10, "StorageMetrics", "SS",
+            {"VersionLag": str(100 + 10 * k)}, machine=f"2.0.1.{k % 3}:1")
+    # the ramp the FIXTURES shape requires: 0 -> >50k -> >1M in one window,
+    # with a case-variant key on some rows (detectors.py:79 parity)
+    ramp = [30_000, 60_000, 150_000, 400_000, 1_200_000, 2_500_000]
+    for k, lag in enumerate(ramp):
+        key = "versionLag" if k % 2 else "VersionLag"
+        add(25.0 + k, 10, "StorageMetrics", "SS", {key: str(lag)})
+    # ratekeeper reacts: throttle reasons (D2 + extract_metrics surface)
+    add(28.0, 20, "RkUpdate", "RK", {"ThrottleReason": "storage queue too deep"})
+    add(29.0, 20, "RatekeeperThrottle", "RK", {"Reason": "ss durability lag"})
+    add(29.5, 20, "RatekeeperThrottle", "RK", {"Reason": "batch priority throttled"})
+    # slow storage loops + one negative latency (timing-bug signal)
+    add(30.0, 30, "SlowSSLoopx100", "SS", {"Elapsed": "9"})
+    add(31.0, 20, "CommitLatencyMetrics", "CP", {"CommitLatencyMin": "-0.25"})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_pressure_d1_detects_with_baseline_zscore(spark, storage_pressure):
+    from db_loganalyzer_spark.sources.trace_logs import derive_event_metrics
+
+    em = derive_event_metrics(storage_pressure)
+    baselines = D.metric_baselines_table(storage_pressure, em, min_count=5)
+    s = D.storage_engine_pressure(storage_pressure, baselines)["summary"].collect()[0]
+    assert s.detected
+    assert s.max_lag == 2_500_000.0  # case-variant versionLag rows included
+    assert s.count_high >= 4  # every ramp point past 50k (or z>=3)
+    anomalies = D.storage_engine_pressure(storage_pressure, baselines)[
+        "anomalies"
+    ].collect()
+    assert max(a.value for a in anomalies) == 2_500_000.0
+
+
+def test_pressure_throttling_detected(spark, storage_pressure):
+    s = D.ratekeeper_throttling(storage_pressure)["summary"].collect()[0]
+    assert s.detected and s["count"] >= 2
+
+
+def test_pressure_metric_extraction_surfaces_the_chain(spark, storage_pressure):
+    from db_loganalyzer_spark.agentic.investigation import extract_metrics
+
+    m = extract_metrics(storage_pressure)
+    spikes = m["version_lag_spikes"].collect()
+    assert {int(r.version_lag) for r in spikes} == {150_000, 400_000, 1_200_000, 2_500_000}
+    assert m["high_lag_timestamps"].count() == 2  # the two >1M points
+    negs = m["negative_latencies"].collect()
+    assert len(negs) == 1 and negs[0].metric == "CommitLatencyMin"
+    assert m["slow_ss_loops"].count() == 1
+    reasons = {r.reason for r in m["throttling_reasons"].collect()}
+    assert any("storage queue too deep" in r for r in reasons)
+
+
+def test_pressure_llm_context_prioritizes_metrics(spark, storage_pressure):
+    from db_loganalyzer_spark.agentic.investigation import (
+        adjust_confidence,
+        format_events_for_llm,
+    )
+
+    text = format_events_for_llm(storage_pressure)
+    # the metric sections the reference's prompt contract leads with
+    assert "VERSIONLAG SPIKES" in text
+    assert "2 events with VersionLag > 1M (CRITICAL)" in text
+    assert "NEGATIVE LATENCIES" in text
+    assert "THROTTLING DETECTED" in text
+    # L4: a metrics-grounded Cluster 6 hypothesis gets the boost...
+    conf, reason = adjust_confidence(
+        "CLUSTER 6 storage_engine_pressure",
+        "VersionLag ramps past 1M with throttling",
+        text,
+        0.7,
+    )
+    assert conf == pytest.approx(0.8)
+    assert reason.startswith("[Confidence boosted")
+    # ...while an event-name hypothesis is capped hard
+    conf2, _ = adjust_confidence(
+        "severity 30 events are the problem", "many warnings", text, 0.9
+    )
+    assert conf2 == pytest.approx(0.4)
+
+
+def test_pressure_timeline_marks_lag_escalation(spark, storage_pressure):
+    from db_loganalyzer_spark.agentic.timeline import build_timeline
+
+    tl = build_timeline(storage_pressure)
+    notes = [item["note"] for item in tl["timeline"]]
+    assert "Lag exceeds 100k (storage pressure signal)" in notes
+    assert "Lag exceeds 1M (critical storage pressure)" in notes
+    # escalation order: 100k mark at or before the 1M mark
+    i100 = notes.index("Lag exceeds 100k (storage pressure signal)")
+    i1m = notes.index("Lag exceeds 1M (critical storage pressure)")
+    assert i100 < i1m
