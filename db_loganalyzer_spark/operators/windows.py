@@ -459,9 +459,12 @@ def sessionize_stitched(
         s = summaries.get(pid)
         if s is None:
             continue
+        # timedelta subtraction, not .timestamp(): collected datetimes are
+        # naive (session-tz) and .timestamp() would reinterpret them in
+        # the driver's local zone — wrong by an hour across its DST edges
         opens = (
             prev_last is None
-            or (s["first_ts"].timestamp() - prev_last.timestamp()) > gap_seconds
+            or (s["first_ts"] - prev_last).total_seconds() > gap_seconds
         )
         first_new[pid] = opens
         offsets[pid] = acc
