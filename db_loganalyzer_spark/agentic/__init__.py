@@ -16,4 +16,10 @@ from .investigation import (  # noqa: F401
     write_llm_output,
 )
 from .knowledge_base import CLUSTERS, knowledge_base_text  # noqa: F401
+from .retrieval import (  # noqa: F401
+    build_corpus_index,
+    load_corpus_dir,
+    make_retriever,
+    retrieve,
+)
 from .timeline import build_timeline  # noqa: F401
