@@ -3015,6 +3015,44 @@ LIMIT 20
 """
 
 
+def j07_asof_join(spark, sf_dir):
+    """J7 — generic backward as-of join: each view event gets the user's
+    latest purchase value at-or-before it. Implemented as ONE key shuffle
+    (union + tag + last-non-null window), no range join, unbounded
+    look-back; the oracle is DuckDB's native ASOF LEFT JOIN over the
+    identically deduplicated right side."""
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, by=["user_id"], value_cols=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+    )
+
+
+J07_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+), r0 AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r0.value AS value, epoch_us(r0.ts) AS asof_ts_us
+FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
+"""
+
+
 def st05_streaming_ewma(spark, sf_dir):
     """w11's streaming form: per-key EWMA as a custom stateful operator
     (applyInPandasWithState, one double of state per key). The recursive
@@ -3164,6 +3202,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
+    "j07_asof_join": (j07_asof_join, J07_SQL),
     # -- driver window, part 1: single-row (r4) entries (27) --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3206,8 +3245,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- driver window, part 3: single-row (r4) rotations + headline reps --
     "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     # -- past the window: multi-round driver-green, pinned locally --
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),

@@ -626,3 +626,34 @@ def test_vocab_stats_tiebreak(spark):
         ("a", 2, 1),
         ("b", 2, 2),
     ]
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    L = spark.createDataFrame(
+        [(1, dtm.datetime(2024, 1, 1, 0, 0, 10), "a"),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 20), "b"),
+         (2, dtm.datetime(2024, 1, 1, 0, 0, 5), "c"),
+         (3, dtm.datetime(2024, 1, 1, 0, 0, 9), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    R = spark.createDataFrame(
+        [(1, dtm.datetime(2024, 1, 1, 0, 0, 10), 100.0),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 15), 150.0),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 15), 160.0),
+         (2, dtm.datetime(2024, 1, 1, 0, 0, 6), 60.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r["tag"]: (r["val"], r["asof_ts"])
+        for r in asof_join(L, R, by=["user_id"], value_cols=["val"]).collect()
+    }
+    # inclusive at equal ts; duplicate-ts right rows resolve by MAX value;
+    # left rows with no prior right row keep NULLs (left-join semantics)
+    assert out["a"] == (100.0, dtm.datetime(2024, 1, 1, 0, 0, 10))
+    assert out["b"] == (160.0, dtm.datetime(2024, 1, 1, 0, 0, 15))
+    assert out["c"] == (None, None)
+    assert out["d"] == (None, None)
