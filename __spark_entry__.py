@@ -3178,13 +3178,13 @@ GROUP BY 1, 2
 
 # The driver checks only the FIRST 50 registry entries per round, so the
 # window is curated per round (VERDICT r2 tasks 2-3; VERDICT r4 task 1):
-# round 5 front-loads the 6 round-4 additions (the only entries that have
-# never had a driver row) plus the 3 round-5 additions, keeps every entry
-# whose sole driver row is r4 (a second row proves stability), and closes
-# with 3 headline reps (q01/q03/q05) for bench-query regression cover.
-# Displaced past the window this round: a05/a10/j03 (bench-timed every
-# round anyway) and a06/f01/j06/w01/w08/t01 — each green in r2+r3+r4 —
-# all pinned by scripts/check_oracle.py + CI.
+# round 5 front-loads the 6 round-4 additions (the only entries that had
+# never had a driver row) plus the 6 round-5 additions (w12/pack01/t09/
+# pipe01/st05/j07), and keeps every entry whose sole driver row is r4 (a
+# second row proves stability). Displaced past the window this round: the
+# headline reps q01/q03/q05/a05/a10/j03 (bench-timed every round anyway)
+# and a06/f01/j06/w01/w08/t01 — each green in r2+r3+r4 — all pinned by
+# scripts/check_oracle.py + CI.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- driver window, part 0: round-4 additions, first driver row (6) --
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
