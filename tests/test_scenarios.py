@@ -24,6 +24,12 @@ evidence the corresponding ground-truth doc names:
   derived baselines, throttle/SlowSSLoop/negative-latency surfacing in
   extract_metrics, the metrics-over-severity prompt sections, and the
   timeline's 100k -> 1M escalation marks.
+- ConfigureTest (problem_ConfigureTest.md — Cluster 9
+  configuration_change_recovery): config-DRIVEN recoveries attributed to
+  the "Configuration change" known cause (priority tier 1 beating the
+  fail-name tier), two incomplete episodes, the doc's QuietDatabase ->
+  BuildTeams timing pattern, and the Pattern B guard that the scenario
+  does not false-positive as storage pressure.
 """
 
 import datetime as dt
@@ -446,3 +452,84 @@ def test_pressure_timeline_marks_lag_escalation(spark, storage_pressure):
     i100 = notes.index("Lag exceeds 100k (storage pressure signal)")
     i1m = notes.index("Lag exceeds 1M (critical storage pressure)")
     assert i100 < i1m
+
+
+# ---------------------------------------------------------------------------
+# ConfigureTest — Cluster 9 configuration_change_recovery
+# (problem_ConfigureTest.md: quiet-database/migration instability; the
+# recovery is CONFIG-DRIVEN, not failure-driven — the attribution must say
+# so via the "Configuration change" known cause, and the key timing
+# pattern is QuietDatabaseStartFail immediately followed by team-build
+# failure)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def configure_test(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    for cycle, w in enumerate([0.0, 120.0]):
+        # the doc's timeline: quiet-db fail -> team-build fail ->
+        # recruit failure -> another configure attempt
+        add(w + 3.0, 20, "QuietDatabaseStartFail", "DD",
+            {"Reasons": "MaxTLogPoppedVersionLag"})
+        add(w + 5.0, 20, "BuildTeamsLastBuildTeamsFailed", "DD", {"Teams": "0"})
+        add(w + 10.0, 20, "RecruitStorageNotAvailable", "CC",
+            {"Error": "no_more_servers"})
+        add(w + 11.0, 20, "GrvProxyRateLeaseExpired", "GP", {})
+        # the configure-driven recovery: known-cause comment 2s before
+        add(w + 18.0, 10, "CodeCoverage", None,
+            {"Comment": "Configuration change requested by operator",
+             "File": "Configure.cpp"})
+        for k, code in enumerate([0, 3, 7]):
+            add(w + 20.0 + 1.0 * k, 30, "MasterRecoveryState", "MS",
+                {"StatusCode": str(code)})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_configure_recovery_attributed_to_config_change(spark, configure_test):
+    recs = sorted(
+        D.detect_recoveries(configure_test)["recoveries"].collect(),
+        key=lambda r: r.recovery_ts,
+    )
+    # each cycle's first recovery is within 5s of the CodeCoverage known
+    # cause; priority tier 1 (known-cause comment) must beat the
+    # fail-name tier even though failure-shaped events exist in the log
+    assert recs[0].cause == "Configuration change requested by operator"
+    assert recs[3].cause == "Configuration change requested by operator"
+
+
+def test_configure_two_episodes_both_incomplete(spark, configure_test):
+    eps = D.recovery_episodes(configure_test)["episodes"].collect()
+    assert len(eps) == 2
+    states = {
+        r.state_name
+        for r in D.detect_recoveries(configure_test)["recoveries"].collect()
+    }
+    assert "fully_recovered" not in states  # configure never stabilizes
+
+
+def test_configure_timing_pattern(spark, configure_test):
+    # the doc's key timing pattern: QuietDatabaseStartFail IMMEDIATELY
+    # followed by the team-build failure, before any recruit errors
+    seq = [
+        r.event
+        for r in configure_test.filter(F.col("severity") >= 20)
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    qi = seq.index("QuietDatabaseStartFail")
+    assert seq[qi + 1] == "BuildTeamsLastBuildTeamsFailed"
+    assert seq.index("RecruitStorageNotAvailable") > qi + 1
+
+
+def test_configure_not_confused_with_storage_pressure(spark, configure_test):
+    # Pattern B guard: no VersionLag ramp here, so D1 must stay silent -
+    # the configure scenario must NOT read as Cluster 6
+    s = D.storage_engine_pressure(configure_test)["summary"].collect()[0]
+    assert not s.detected
