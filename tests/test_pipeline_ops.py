@@ -657,3 +657,52 @@ def test_asof_join_semantics(spark):
     assert out["b"] == (160.0, dtm.datetime(2024, 1, 1, 0, 0, 15))
     assert out["c"] == (None, None)
     assert out["d"] == (None, None)
+
+
+def test_asof_join_property_vs_python_oracle(spark):
+    """Randomized as-of join semantics vs a brute-force reference:
+    arbitrary key/ts/dup patterns, inclusive ties, MAX-value duplicate
+    resolution, left-join NULLs."""
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    t0 = dtm.datetime(2024, 1, 1)
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=12),  # ts offset
+        st.integers(min_value=0, max_value=9),   # value
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        lrows=st.lists(row, min_size=1, max_size=12),
+        rrows=st.lists(row, min_size=0, max_size=12),
+    )
+    def check(lrows, rrows):
+        L = spark.createDataFrame(
+            [(i, k, t0 + dtm.timedelta(seconds=s)) for i, (k, s, _) in enumerate(lrows)],
+            "lid long, user_id long, ts timestamp",
+        )
+        R = spark.createDataFrame(
+            [(k, t0 + dtm.timedelta(seconds=s), float(v)) for k, s, v in rrows],
+            "user_id long, ts timestamp, val double",
+        ) if rrows else spark.createDataFrame([], "user_id long, ts timestamp, val double")
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(L, R, by=["user_id"], value_cols=["val"]).collect()
+        }
+        for i, (k, s, _) in enumerate(lrows):
+            eligible = [(rs, float(rv)) for rk, rs, rv in rrows if rk == k and rs <= s]
+            if not eligible:
+                want = None
+            else:
+                best_ts = max(rs for rs, _ in eligible)
+                want = max(v for rs, v in eligible if rs == best_ts)
+            assert got[i] == want, (i, k, s, want, got[i])
+
+    check()
