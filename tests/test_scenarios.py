@@ -533,3 +533,504 @@ def test_configure_not_confused_with_storage_pressure(spark, configure_test):
     # the configure scenario must NOT read as Cluster 6
     s = D.storage_engine_pressure(configure_test)["summary"].collect()[0]
     assert not s.detected
+
+
+# ---------------------------------------------------------------------------
+# SidebandWithStatus — Cluster 7 commit_proxy_pipeline_crash, the
+# worker_removed variant with a recovery loop that bounces 0->4->7->0
+# (problem_SidebandWithStatus.md: "FDB is designed to recover once, not
+# bounce repeatedly"; key pattern "MasterTerminated preceded by
+# CommitProxyTerminated or ResolverTerminated -> root cause is always CL7")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sideband_with_status(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    # the doc's root-cause chain, each step within ~200ms of the last
+    # ("resource exhaustion doesn't kill proxy and resolver in ~200ms
+    # intervals" is the doc's discriminator vs CL12)
+    add(10.0, 40, "CommitProxyTerminated", "CP", {"Error": "worker_removed"})
+    add(10.2, 40, "ResolverTerminated", "RV", {"Error": "worker_removed"})
+    add(10.4, 40, "MasterTerminated", "MS", {"Error": "worker_removed"})
+    add(10.6, 20, "CommitDummyTransactionError", "CP",
+        {"Error": "commit_unknown_result"})
+    add(10.8, 20, "CCWDB", "CC", {"Error": "commit_proxy_failed"})
+    add(11.0, 20, "ClusterRecoveryRetrying", "CC",
+        {"Error": "commit_proxy_failed"})
+    # the looping recovery the doc's "Recovery State / Epoch" metric
+    # describes: 0 -> 4 -> 7, then back to 0, three bounces, never 14
+    for loop, w in enumerate([12.0, 25.0, 40.0]):
+        for k, code in enumerate([0, 4, 7]):
+            add(w + 1.0 * k, 30, "MasterRecoveryState", "MS",
+                {"StatusCode": str(code)})
+    # downstream fallout AFTER the pipeline broke (doc: "stress reactions
+    # after the pipeline collapses - not causes"); all of it far enough
+    # from the first recovery that attribution can't pick it up
+    add(50.0, 20, "RecruitStorageNotAvailable", "CC",
+        {"Error": "no_more_servers"})
+    add(51.0, 30, "DiskNearCapacity", "SS", {"Pct": "0.93"})
+    add(52.0, 30, "SlowSSLoopx100", "SS", {"Elapsed": "8"})
+    for k in range(8):
+        add(53.0 + 0.2 * k, 20, "RelocateShard_StartMoveKeys", "DD",
+            {"Error": "operation_cancelled"})
+    # the doc's false positives: filesystem/network churn that "never
+    # generates the master termination by itself" — placed late so a
+    # correct attributor ignores it and a recency-greedy one would not
+    add(60.0, 20, "FileOpenError", "SS", {"Error": "file_not_found"})
+    add(61.0, 20, "PeerDestroy", "NET", {})
+    add(62.0, 20, "IncomingConnectionError", "NET", {"Error": "timeout"})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sidebandstatus_chain_is_200ms_proxy_led(spark, sideband_with_status):
+    # CL7 signature: proxy -> resolver -> master, each within 200ms, and
+    # the master is LAST (reaction, not cause)
+    sev40 = (
+        sideband_with_status.filter(F.col("severity") >= 40)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert [r.event for r in sev40] == [
+        "CommitProxyTerminated", "ResolverTerminated", "MasterTerminated",
+    ]
+    deltas = [
+        (sev40[j + 1].ts - sev40[j].ts).total_seconds() for j in range(2)
+    ]
+    assert all(d <= 0.2 + 1e-9 for d in deltas)
+
+
+def test_sidebandstatus_recovery_loops_not_once(spark, sideband_with_status):
+    # "looping 0->4->7->0 repeatedly": three episodes would merge at
+    # gap>60s, so sessionize at a 10s gap to see the bounces; the loop
+    # detector sees 9 recoveries inside 60s
+    recs = D.detect_recoveries(sideband_with_status)["recoveries"].collect()
+    codes = [r.state_code for r in recs]
+    assert codes == [0, 4, 7] * 3  # bounces, never advances
+    assert all(r.state_name != "fully_recovered" for r in recs)
+    s = D.recovery_loop(
+        sideband_with_status, threshold=3, window_seconds=60
+    )["summary"].collect()[0]
+    assert s.detected and s.loop_count == 7  # every 3-window after the first 2
+
+
+def test_sidebandstatus_causes_name_the_pipeline(spark, sideband_with_status):
+    # every bounce's first recovery must attribute to the commit-pipeline
+    # evidence (the doc's diagnostic checklist: "Verify
+    # commit_unknown_result"), and NEVER to the doc's false positives
+    recs = sorted(
+        D.detect_recoveries(sideband_with_status)["recoveries"].collect(),
+        key=lambda r: r.recovery_ts,
+    )
+    causes = [r.cause for r in recs]
+    # loop 1 anchors at T+12: nearest tier-2 fail-name inside [7,12) is
+    # the commit_unknown_result dummy-transaction error (10.6) — the
+    # pipeline chain's tail, not the churn
+    assert causes[0] == "Detected failure event: CommitDummyTransactionError"
+    for c in causes:
+        if c is not None:
+            for fp in ("FileOpenError", "PeerDestroy", "IncomingConnectionError",
+                       "RelocateShard"):
+                assert fp not in c
+
+
+def test_sidebandstatus_not_storage_pressure(spark, sideband_with_status):
+    # doc: "If DiskNearCapacity or SlowSSLoopx100 dominates -> storage
+    # pressure (CL6) -> downstream". No VersionLag ramp exists, so D1
+    # must stay silent even though disk/slow-loop events are present.
+    s = D.storage_engine_pressure(sideband_with_status)["summary"].collect()[0]
+    assert not s.detected
+
+
+def test_sidebandstatus_timeline_leads_with_proxy(spark, sideband_with_status):
+    tl = build_timeline(sideband_with_status)
+    assert tl["timeline"][0]["event"] == "CommitProxyTerminated"
+    notes = [item["note"] for item in tl["timeline"]]
+    assert "Recovery activity begins" in notes
+
+
+def test_sidebandstatus_loop_confirms_cl7_over_cl0(spark, sideband_with_status):
+    """The doc's interpretation rule: ClusterRecoveryRetrying without a
+    preceding proxy kill would be CL0; WITH the proxy-led chain it is CL7.
+    A CL0 hypothesis that ignores the chain gets capped; the CL7 one
+    grounded in the recovery/termination evidence is accepted."""
+    prompts = []
+    responses = [
+        {
+            # CL0-shaped red herring: counts the severity 30 recovery
+            # warnings instead of asking what killed the pipeline first
+            "hypothesis": "The repeated severity 30 recovery warnings are the problem",
+            "confidence": 0.9,
+            "reasoning": "many ClusterRecoveryRetrying lines appear",
+        },
+        {
+            "hypothesis": (
+                "CLUSTER 7 commit_proxy_pipeline_crash: CommitProxyTerminated "
+                "precedes MasterTerminated by 400ms; the recovery loop is the "
+                "consequence, not the cause"
+            ),
+            "confidence": 0.75,
+            "reasoning": (
+                "recovery episodes bounce 0->4->7 without completing while "
+                "the termination chain is proxy-led; throttling and disk "
+                "pressure appear only after the collapse"
+            ),
+        },
+    ]
+
+    def llm(prompt):
+        prompts.append(prompt)
+        idx = min(len(prompts) - 1, len(responses) - 1)
+        return json.dumps(responses[idx])
+
+    agent = PhasedInvestigationAgent(llm, max_iterations=8)
+    res = agent.investigate(
+        sideband_with_status, "Why does the cluster keep re-recovering?"
+    )
+    assert len(prompts) >= 2
+    assert "commit_proxy_pipeline_crash" in res.hypothesis
+    assert res.confidence >= 0.75
+    assert "scanner.recovery_episodes" in res.tools_used
+
+
+# ---------------------------------------------------------------------------
+# CloggedCycleTest — the compound failure (problem_CloggedCycleTest.md):
+# "missing file(s) + TLog termination + commit-proxy pipeline crash".
+# Cluster 7 primary, Cluster 5 (TLog restart) supporting, Cluster 0
+# recruit-failure cascade downstream. The doc's RocksDB section is the
+# explicit CL6 rule-OUT ("which we do NOT see here").
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clogged_cycle(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    # early file_not_found bursts — the doc's "underlying trigger", but
+    # also its false positive when "not associated with recovery loops";
+    # placed >5s before the first recovery so the attributor must not
+    # pick them up
+    for k in range(6):
+        add(0.0 + 0.3 * k, 20, "FileOpenError", "SS",
+            {"Error": "file_not_found",
+             "File": f"/simfdb/.../storage-{k}.fdq"})
+    # TLog + txn subsystem restart (Cluster 5 supporting factor)
+    add(5.0, 40, "TLogTerminated", "TL", {"Error": "worker_removed"})
+    add(5.5, 20, "RestartingTxnSubsystem", "MS", {})
+    # the commit-pipeline failure sequence, verbatim event names from the
+    # doc's "Primary indicator(s)" block
+    add(6.0, 40, "CommitProxyTerminated", "CP", {"Error": "worker_removed"})
+    add(6.2, 40, "ResolverTerminated", "RV", {"Error": "worker_removed"})
+    add(6.4, 40, "MasterTerminated", "MS", {"Error": "worker_removed"})
+    add(6.5, 20, "CommitDummyTransactionError", "CP",
+        {"Error": "commit_unknown_result"})
+    add(6.6, 20, "CCWDB", "CC", {"Error": "commit_proxy_failed"})
+    add(6.8, 20, "ClusterRecoveryRetrying", "CC",
+        {"Error": "commit_proxy_failed"})
+    # recovery cascade symptoms (Cluster 0) while the walk proceeds
+    add(8.0, 20, "ClusterRecoveryRetrying", "CC", {"Error": "no_more_servers"})
+    add(8.5, 20, "RecruitStorageNotAvailable", "CC",
+        {"Error": "no_more_servers"})
+    # one full recovery cycle — the doc: recovery IS expected here, the
+    # compound trigger is what makes it noteworthy
+    for k, code in enumerate([0, 2, 3, 7, 9, 11, 14]):
+        add(9.0 + 0.5 * k, 30, "MasterRecoveryState", "MS",
+            {"StatusCode": str(code)})
+    # downstream stress, not root cause
+    add(15.0, 30, "SlowSSLoopx100", "SS", {"Elapsed": "7"})
+    add(16.0, 30, "DiskNearCapacity", "SS", {"Pct": "0.91"})
+    add(17.0, 20, "QuietDatabaseStartFail", "DD",
+        {"Reasons": "MaxTLogPoppedVersionLag"})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_cycle_compound_order_tlog_then_pipeline(spark, clogged_cycle):
+    # the doc's unfolding: TLogTerminated and RestartingTxnSubsystem come
+    # BEFORE the proxy chain; master is last of the sev-40 chain
+    sev40 = (
+        clogged_cycle.filter(F.col("severity") >= 40)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert [r.event for r in sev40] == [
+        "TLogTerminated", "CommitProxyTerminated", "ResolverTerminated",
+        "MasterTerminated",
+    ]
+
+
+def test_cycle_one_full_recovery_attributed_to_commit_errors(
+    spark, clogged_cycle
+):
+    recs = sorted(
+        D.detect_recoveries(clogged_cycle)["recoveries"].collect(),
+        key=lambda r: r.recovery_ts,
+    )
+    assert [r.state_name for r in recs][-1] == "fully_recovered"
+    eps = D.recovery_episodes(clogged_cycle)["episodes"].collect()
+    assert len(eps) == 1 and eps[0].n_recoveries == 7
+    # first recovery anchors at T+9: the nearest fail-name inside [4,9)
+    # is CommitDummyTransactionError (commit_unknown_result) — the doc's
+    # "confirm the failure is specifically in the commit pipeline"
+    assert recs[0].cause == "Detected failure event: CommitDummyTransactionError"
+    # and the early FileOpenError burst is never an attributed cause
+    for r in recs:
+        assert r.cause is None or "FileOpenError" not in r.cause
+
+
+def test_cycle_rocksdb_ruleout_no_storage_pressure(spark, clogged_cycle):
+    # the doc's Key-Indicators section exists to RULE OUT Cluster 6:
+    # "Persistent write stall ... would indicate storage-engine pressure
+    # (Cluster 6), which we do NOT see here"
+    s = D.storage_engine_pressure(clogged_cycle)["summary"].collect()[0]
+    assert not s.detected
+
+
+def test_cycle_loop_lands_on_cl7_with_cl5_support(spark, clogged_cycle):
+    prompts = []
+    responses = [
+        {
+            # red herring the doc calls out: early file_not_found bursts
+            "hypothesis": "The file not found errors at startup caused the outage",
+            "confidence": 0.9,
+            "reasoning": "FileOpenError bursts repeat at T+0",
+        },
+        {
+            "hypothesis": (
+                "CLUSTER 7 commit_proxy_pipeline_crash with CLUSTER 5 "
+                "tlog_failure_recovery supporting: TLog restart preceded a "
+                "proxy-led master termination and one full recovery"
+            ),
+            "confidence": 0.75,  # +0.1 metric-focus boost => 0.85
+            "reasoning": (
+                "recovery episode completes after commit_unknown_result "
+                "errors; SlowSSLoop degradation and disk pressure follow "
+                "recovery, not precede it"
+            ),
+        },
+    ]
+
+    def llm(prompt):
+        prompts.append(prompt)
+        idx = min(len(prompts) - 1, len(responses) - 1)
+        return json.dumps(responses[idx])
+
+    agent = PhasedInvestigationAgent(llm, max_iterations=8)
+    res = agent.investigate(clogged_cycle, "What broke first in this run?")
+    assert len(prompts) >= 2
+    assert "commit_proxy_pipeline_crash" in res.hypothesis
+    assert "tlog_failure_recovery" in res.hypothesis
+
+
+# ---------------------------------------------------------------------------
+# CloggedStorefront — repeated per-window proxy crashes with large
+# CommitDummyTransactionError / TLogQueueCommitSlow bursts
+# (problem_CloggedStorefront.md: "17 of the 24 windows", "3,347
+# CommitDummyTransactionError", "TLogQueueCommitSlow ... LoggingDelay = 1s";
+# scaled down to 5 crash windows + 1 quiet storage-metrics window)
+# ---------------------------------------------------------------------------
+
+STOREFRONT_CRASH_WINDOWS = [0.0, 90.0, 180.0, 270.0, 360.0]
+STOREFRONT_QUIET_WINDOW = 450.0
+
+
+@pytest.fixture(scope="module")
+def clogged_storefront(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    for w in STOREFRONT_CRASH_WINDOWS:
+        add(w + 0.0, 40, "CommitProxyTerminated", "CP",
+            {"Error": "worker_removed"})
+        add(w + 0.3, 20, "CCWDB", "CC", {"Error": "commit_proxy_failed"})
+        add(w + 0.5, 20, "ClusterRecoveryRetrying", "CC",
+            {"Error": "commit_proxy_failed"})
+        # the burst pair: dummy-transaction errors and slow TLog queue
+        # commits, interleaved at 10/s (the doc's per-window bursts)
+        for k in range(30):
+            add(w + 1.0 + 0.1 * k, 20, "CommitDummyTransactionError", "CP",
+                {"Error": "commit_unknown_result"})
+        for k in range(20):
+            add(w + 1.05 + 0.1 * k, 20, "TLogQueueCommitSlow", "TL",
+                {"LoggingDelay": "1"})
+        # per-window recovery walk (a new proxy set comes up each time)
+        for k, code in enumerate([0, 2, 7, 14]):
+            add(w + 6.0 + 0.5 * k, 30, "MasterRecoveryState", "MS",
+                {"StatusCode": str(code)})
+    # the quiet window: "others (Cluster 6) are just post-recovery
+    # storage metrics" — mild lag, no crash, no recovery
+    for k in range(10):
+        add(STOREFRONT_QUIET_WINDOW + k, 10, "StorageMetrics", "SS",
+            {"VersionLag": str(500 + 20 * k)})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_storefront_five_crash_windows_five_episodes(spark, clogged_storefront):
+    eps = D.recovery_episodes(clogged_storefront)["episodes"].collect()
+    assert len(eps) == len(STOREFRONT_CRASH_WINDOWS)
+    assert all(e.n_recoveries == 4 for e in eps)
+    # every window's recovery reaches a working proxy set again
+    recs = D.detect_recoveries(clogged_storefront)["recoveries"].collect()
+    assert sum(1 for r in recs if r.state_name == "fully_recovered") == 5
+
+
+def test_storefront_burst_detection_matches_bruteforce(
+    spark, clogged_storefront
+):
+    from db_loganalyzer_spark.operators.windows import burst_windows
+
+    dummies = clogged_storefront.filter(
+        F.col("event") == "CommitDummyTransactionError"
+    )
+    flagged = burst_windows(dummies, k=10, window_seconds=1.0).count()
+    # brute force over the synthesized times: per window, events at
+    # 0.1s spacing, row j (0-based) flags when t[j]-t[j-9] <= 1.0
+    times = [1.0 + 0.1 * k for k in range(30)]
+    per_window = sum(
+        1 for j in range(9, len(times)) if times[j] - times[j - 9] <= 1.0 + 1e-9
+    )
+    assert flagged == per_window * len(STOREFRONT_CRASH_WINDOWS)
+
+
+def test_storefront_burst_events_dominate_histogram(spark, clogged_storefront):
+    # the doc leads with the burst totals (3,347 / 3,302): the two burst
+    # event names must dominate the event histogram
+    top = (
+        clogged_storefront.groupBy("event")
+        .count()
+        .orderBy(F.desc("count"), "event")
+        .limit(2)
+        .collect()
+    )
+    assert {r.event for r in top} == {
+        "CommitDummyTransactionError", "TLogQueueCommitSlow",
+    }
+    n_dummy = next(r for r in top if r.event == "CommitDummyTransactionError")
+    assert n_dummy["count"] == 30 * len(STOREFRONT_CRASH_WINDOWS)
+
+
+def test_storefront_every_window_attributes_to_proxy_pipeline(
+    spark, clogged_storefront
+):
+    recs = sorted(
+        D.detect_recoveries(clogged_storefront)["recoveries"].collect(),
+        key=lambda r: r.recovery_ts,
+    )
+    # each window's first recovery (anchor w+6) looks back to [w+1, w+6):
+    # the nearest fail-name is the tail of the dummy-error burst
+    for w_idx in range(len(STOREFRONT_CRASH_WINDOWS)):
+        first = recs[w_idx * 4]
+        assert first.cause == (
+            "Detected failure event: CommitDummyTransactionError"
+        ), (w_idx, first)
+
+
+def test_storefront_quiet_window_is_not_pressure(spark, clogged_storefront):
+    # mild post-recovery storage metrics must not read as Cluster 6
+    s = D.storage_engine_pressure(clogged_storefront)["summary"].collect()[0]
+    assert not s.detected
+    # and no recovery episode overlaps the quiet window
+    eps = D.recovery_episodes(clogged_storefront)["episodes"].collect()
+    quiet_start = T0 + dt.timedelta(seconds=STOREFRONT_QUIET_WINDOW)
+    assert all(e.end_ts < quiet_start for e in eps)
+
+
+# ---------------------------------------------------------------------------
+# ConfigureStorageMigrationTest — Cluster 9 storage-migration instability
+# (problem_ConfigureStorageMigrationTest.md: quiet-db failure -> team-build
+# failure -> audit stall loop; "Without quiet-database errors, treat as
+# Cluster 6 or 0"; distinguished from ConfigureTest by the audit loop and
+# by the migration NEVER reaching a recovery walk at all)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def storage_migration(spark):
+    rows, i = [], 0
+
+    def add(t, sev, event, role, fields, machine="2.0.1.0:1"):
+        nonlocal i
+        i += 1
+        rows.append(_ev(i, t, sev, event, role, fields, machine))
+
+    for w in [0.0, 120.0]:
+        # the doc's timeline: T+0 migration starts, T+3 quiet-db fails,
+        # T+5 team build fails + recruit unavailable, audit retries
+        add(w + 3.0, 20, "QuietDatabaseStartFail", "DD",
+            {"Reasons": "MaxTLogPoppedVersionLag"})
+        add(w + 3.5, 20, "QuietDatabaseConsistencyCheckStartFail", "DD", {})
+        add(w + 5.0, 20, "BuildTeamsLastBuildTeamsFailed", "DD", {"Teams": "0"})
+        add(w + 5.5, 20, "RecruitStorageNotAvailable", "CC",
+            {"Error": "no_more_servers"})
+        for k in range(3):  # the audit stall loop, retrying and never done
+            add(w + 6.0 + 1.5 * k, 20, "AuditUtilCheckAuditProgressNotFinished",
+                "DD", {"Retry": str(k)})
+        add(w + 11.0, 20, "GrvProxyRateLeaseExpired", "GP", {})
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_migration_timing_quietdb_teams_audit(spark, storage_migration):
+    # "Key timing pattern: Quiet database failure -> team build failure ->
+    # audit stall loop", in order, in every cycle
+    seq = [
+        (r.event, r.ts)
+        for r in storage_migration.orderBy("ts", "event_id").collect()
+    ]
+    names = [e for e, _ in seq]
+    for cycle in range(2):
+        base = cycle * 8  # 8 events per cycle
+        window = names[base:base + 8]
+        qi = window.index("QuietDatabaseStartFail")
+        ti = window.index("BuildTeamsLastBuildTeamsFailed")
+        ai = window.index("AuditUtilCheckAuditProgressNotFinished")
+        assert qi < ti < ai
+
+
+def test_migration_audit_never_finishes(spark, storage_migration):
+    # audit retries in BOTH cycles and no completion event exists
+    audits = storage_migration.filter(
+        F.col("event") == "AuditUtilCheckAuditProgressNotFinished"
+    )
+    assert audits.count() == 6
+    per_cycle = (
+        audits.groupBy(F.window("ts", "60 seconds"))
+        .count()
+        .select("count")
+        .collect()
+    )
+    assert sorted(r["count"] for r in per_cycle) == [3, 3]
+
+
+def test_migration_never_reaches_recovery(spark, storage_migration):
+    # unlike ConfigureTest (config-DRIVEN recoveries), the migration
+    # stalls before any recovery walk: zero MasterRecoveryState rows
+    assert (
+        D.recovery_episodes(storage_migration)["episodes"].count() == 0
+    )
+    s = D.recovery_loop(storage_migration)["summary"].collect()[0]
+    assert not s.detected
+
+
+def test_migration_false_positive_guards(spark, storage_migration):
+    # doc: "Pure storage pressure without quiet-database failures" is the
+    # false positive in one direction (no VersionLag ramp here -> D1
+    # silent); "TLogTerminated without configure steps (then it's
+    # Cluster 5)" in the other (no TLog failure events -> D3 silent)
+    s6 = D.storage_engine_pressure(storage_migration)["summary"].collect()[0]
+    assert not s6.detected
+    s5 = D.missing_tlogs(storage_migration)["summary"].collect()[0]
+    assert s5["count"] == 0
