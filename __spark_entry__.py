@@ -3078,6 +3078,82 @@ FROM g
 """
 
 
+def j08_interval_join(spark, sf_dir):
+    """J8 — generic point-in-interval containment join, planned as a
+    bucketed EQUI join (operators/joins.interval_join): intervals explode
+    to the hour buckets they cover, points carry one bucket, a pair meets
+    in exactly one exploded row. Here: per-user daily activity spans
+    (>=5 events, non-degenerate) probed by error events — "how many heavy
+    user sessions were active when each error fired". The oracle is the
+    bare BETWEEN theta join DuckDB plans as an IEJoin."""
+    from db_loganalyzer_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("end_ts") > F.col("start_ts")) & (F.col("n") >= 5))
+        .select(F.col("user_id").alias("span_user"), "start_ts", "end_ts")
+    )
+    pts = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    pairs = interval_join(pts, spans, "ts", "start_ts", "end_ts", 3600.0)
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_spans"),
+        F.min("span_user").alias("min_user"),
+        F.max("span_user").alias("max_user"),
+    )
+
+
+J08_SQL = """
+WITH spans AS (
+  SELECT user_id AS span_user, date_trunc('day', ts) AS day,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM events GROUP BY 1, 2
+  HAVING MAX(ts) > MIN(ts) AND COUNT(*) >= 5
+), pts AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_active_spans,
+       MIN(s.span_user) AS min_user, MAX(s.span_user) AS max_user
+FROM pts p JOIN spans s ON p.ts >= s.start_ts AND p.ts <= s.end_ts
+GROUP BY 1
+"""
+
+
+def t10_length_histogram(spark, sf_dir):
+    """Sequence-length distribution in power-of-2 buckets per source
+    (operators/textstats.length_histogram) — the pass that sizes packing
+    and truncation budgets. Bucket = number of binary digits of the token
+    count (length(bin(n)) in both engines — exact integer semantics, no
+    float log2)."""
+    from db_loganalyzer_spark.operators.textstats import length_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs, by=["source"])
+
+
+T10_SQL = r"""
+WITH base AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT source,
+       CASE WHEN n <= 0 THEN 0 ELSE CAST(length(bin(n)) AS BIGINT) END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       MIN(n) AS min_tokens,
+       MAX(n) AS max_tokens
+FROM base
+GROUP BY 1, 2
+"""
+
+
 def pipe01_training_corpus(spark, sf_dir):
     """The end-to-end training-corpus assembly pipeline, composed from
     the engine's own stages in ONE DataFrame flow: quality gate (t07) ->
@@ -3292,6 +3368,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    # -- round-5 late additions (past the window; rotate into the driver
+    # window next round like every first-seen entry) --
+    "j08_interval_join": (j08_interval_join, J08_SQL),
+    "t10_length_histogram": (t10_length_histogram, T10_SQL),
 }
 
 

@@ -181,3 +181,47 @@ def asof_join(
     return out.filter(F.col("__tag") == 1).drop(
         "__tag", "__r_ts", *[f"__r_{c}" for c in value_cols]
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """J8 — point-in-interval containment join (``start <= t <= end``),
+    planned as an EQUI join: each interval row explodes to every
+    ``bucket_seconds`` time bucket it covers, each point lives in exactly
+    one bucket, so a qualifying pair meets in exactly one exploded row —
+    no dedup pass and no nested-loop theta join (a bare BETWEEN condition
+    plans as BroadcastNestedLoopJoin, unbounded at scale).
+
+    ``bucket_seconds`` is the scale dial: explode factor is
+    ``duration / bucket_seconds + 1`` per interval, per-bucket fan-in
+    shrinks as buckets narrow. Size it near the typical interval length.
+    Column names must be disjoint across the two inputs (alias first).
+
+    The same shape as J3's bucketed look-back and D10's episode halo; the
+    reference has no generic containment operator — its nearest use is the
+    per-recovery cause scan (tools/recovery_detector.py:155-207).
+    """
+    bs_us = int(round(bucket_seconds * 1_000_000))
+    iv = intervals.withColumn(
+        "__iv_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {bs_us}L"),
+                F.expr(f"unix_micros({end_col}) div {bs_us}L"),
+            )
+        ),
+    )
+    pts = points.withColumn("__pt_b", F.expr(f"unix_micros({point_ts}) div {bs_us}L"))
+    cond = (
+        (pts["__pt_b"] == iv["__iv_b"])
+        & (pts[point_ts] >= iv[start_col])
+        & (pts[point_ts] <= iv[end_col])
+    )
+    return pts.join(iv, cond, how).drop("__pt_b", "__iv_b")

@@ -412,3 +412,37 @@ def vocab_stats(
         .orderBy(F.desc("n"), "token")
         .limit(k)
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Power-of-2 token-length histogram per group — the sequence-length
+    distribution pass a training pipeline runs before choosing packing /
+    truncation budgets. Bucket ``b`` holds documents whose token count has
+    ``b`` binary digits (``2^(b-1) <= n < 2^b``); empty documents land in
+    bucket 0. The bucket is computed as ``length(bin(n))`` — pure integer
+    string arithmetic, exact in every engine, unlike ``floor(log2(n))``
+    whose float rounding flips at exact powers of two.
+
+    Pure column expressions + one partial-agg shuffle on (group, bucket);
+    no window, no UDF. Scale: output is O(groups x 64) rows regardless of
+    corpus size.
+    """
+    by = list(by or ["source"])
+    n = token_count(F.col(text_col)).cast("bigint")
+    bucket = F.when(n <= 0, F.lit(1).cast("bigint") - 1).otherwise(
+        F.length(F.bin(n)).cast("bigint")
+    )
+    return (
+        df.select(*by, n.alias("__n"), bucket.alias("bucket"))
+        .groupBy(*by, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.min("__n").cast("bigint").alias("min_tokens"),
+            F.max("__n").cast("bigint").alias("max_tokens"),
+        )
+    )

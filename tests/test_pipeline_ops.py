@@ -706,3 +706,116 @@ def test_asof_join_property_vs_python_oracle(spark):
             assert got[i] == want, (i, k, s, want, got[i])
 
     check()
+
+
+def test_interval_join_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.joins import interval_join
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    pts = spark.createDataFrame(
+        [(1, t(0)), (2, t(5)), (3, t(7200)), (4, t(10_000))],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        # one short, one bucket-spanning (0..2h), one disjoint
+        [(10, t(0), t(10)), (11, t(3), t(7200)), (12, t(20_000), t(21_000))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pts, ivs, "ts", "start_ts", "end_ts", 3600.0)
+        .select("pid", "iid")
+        .collect()
+    }
+    # inclusive both ends; bucket-spanning intervals meet each point once
+    assert got == {(1, 10), (2, 10), (2, 11), (3, 11)}
+    # left-outer keeps points that fall in no interval
+    left = interval_join(pts, ivs, "ts", "start_ts", "end_ts", 3600.0,
+                         how="left_outer")
+    assert left.count() == 4 + 1  # 4 pairs + the unmatched point 4
+    assert left.filter("iid IS NULL").select("pid").collect()[0].pid == 4
+
+
+def test_interval_join_property_vs_bruteforce(spark):
+    """Randomized containment-join semantics vs brute force: arbitrary
+    point/interval layouts, bucket-boundary ties, duplicate timestamps,
+    intervals shorter/longer than the bucket."""
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from db_loganalyzer_spark.operators.joins import interval_join
+
+    t0 = dtm.datetime(2024, 1, 1)
+    pt = st.integers(min_value=0, max_value=40)
+    iv = st.tuples(pt, st.integers(min_value=0, max_value=25))
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        ps=st.lists(pt, min_size=1, max_size=10),
+        vs=st.lists(iv, min_size=0, max_size=8),
+        bucket=st.sampled_from([7.0, 10.0, 40.0]),
+    )
+    def check(ps, vs, bucket):
+        P = spark.createDataFrame(
+            [(i, t0 + dtm.timedelta(seconds=s)) for i, s in enumerate(ps)],
+            "pid long, ts timestamp",
+        )
+        V = spark.createDataFrame(
+            [(j, t0 + dtm.timedelta(seconds=a), t0 + dtm.timedelta(seconds=a + d))
+             for j, (a, d) in enumerate(vs)],
+            "iid long, start_ts timestamp, end_ts timestamp",
+        ) if vs else spark.createDataFrame(
+            [], "iid long, start_ts timestamp, end_ts timestamp"
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(P, V, "ts", "start_ts", "end_ts", bucket)
+            .select("pid", "iid")
+            .collect()
+        }
+        want = {
+            (i, j)
+            for i, s in enumerate(ps)
+            for j, (a, d) in enumerate(vs)
+            if a <= s <= a + d
+        }
+        assert got == want, (ps, vs, bucket)
+
+    check()
+
+
+def test_length_histogram_buckets(spark):
+    from db_loganalyzer_spark.operators.textstats import length_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", ""),                      # 0 tokens  -> bucket 0
+            (2, "web", "one"),                   # 1 token   -> bucket 1
+            (3, "web", "a b c"),                 # 3 tokens  -> bucket 2
+            (4, "web", " ".join(["t"] * 8)),     # 8 tokens  -> bucket 4
+            (5, "lab", " ".join(["t"] * 15)),    # 15 tokens -> bucket 4
+            (6, "lab", " ".join(["t"] * 16)),    # 16 tokens -> bucket 5
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source, r.bucket): (r.n_docs, r.total_tokens, r.min_tokens, r.max_tokens)
+        for r in length_histogram(docs, by=["source"]).collect()
+    }
+    assert out == {
+        ("web", 0): (1, 0, 0, 0),
+        ("web", 1): (1, 1, 1, 1),
+        ("web", 2): (1, 3, 3, 3),
+        ("web", 4): (1, 8, 8, 8),
+        ("lab", 4): (1, 15, 15, 15),
+        ("lab", 5): (1, 16, 16, 16),
+    }

@@ -237,3 +237,21 @@ def test_w12_stitched_no_single_partition_window(spark, sf_dir, qs, cold_cache):
     assert frags, p[:800]
     for frag in frags:
         assert "__pid" in frag, frag
+
+
+def test_j08_interval_join_is_equi(spark, sf_dir, qs, cold_cache):
+    # the containment join must plan as a shuffled/broadcast HASH join on
+    # the exploded bucket key — a bare BETWEEN would be a nested-loop
+    # product of points x intervals
+    p = plan_str(spark, qs["j08_interval_join"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_t10_length_histogram_stays_jvm_side(spark, sf_dir, qs, cold_cache):
+    # bucket = length(bin(n)) is pure column arithmetic: one partial-agg
+    # shuffle, no Python eval node, codegen throughout
+    p = plan_str(spark, qs["t10_length_histogram"](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "Exchange" in p  # exactly the one agg shuffle
