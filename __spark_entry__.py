@@ -3124,6 +3124,42 @@ GROUP BY 1
 """
 
 
+def j09_interval_concurrency(spark, sf_dir):
+    """J9 — active-interval count per point via the sweep-line
+    (operators/joins.interval_concurrency): +1/-1 deltas + a stitched
+    global running sum, NO join node anywhere in the plan. Same question
+    as j08 but over the UNRESTRICTED span set whose pair count explodes
+    quadratically under overlap (9M pairs at sf0.1) — the sweep touches
+    each row once and emits exactly one row per point, zeros included.
+    The oracle pays the pair set (DuckDB IEJoin + COUNT); Spark does not."""
+    from db_loganalyzer_spark.operators.joins import interval_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .filter(F.col("end_ts") > F.col("start_ts"))
+        .select("start_ts", "end_ts")
+    )
+    pts = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    out = interval_concurrency(pts, spans)
+    return out.select("event_id", F.col("n_active").cast("bigint").alias("n_active"))
+
+
+J09_SQL = """
+WITH spans AS (
+  SELECT MIN(ts) AS a, MAX(ts) AS b
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+  HAVING MAX(ts) > MIN(ts)
+), pts AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, CAST(COUNT(s.a) AS BIGINT) AS n_active
+FROM pts p LEFT JOIN spans s ON p.ts >= s.a AND p.ts <= s.b
+GROUP BY 1
+"""
+
+
 def t10_length_histogram(spark, sf_dir):
     """Sequence-length distribution in power-of-2 buckets per source
     (operators/textstats.length_histogram) — the pass that sizes packing
@@ -3371,6 +3407,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- round-5 late additions (past the window; rotate into the driver
     # window next round like every first-seen entry) --
     "j08_interval_join": (j08_interval_join, J08_SQL),
+    "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
     "t10_length_histogram": (t10_length_histogram, T10_SQL),
 }
 

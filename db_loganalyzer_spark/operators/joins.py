@@ -225,3 +225,53 @@ def interval_join(
         & (pts[point_ts] <= iv[end_col])
     )
     return pts.join(iv, cond, how).drop("__pt_b", "__iv_b")
+
+
+def interval_concurrency(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_id: str = "event_id",
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """J9 — for every point, the COUNT of intervals containing it
+    (``start <= t <= end``), computed as a sweep-line instead of a join:
+    interval starts emit +1, interval ends emit -1, and a stitched global
+    running sum (windows.running_sum_stitched — range shuffle + boundary
+    carry, no single-partition window) reads the active count at each
+    point row. Ties resolve start(0) < point(1) < end(2), so intervals
+    that open or close exactly at the point's timestamp still contain it.
+
+    This is the shape that survives when interval_join cannot: the join
+    materializes every (point, interval) pair — quadratic under heavy
+    overlap — while the sweep is O((points + intervals) log) with output
+    exactly one row per point, zero-count points included. The trade: it
+    returns only the count (aggregate), not the matched interval columns.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("__t"), F.lit(0).alias("__k"),
+        F.lit(1).alias("__d"), F.lit(None).cast("long").alias("__pid_id"),
+    )
+    ends = intervals.select(
+        F.col(end_col).alias("__t"), F.lit(2).alias("__k"),
+        F.lit(-1).alias("__d"), F.lit(None).cast("long").alias("__pid_id"),
+    )
+    pts = points.select(
+        F.col(point_ts).alias("__t"), F.lit(1).alias("__k"),
+        F.lit(0).alias("__d"), F.col(point_id).cast("long").alias("__pid_id"),
+    )
+    from .windows import running_sum_stitched
+
+    swept = running_sum_stitched(
+        starts.unionByName(ends).unionByName(pts),
+        "__d",
+        ["__t", "__k", "__pid_id"],
+        num_partitions,
+    )
+    return swept.filter(F.col("__k") == 1).select(
+        F.col("__pid_id").alias(point_id),
+        F.col("__t").alias(point_ts),
+        F.col("running_sum").alias("n_active"),
+    )

@@ -427,6 +427,57 @@ def lag_regressions_stitched(
     ).withColumn("drop_amount", F.col("prev_value") - F.col(value_col))
 
 
+def running_sum_stitched(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global prefix sum over an arbitrary total order with NO
+    single-partition window: range-shuffle on the order, per-partition
+    cumsum, plus a carry equal to the summed totals of all earlier
+    partitions (collected as one row per partition, prefix-folded on the
+    driver, broadcast back as a literal pid map). Integer semantics —
+    ``value_col`` is cast to long.
+
+    The building block for sweep-line algorithms (interval concurrency,
+    inventory levels, gauge reconstruction from deltas) where a join
+    would materialize the quadratic pair set the sweep avoids.
+    """
+    order = [F.col(c) for c in order_by]
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    part = (
+        part.sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in part.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__t"))
+        .collect()
+    }
+    prefix, run = {}, 0
+    for pid in range(part.rdd.getNumPartitions()):
+        if run:
+            prefix[pid] = run
+        run += totals.get(pid) or 0
+    carry = _pid_map(prefix, "long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return part.withColumn(
+        "running_sum",
+        F.sum(F.col(value_col).cast("long")).over(w) + F.coalesce(carry, F.lit(0)),
+    ).drop("__pid")
+
+
 def sessionize_stitched(
     df: DataFrame,
     gap_seconds: float,

@@ -819,3 +819,48 @@ def test_length_histogram_buckets(spark):
         ("lab", 4): (1, 15, 15, 15),
         ("lab", 5): (1, 16, 16, 16),
     }
+
+
+def test_interval_concurrency_property_vs_bruteforce(spark):
+    """Sweep-line active-interval counts vs brute force: zero-count
+    points included, boundary inclusivity at both ends, duplicate
+    timestamps, overlapping interval stacks."""
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from db_loganalyzer_spark.operators.joins import interval_concurrency
+
+    t0 = dtm.datetime(2024, 1, 1)
+    pt = st.integers(min_value=0, max_value=30)
+    iv = st.tuples(pt, st.integers(min_value=0, max_value=20))
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        ps=st.lists(pt, min_size=1, max_size=10),
+        vs=st.lists(iv, min_size=0, max_size=8),
+    )
+    def check(ps, vs):
+        P = spark.createDataFrame(
+            [(i, t0 + dtm.timedelta(seconds=s)) for i, s in enumerate(ps)],
+            "event_id long, ts timestamp",
+        )
+        V = spark.createDataFrame(
+            [(t0 + dtm.timedelta(seconds=a), t0 + dtm.timedelta(seconds=a + d))
+             for a, d in vs],
+            "start_ts timestamp, end_ts timestamp",
+        ) if vs else spark.createDataFrame(
+            [], "start_ts timestamp, end_ts timestamp"
+        )
+        got = {
+            r.event_id: r.n_active
+            for r in interval_concurrency(P, V).collect()
+        }
+        for i, s in enumerate(ps):
+            want = sum(1 for a, d in vs if a <= s <= a + d)
+            assert got[i] == want, (ps, vs, i)
+        assert len(got) == len(ps)  # every point present, zeros included
+
+    check()

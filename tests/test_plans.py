@@ -255,3 +255,12 @@ def test_t10_length_histogram_stays_jvm_side(spark, sf_dir, qs, cold_cache):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "Exchange" in p  # exactly the one agg shuffle
+
+
+def test_j09_sweep_has_no_join(spark, sf_dir, qs, cold_cache):
+    # the whole point of the sweep: the active-count query whose join
+    # form materializes a quadratic pair set compiles to union + range
+    # shuffle + window — NO join node of any kind in the plan
+    p = plan_str(spark, qs["j09_interval_concurrency"](spark, sf_dir), "simple")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
