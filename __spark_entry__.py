@@ -3124,6 +3124,38 @@ GROUP BY 1
 """
 
 
+def a20_sliding_rollup(spark, sf_dir):
+    """A20 — sliding (hopping) window rollup: 1h windows every 15min via
+    Spark's native F.window(slideDuration) (operators/aggregates.
+    sliding_windowed_rollup). Catalyst explodes each row into its 4
+    overlapping windows JVM-side, then one partial-agg shuffle; the
+    oracle restates the explode as a generate_series(0,3) cross join.
+    Determinism: micro-unit integer avg, count/max exact."""
+    from db_loganalyzer_spark.operators.aggregates import (
+        sliding_windowed_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_windowed_rollup(ev, 3600, 900, ["event_type"], "value")
+
+
+A20_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us
+  FROM events WHERE value IS NOT NULL
+), x AS (
+  SELECT event_type, value,
+         (CAST(FLOOR(us / 900000000.0) AS BIGINT) - k.k) * 900000000 AS w_start_us
+  FROM ev, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT w_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(value) AS avg_value,
+       MAX(value) AS max_value
+FROM x GROUP BY 1, 2
+"""
+
+
 def j09_interval_concurrency(spark, sf_dir):
     """J9 — active-interval count per point via the sweep-line
     (operators/joins.interval_concurrency): +1/-1 deltas + a stitched
@@ -3409,6 +3441,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j08_interval_join": (j08_interval_join, J08_SQL),
     "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
     "t10_length_histogram": (t10_length_histogram, T10_SQL),
+    "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
 }
 
 

@@ -864,3 +864,33 @@ def test_interval_concurrency_property_vs_bruteforce(spark):
         assert len(got) == len(ps)  # every point present, zeros included
 
     check()
+
+
+def test_sliding_rollup_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.aggregates import (
+        sliding_windowed_rollup,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)  # midnight: aligned to every slide
+    rows = [
+        (1, t0 + dtm.timedelta(seconds=0), "a", 10.0),
+        (2, t0 + dtm.timedelta(seconds=950), "a", 30.0),   # second slide
+        (3, t0 + dtm.timedelta(seconds=4000), "a", 100.0),  # past window 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, value double")
+    out = {
+        r.w_start_us: (r.n, r.avg_value, r.max_value)
+        for r in sliding_windowed_rollup(df, 3600, 900, ["k"], "value").collect()
+    }
+    us = lambda s: (int(t0.timestamp()) + s) * 1_000_000
+    # row 1 belongs to windows starting at -2700, -1800, -900, 0;
+    # row 2 (t=950) to -1800..900; row 3 (t=4000) to 900..3600.
+    # Spot-check overlapping and disjoint windows:
+    assert out[us(0)] == (2, 20.0, 30.0)      # rows 1+2 overlap here
+    assert out[us(900)] == (2, 65.0, 100.0)   # rows 2+3 overlap here
+    assert out[us(-2700)] == (1, 10.0, 10.0)  # row 1 only
+    assert out[us(3600)] == (1, 100.0, 100.0)  # row 3 only
+    # every row appears in exactly window/slide = 4 windows
+    assert sum(n for n, _, _ in out.values()) == 3 * 4
