@@ -3340,7 +3340,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         a19_stats_report_grouping_sets,
         A19_SQL,
     ),
-    # -- driver window, part 0b: round-5 additions, first driver row (5) --
+    # -- driver window, part 0b: round-5 additions, first driver row (6) --
     "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
