@@ -3124,6 +3124,39 @@ GROUP BY 1
 """
 
 
+def st06_streaming_sliding_rollup(spark, sf_dir):
+    """a20's streaming form: the SAME F.window(slideDuration) expression
+    under a watermark (streaming/streams.streaming_sliding_rollup),
+    append mode — only windows whose END the final watermark passed emit,
+    which the oracle states as a closed-window filter over the
+    generate_series explode."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_sliding_rollup(
+        stream, 3600, 900, ["event_type"], "value", watermark_delay="0 seconds"
+    )
+    return _drain(out, "st06")
+
+
+ST06_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+), x AS (
+  SELECT event_type, value,
+         (CAST(FLOOR(us / 900000000.0) AS BIGINT) - k.k) * 900000000 AS w_us
+  FROM ev, (SELECT unnest(generate_series(0, 3)) AS k) k
+), roll AS (
+  SELECT CAST(w_us // 1000000 AS BIGINT) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / COUNT(value) AS avg_value,
+         MAX(value) AS max_value
+  FROM x GROUP BY 1, 2
+)
+SELECT * FROM roll
+WHERE window_start + 3600 <= (SELECT epoch_us(MAX(ts)) / 1000000.0 FROM events)
+"""
+
+
 def a20_sliding_rollup(spark, sf_dir):
     """A20 — sliding (hopping) window rollup: 1h windows every 15min via
     Spark's native F.window(slideDuration) (operators/aggregates.
@@ -3442,6 +3475,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
     "t10_length_histogram": (t10_length_histogram, T10_SQL),
     "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
+    "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
 }
 
 

@@ -5,6 +5,7 @@ from .streams import (  # noqa: F401
     streaming_event_histogram,
     streaming_exact_dedup,
     streaming_rollup,
+    streaming_sliding_rollup,
     streaming_sessions,
     streaming_ewma,
     streaming_value_drops,

@@ -141,6 +141,46 @@ def streaming_rollup(
     )
 
 
+def streaming_sliding_rollup(
+    events: DataFrame,
+    window_seconds: int,
+    slide_seconds: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """A20's streaming form — the SAME F.window(slideDuration) expression
+    as aggregates.sliding_windowed_rollup, plus a watermark. Each row
+    joins its window/slide overlapping windows; in append mode a sliding
+    window [w, w+window) is final once the watermark passes w+window, so
+    the rollup refreshes every ``slide_seconds`` without rescanning
+    history (the incremental form of the reference's re-CTAS)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(
+                F.col(ts_col),
+                f"{window_seconds} seconds",
+                f"{slide_seconds} seconds",
+            ),
+            *keys,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(value_col, scale=None).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            *keys,
+            "n",
+            "avg_value",
+            "max_value",
+        )
+    )
+
+
 def streaming_sessions(
     events: DataFrame,
     gap_seconds: int,
