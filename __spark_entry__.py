@@ -3124,6 +3124,54 @@ GROUP BY 1
 """
 
 
+def a21_session_funnel(spark, sf_dir):
+    """A21 — per-session view->purchase conversion funnel over w05's
+    sessionization (operators/windows.session_funnel): one in-session
+    has-seen-view running flag + one partial-agg shuffle, no self-join.
+    Tie semantics are the total order (ts, event_id) — a purchase tied
+    on ts converts only if the view sorts before it."""
+    ev = _events(spark, sf_dir)
+    sess = W.sessionize(ev, 3600, partition_by=["user_id"])
+    return W.session_funnel(
+        sess, "view", "purchase", partition_by=["user_id"]
+    )
+
+
+A21_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) / 1000000.0
+                   - (epoch_us(lag(ts) OVER w) / 1000000.0) > 3600
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_id
+  FROM flagged
+), seen AS (
+  SELECT user_id, session_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+  FROM numbered
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_first,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_second,
+       epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END)) AS first_step_us,
+       epoch_us(MIN(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN ts END)) AS converted_us,
+       MIN(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN ts END) IS NOT NULL AS converted,
+       (epoch_us(MIN(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN ts END))
+        - epoch_us(MIN(CASE WHEN event_type = 'view' THEN ts END))) / 1000000.0 AS seconds_to_convert
+FROM seen GROUP BY 1, 2
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -3476,6 +3524,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t10_length_histogram": (t10_length_histogram, T10_SQL),
     "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
+    "a21_session_funnel": (a21_session_funnel, A21_SQL),
 }
 
 

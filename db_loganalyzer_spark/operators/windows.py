@@ -144,6 +144,55 @@ def session_summary(
     return out.orderBy(*keys) if ordered else out
 
 
+def session_funnel(
+    sessions: DataFrame,
+    first_step: str,
+    second_step: str,
+    type_col: str = "event_type",
+    partition_by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Per-session two-step conversion funnel: did a ``second_step``
+    event happen AFTER (or tied-at, by total order) a ``first_step``
+    event inside the same session? One in-session running has-seen flag
+    (window bounded to the session partition — never global) + one
+    partial-agg shuffle. Input is ``sessionize`` output (``session_id``
+    present). Emits per (keys, session_id): event/step counts, first-step
+    time, conversion time, and seconds-to-convert.
+
+    The classic product-analytics ask (view -> purchase), and the same
+    shape as the reference's cause-then-recovery sequencing; no
+    self-join of the event table with itself.
+    """
+    keys = list(partition_by or []) + ["session_id"]
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seen_first = F.max(
+        F.when(F.col(type_col) == first_step, 1).otherwise(0)
+    ).over(w)
+    flagged = sessions.withColumn("__seen_first", seen_first)
+    is_first = F.col(type_col) == first_step
+    is_second = F.col(type_col) == second_step
+    conv_ts = F.min(F.when(is_second & (F.col("__seen_first") == 1), F.col(ts_col)))
+    first_ts = F.min(F.when(is_first, F.col(ts_col)))
+    return flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(is_first).alias("n_first"),
+        F.count_if(is_second).alias("n_second"),
+        F.unix_micros(first_ts).alias("first_step_us"),
+        F.unix_micros(conv_ts).alias("converted_us"),
+        conv_ts.isNotNull().alias("converted"),
+        (
+            (F.unix_micros(conv_ts) - F.unix_micros(first_ts)) / 1_000_000.0
+        ).alias("seconds_to_convert"),
+    )
+
+
 def burst_windows(
     df: DataFrame,
     k: int,

@@ -171,3 +171,43 @@ def test_stitched_equivalence_property(spark):
         ) == _sorted_rows(W.sessionize(df, gap_seconds=gap))
 
     check()
+
+
+def test_session_funnel_tie_and_session_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.windows import (
+        session_funnel,
+        sessionize,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def t(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    rows = [
+        # user 1, session 0: view -> purchase (converts, 5s)
+        (1, 1, t(0), "view"), (2, 1, t(5), "purchase"),
+        # user 1, session 1 (gap > 60): purchase BEFORE view (no conversion)
+        (3, 1, t(100), "purchase"), (4, 1, t(105), "view"),
+        # user 2: purchase tied on ts with the view; view has the SMALLER
+        # event_id so it sorts first in the total order -> converts at 0s
+        (5, 2, t(0), "view"), (6, 2, t(0), "purchase"),
+        # user 3: tied ts but view has the LARGER id -> no conversion
+        (8, 3, t(0), "view"), (7, 3, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    sess = sessionize(df, 60, partition_by=["user_id"])
+    out = {
+        (r.user_id, r.session_id): (r.converted, r.seconds_to_convert)
+        for r in session_funnel(
+            sess, "view", "purchase", partition_by=["user_id"]
+        ).collect()
+    }
+    assert out[(1, 0)] == (True, 5.0)
+    assert out[(1, 1)] == (False, None)
+    assert out[(2, 0)] == (True, 0.0)
+    assert out[(3, 0)] == (False, None)
