@@ -3172,6 +3172,84 @@ FROM seen GROUP BY 1, 2
 """
 
 
+def a22_hll_distinct(spark, sf_dir):
+    """A22 — engine-portable HyperLogLog distinct count
+    (operators/sketches.hll_estimate, p=12 -> 4096 registers) next to
+    the exact COUNT(DISTINCT) it replaces at scale. The registers use
+    the Knuth multiplicative hash + bin()-length rank (exact integers),
+    and the harmonic-mean denominator is the exact BIGINT
+    sum(2^(R-rho)), so the ESTIMATE itself — one double division of two
+    exact integers, linear-counting branch included — hash-matches the
+    oracle; the approximation is verified, not just a row count.
+    Scale: COUNT(DISTINCT key) shuffles every distinct key; the sketch
+    shuffles <= 4096 small ints per map partition."""
+    from db_loganalyzer_spark.operators.sketches import hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(ev, "user_id", p=12)
+    exact = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "nonzero_registers",
+        "scaled_sum",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("estimate") / F.col("exact_distinct") - 1) * 100, 4
+        ).alias("rel_err_pct"),
+    )
+
+
+# p=12: m=4096 registers, width=20 value bits, max rank R=21, scale 2^21;
+# 25371803950842.746 = alpha_4096 * 4096^2 * 2^21 exactly as the Python
+# double computes it (alpha scaled by a power of two -> no extra rounding).
+# The hash restatement is generated by sketches.mix32_sql so the two
+# engines' mixers cannot drift.
+from db_loganalyzer_spark.operators.sketches import mix32_sql as _mix32_sql
+
+A22_SQL = f"""
+WITH h AS (
+  SELECT {_mix32_sql('user_id')} AS h
+  FROM events WHERE user_id IS NOT NULL
+), pr AS (
+  SELECT CAST(h % 4096 AS INT) AS bucket,
+         CAST((h - h % 4096) / 4096 AS BIGINT) AS v
+  FROM h
+), regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN v = 0 THEN 21 ELSE 20 - length(bin(v)) + 1 END) AS rho
+  FROM pr GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT) AS s_nonzero,
+         CAST(COUNT(*) AS BIGINT) AS nz
+  FROM regs
+), est AS (
+  SELECT 4096 AS m, nz,
+         s_nonzero + (4096 - nz) * 2097152 AS s,
+         4096 - nz AS zeros
+  FROM agg
+), fin AS (
+  SELECT m, nz, s,
+         ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                         AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                    ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+               6) AS estimate
+  FROM est
+)
+SELECT CAST(m AS BIGINT) AS m,
+       nz AS nonzero_registers,
+       s AS scaled_sum,
+       estimate,
+       x.exact_distinct,
+       ROUND((estimate / x.exact_distinct - 1) * 100, 4) AS rel_err_pct
+FROM fin, (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events WHERE user_id IS NOT NULL) x
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -3436,7 +3514,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
     "a21_session_funnel": (a21_session_funnel, A21_SQL),
-    # -- driver window, part 1: single-row (r4) entries (27) --
+    "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
+    # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
@@ -3449,7 +3528,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
-    "t03_language_id": (t03_language_id, T03_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
@@ -3477,6 +3555,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # -- past the window: single-row (r4) entries displaced by the
     # round-5 additions above (still pinned by scripts/check_oracle.py) --
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "t03_language_id": (t03_language_id, T03_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),
     "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
     "t04_fingerprints": (t04_fingerprints, T04_SQL),
