@@ -3250,6 +3250,90 @@ FROM fin, (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
 """
 
 
+def w13_gap_fill(spark, sf_dir):
+    """W13 — resample each user's value stream onto a regular 6h grid
+    with last-observation-carried-forward (operators/timeseries.
+    gap_fill). The raw-event pass is one two-phase groupBy (map-side
+    partial max_by); the grid explode, join and LOCF window all operate
+    on bucket-level rows — O(span/bucket) per key regardless of event
+    volume. In-bucket "last" is the (ts, event_id) total order."""
+    from db_loganalyzer_spark.operators.timeseries import gap_fill
+
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill(ev, 21600, ["user_id"])
+    return out.select("user_id", "bucket", "value", "is_gap")
+
+
+W13_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 1000000.0 / 21600) * 21600 AS BIGINT) AS bucket,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(FLOOR(epoch_us(ts) / 1000000.0 / 21600) * 21600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+), o AS (
+  SELECT user_id, bucket, value AS last_value FROM obs WHERE rn = 1
+), spans AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM o GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, 21600)) AS bucket FROM spans
+), j AS (
+  SELECT g.user_id, g.bucket, o.last_value
+  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket
+)
+SELECT user_id, bucket,
+       last_value(last_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       last_value IS NULL AS is_gap
+FROM j
+"""
+
+
+def w14_scd2_intervals(spark, sf_dir):
+    """W14 — SCD-type-2 state history (operators/timeseries.
+    scd2_intervals): one row per run of consecutive identical
+    event_type values per user, with [valid_from, valid_to) bounds and
+    an open current run. ONE key shuffle; both windows share the (key,
+    ts, event_id) sort. An as-of join (j07) against this output
+    reconstructs any point-in-time state."""
+    from db_loganalyzer_spark.operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(ev, "event_type", ["user_id"])
+    return out.select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+W14_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_state,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type
+)
+SELECT user_id, state,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w2) AS valid_to_us,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -3515,15 +3599,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
     "a21_session_funnel": (a21_session_funnel, A21_SQL),
     "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
@@ -3549,13 +3633,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w05_sessionization": (w05_sessionization, W05_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
     "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    # -- driver window, part 3: single-row (r4) rotations + headline reps --
+    # -- past the window (position 51+): single-row (r4) entries
+    # displaced by the round-5 additions above (still pinned by
+    # scripts/check_oracle.py + CI) --
     "t08_corpus_report": (t08_corpus_report, T08_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    # -- past the window: single-row (r4) entries displaced by the
-    # round-5 additions above (still pinned by scripts/check_oracle.py) --
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
     "t03_language_id": (t03_language_id, T03_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),
     "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
     "t04_fingerprints": (t04_fingerprints, T04_SQL),

@@ -1,0 +1,117 @@
+"""Time-series shaping operators: resample/gap-fill and SCD2 intervals.
+
+Log streams are irregular; downstream models and dashboards want a
+regular grid (one row per key per bucket, holes filled forward) or a
+state-history table (one row per key per *value run*, with validity
+intervals). Both reduce event-volume data to bucket/run-level rows
+first, so every window below operates on O(span / bucket) or O(distinct
+runs) rows per key — never on raw event volume.
+
+Scale shape:
+- the only pass over raw events is a two-phase groupBy (map-side
+  partial ``max_by``), shuffling one row per (key, bucket);
+- the grid explode is bounded by ``time_span / bucket_seconds`` per key
+  (a 1-year span at 6h buckets is 1460 rows per key, whatever the
+  event volume);
+- per-key windows partition on the key — no global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.functions.scalars import bucket_start
+
+
+def gap_fill(
+    df: DataFrame,
+    bucket_seconds: int,
+    partition_by: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Resample the non-null value stream onto a regular bucket grid per
+    key, carrying the last observation forward across empty buckets
+    (LOCF). Emits ``(keys..., bucket, value, is_gap)`` for every bucket
+    between each key's first and last observation.
+
+    "Last" inside a bucket is the value at the greatest ``(ts,
+    tiebreak)`` — the same total order every sequence operator in this
+    engine uses (windows._w), reduced with ``max_by`` so the bucket
+    collapse happens map-side, not in a window over raw events.
+    """
+    if not partition_by:
+        raise ValueError("gap_fill needs at least one partition key")
+    observed = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            *partition_by,
+            bucket_start(ts_col, bucket_seconds).alias("bucket"),
+        )
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(ts_col, tiebreak)
+            ).alias("__last")
+        )
+    )
+    spans = observed.groupBy(*partition_by).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    grid = spans.select(
+        *partition_by,
+        F.explode(
+            F.sequence("__b0", "__b1", F.lit(int(bucket_seconds)))
+        ).alias("bucket"),
+    )
+    joined = grid.join(observed, [*partition_by, "bucket"], "left")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *partition_by,
+        "bucket",
+        F.last("__last", ignorenulls=True).over(w).alias(value_col),
+        F.col("__last").isNull().alias("is_gap"),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    state_col: str,
+    partition_by: list[str],
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Collapse a per-key event stream into SCD-type-2 state history:
+    one row per run of consecutive identical ``state_col`` values, with
+    ``[valid_from, valid_to)`` bounds (``valid_to`` NULL on the open
+    current run). The warehouse dimension-building pass: an as-of join
+    against the output (j07) reconstructs state at any point in time.
+
+    One key shuffle; both windows share the same (key, order) spec so
+    Catalyst plans a single sort. Run boundaries compare with null-safe
+    equality, so NULL states form runs too.
+    """
+    order = [F.col(ts_col), F.col(tiebreak)]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prev = F.lag(F.col(state_col)).over(w)
+    prev_cnt = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    changes = df.withColumn(
+        "__is_run_start",
+        (prev_cnt == 0) | ~F.col(state_col).eqNullSafe(prev),
+    ).filter(F.col("__is_run_start"))
+    w2 = Window.partitionBy(*partition_by).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return changes.select(
+        *partition_by,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

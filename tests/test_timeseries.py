@@ -1,0 +1,90 @@
+"""gap_fill / scd2_intervals (operators/timeseries.py).
+
+The oracle gate pins full-table values; these pin the edge semantics —
+LOCF across multi-bucket holes, in-bucket tiebreaks, NULL-state runs,
+open current intervals — on inputs small enough to reason about by hand.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.operators.timeseries import gap_fill, scd2_intervals
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # key 1: values at minute 0 and minute 30 -> buckets 0 and 1800 with
+    # a 600s grid leave holes at 600 and 1200; two events share bucket 0
+    # (the later (ts, event_id) must win); a NULL value is ignored.
+    rows = [
+        (1, _ts(0, 10), 101, 10.0),
+        (1, _ts(0, 20), 102, 20.0),
+        (1, _ts(0, 20), 99, 15.0),  # same ts, smaller event_id: loses
+        (1, _ts(5), 103, None),  # null: not an observation
+        (1, _ts(30), 104, 40.0),
+        (2, _ts(2), 201, 7.0),  # single-bucket key: no gaps
+    ]
+    return spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_id: long, value: double"
+    )
+
+
+def test_gap_fill_locf_and_tiebreak(stream):
+    out = gap_fill(stream, 600, ["user_id"]).orderBy("user_id", "bucket")
+    got = [
+        (r["user_id"], r["bucket"], r["value"], r["is_gap"])
+        for r in out.collect()
+    ]
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    assert got == [
+        (1, base + 0, 20.0, False),  # max (ts,event_id) in bucket wins
+        (1, base + 600, 20.0, True),  # hole: carried forward
+        (1, base + 1200, 20.0, True),
+        (1, base + 1800, 40.0, False),
+        (2, base + 0, 7.0, False),
+    ]
+
+
+def test_gap_fill_requires_keys(stream):
+    with pytest.raises(ValueError):
+        gap_fill(stream, 600, [])
+
+
+def test_scd2_runs_and_open_interval(spark):
+    rows = [
+        (1, _ts(0), 1, "a"),
+        (1, _ts(1), 2, "a"),  # same run
+        (1, _ts(2), 3, "b"),  # change
+        (1, _ts(3), 4, None),  # NULL state starts a run
+        (1, _ts(4), 5, None),  # ...and continues it
+        (1, _ts(5), 6, "a"),  # back to a: new run, not merged
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_id: long, state: string"
+    )
+    out = scd2_intervals(df, "state", ["user_id"]).orderBy("valid_from")
+    got = [
+        (r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    ]
+    assert got == [
+        ("a", _ts(0), _ts(2), False),
+        ("b", _ts(2), _ts(3), False),
+        (None, _ts(3), _ts(5), False),
+        ("a", _ts(5), None, True),
+    ]
+
+
+def test_scd2_single_sort(spark, stream):
+    # both windows share one (key, ts, event_id) sort: the physical plan
+    # must contain exactly one Sort over the event input.
+    out = scd2_intervals(stream, "value", ["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") <= 2  # one per window stage, no extra
+    assert "Exchange rangepartitioning" not in plan  # no global sort
