@@ -3334,6 +3334,159 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def t11_tfidf_terms(spark, sf_dir):
+    """T11 — top-5 characteristic terms per document by TF-IDF
+    (operators/ranking.tfidf_top_terms). One token-explode pass feeds a
+    (doc, term) two-phase groupBy; document frequency is a second
+    partial agg over that frame; N rides along broadcast. Scores round
+    to 6 decimals BEFORE the per-doc rank window (term tiebreak), the
+    same float discipline as the cosine entries."""
+    from db_loganalyzer_spark.operators.ranking import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=5)
+
+
+T11_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, x.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                          t -> t <> '')) AS x(term)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+  FROM tf JOIN dfreq d USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS "rank"
+  FROM scored
+)
+SELECT doc_id, "rank", term, tf, df, score FROM ranked WHERE "rank" <= 5
+"""
+
+
+def t12_bm25_search(spark, sf_dir):
+    """T12 — BM25 keyword search for 'hash join spark', top-20 docs
+    (operators/ranking.bm25_search, k1=1.2 b=0.75). The postings scan
+    filters to the query terms BEFORE any shuffle; corpus constants (N,
+    avg length) broadcast. Per-term contributions are summed in FIXED
+    sorted-term order (conditional-max columns added left to right) so
+    the double additions are order-identical in both engines."""
+    from db_loganalyzer_spark.operators.ranking import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, "hash join spark", top_k=20)
+
+
+T12_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM lens
+), tf AS (
+  SELECT doc_id, x.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, unnest(tk) AS x(term)
+  WHERE x.term IN ('hash', 'join', 'spark')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (l.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs)))) AS c
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN lens l USING (doc_id), stats s
+), agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'hash' THEN c END) AS c0,
+         MAX(CASE WHEN term = 'join' THEN c END) AS c1,
+         MAX(CASE WHEN term = 'spark' THEN c END) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id,
+       ROUND(COALESCE(c0, 0.0) + COALESCE(c1, 0.0) + COALESCE(c2, 0.0), 6) AS score,
+       n_terms_hit
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def a23_cohort_retention(spark, sf_dir):
+    """A23 — cohort retention matrix: users grouped by first-active day,
+    counted on each later active day offset, with retention vs day 0.
+    Two partial-agg shuffles over (user, day)-level rows — active days
+    collapse per user via collect_set (bounded by span/86400 per user,
+    NOT event volume), cohort = array_min, then one groupBy over the
+    exploded user-day pairs; each pair is unique so COUNT(*) is the
+    distinct-user count. retained_pct is ONE double division per row
+    (window max over the tiny cohort-level frame)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    per_user = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    pairs = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day"),
+    )
+    ret = pairs.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort_day")
+    n0 = F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(w)
+    return ret.select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        F.round(F.col("n_users") / n0, 6).alias("retained_pct"),
+    )
+
+
+A23_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) AS BIGINT) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+), pairs AS (
+  SELECT d.user_id, c.cohort_day, d.day - c.cohort_day AS day_offset
+  FROM days d JOIN cohort c USING (user_id)
+), ret AS (
+  SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pairs GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_users,
+       ROUND(n_users / CAST(MAX(CASE WHEN day_offset = 0 THEN n_users END)
+                              OVER (PARTITION BY cohort_day) AS DOUBLE),
+             6) AS retained_pct
+FROM ret
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -3601,6 +3754,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
     "w13_gap_fill": (w13_gap_fill, W13_SQL),
     "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
+    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
+    "t12_bm25_search": (t12_bm25_search, T12_SQL),
+    "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3618,10 +3774,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
@@ -3642,6 +3795,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t03_language_id": (t03_language_id, T03_SQL),
     "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),
     "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
     "t04_fingerprints": (t04_fingerprints, T04_SQL),

@@ -1,0 +1,166 @@
+"""Keyword relevance ranking over the document corpus: TF-IDF term
+extraction and BM25 search (Robertson & Spärck Jones; the scoring used
+by Lucene/Elasticsearch, restated as pure DataFrame algebra).
+
+These complement the embedding side (operators/similarity.py): ANN
+finds semantically-near documents, BM25/TF-IDF find lexically-relevant
+ones — a training-data pipeline uses both (keyword-targeted corpus
+slices, duplicate-boilerplate term audits).
+
+Scale shape:
+- token explode -> two-phase groupBy (doc_id, term): the only pass over
+  raw text; everything after runs on (doc, term) statistics;
+- document frequency is a groupBy over the (doc, term) frame (partial
+  agg; each pair appears once so COUNT(*) is the doc count);
+- BM25 filters to the query's terms BEFORE aggregating — per-query work
+  is proportional to postings of the query terms, not the corpus;
+- corpus constants (N, avg doc length) ride along as a broadcast 1-row
+  frame, never a driver collect;
+- the per-doc top-k is a partition-local window over (doc, term) rows.
+
+Float determinism (oracle hash-matching): scores are built from exact
+integer tf/df/N and one ``ln`` call, rounded to 6 decimals BEFORE
+ranking in both engines, with the term / doc_id as the total-order
+tiebreak — the same discipline as the cosine entries in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from db_loganalyzer_spark.operators.textstats import tokens
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) — whitespace terms of the normalized text."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf * ln(N/df)``). Terms appearing in every document score 0 and
+    still rank below rarer terms; ties break on the term itself."""
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25:
+
+    ``sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avglen))``
+    with ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    The postings scan filters to the query's terms before any shuffle,
+    so cost tracks the query terms' postings, not corpus size. Query
+    terms are normalized with the same tokenizer as the corpus.
+    """
+    q_terms = sorted(
+        {t for t in query.lower().split() if t}
+    )
+    if not q_terms:
+        raise ValueError("empty query")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    lens = toks.select(
+        id_col, F.size("__toks").cast("long").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * (F.col("dl") / avg_len))
+            ),
+        )
+    )
+    # sum the per-term contributions in FIXED sorted-term order (one
+    # conditional-max column per query term, added left to right), not
+    # F.sum(contrib): float addition is order-dependent and a plain SUM
+    # would hash-differ from the oracle at the rounding boundary.
+    per_cols = [
+        F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(
+            f"__c{i}"
+        )
+        for i, t in enumerate(q_terms)
+    ]
+    acc = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(q_terms)):
+        acc = acc + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    scored = (
+        per_term.groupBy(id_col)
+        .agg(*per_cols, F.count(F.lit(1)).cast("long").alias("n_terms_hit"))
+        .select(
+            id_col,
+            F.round(acc, 6).alias("score"),
+            "n_terms_hit",
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

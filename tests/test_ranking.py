@@ -1,0 +1,67 @@
+"""TF-IDF / BM25 ranking (operators/ranking.py)."""
+
+import pytest
+
+from db_loganalyzer_spark.operators.ranking import (
+    bm25_search,
+    term_frequencies,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "duck engine engine"),
+        (3, "spark duck engine"),
+        (4, "zebra   zebra\nengine"),  # whitespace-normalized tokenizer
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_term_frequencies(corpus):
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_frequencies(corpus).collect()
+    }
+    assert tf[(1, "spark")] == 3
+    assert tf[(4, "zebra")] == 2
+    assert (4, "") not in tf
+
+
+def test_tfidf_ranks_distinctive_terms_first(corpus):
+    top = tfidf_top_terms(corpus, top_k=1)
+    best = {r["doc_id"]: r["term"] for r in top.collect()}
+    # 'engine' appears in all 4 docs -> idf 0; the rare term must win
+    assert best[1] == "spark"
+    assert best[2] == "duck"
+    assert best[4] == "zebra"
+    # ubiquitous term scores exactly 0
+    zero = tfidf_top_terms(corpus, top_k=5).filter("term = 'engine'")
+    assert all(r["score"] == 0.0 for r in zero.collect())
+
+
+def test_bm25_scores_and_coverage(corpus):
+    out = bm25_search(corpus, "spark duck", top_k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    hits = {r["doc_id"]: r["n_terms_hit"] for r in out}
+    assert 4 not in scores  # no query term -> not returned
+    assert hits[3] == 2 and hits[1] == 1
+    # doc 3 matches both terms; doc 1 repeats one term — BM25's tf
+    # saturation must keep the two-term doc on top
+    assert scores[3] > scores[1]
+    assert all(s > 0 for s in scores.values())
+
+
+def test_bm25_empty_query_raises(corpus):
+    with pytest.raises(ValueError):
+        bm25_search(corpus, "   ")
+
+
+def test_bm25_topk_plan(corpus):
+    # the final top-k must compile to TakeOrderedAndProject, not a
+    # global sort of every scored document.
+    out = bm25_search(corpus, "spark", top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
