@@ -3334,6 +3334,61 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def st07_streaming_hll(spark, sf_dir):
+    """a22's streaming form: distinct users per daily tumbling window
+    via HyperLogLog registers as the streaming state
+    (streaming/streams.streaming_hll_registers). Exact per-window
+    distinct counts would hold every key in state; the register table
+    holds <= 4096 ints per window whatever the cardinality. Append mode
+    emits a window's registers at watermark close; the drained rows
+    finish through the SAME sketches.hll_finish math as batch a22, so
+    the streaming estimate is bit-identical to the batch one over the
+    closed windows — and hash-checked against the oracle's restatement."""
+    from db_loganalyzer_spark.operators.sketches import hll_finish
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    regs = ST.streaming_hll_registers(stream, 86400, "user_id", p=12)
+    drained = _drain(regs, "st07")
+    return hll_finish(drained, 12, ["window_start"])
+
+
+ST07_SQL = f"""
+WITH h AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) * 86400 AS BIGINT) AS window_start,
+         {_mix32_sql('user_id')} AS h
+  FROM events WHERE user_id IS NOT NULL
+), pr AS (
+  SELECT window_start, CAST(h % 4096 AS INT) AS bucket,
+         CAST((h - h % 4096) / 4096 AS BIGINT) AS v
+  FROM h
+), regs AS (
+  SELECT window_start, bucket,
+         MAX(CASE WHEN v = 0 THEN 21 ELSE 20 - length(bin(v)) + 1 END) AS rho
+  FROM pr GROUP BY 1, 2
+), closed AS (
+  SELECT * FROM regs
+  WHERE window_start + 86400 <= (SELECT epoch_us(MAX(ts)) / 1000000.0 FROM events)
+), agg AS (
+  SELECT window_start,
+         CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT) AS s_nonzero,
+         CAST(COUNT(*) AS BIGINT) AS nz
+  FROM closed GROUP BY 1
+), est AS (
+  SELECT window_start, nz, s_nonzero + (4096 - nz) * 2097152 AS s,
+         4096 - nz AS zeros
+  FROM agg
+)
+SELECT window_start, CAST(4096 AS BIGINT) AS m, nz AS nonzero_registers,
+       s AS scaled_sum,
+       ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                       AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                  ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+             6) AS estimate
+FROM est
+"""
+
+
 def t11_tfidf_terms(spark, sf_dir):
     """T11 — top-5 characteristic terms per document by TF-IDF
     (operators/ranking.tfidf_top_terms). One token-explode pass feeds a
@@ -3757,6 +3812,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
     "t12_bm25_search": (t12_bm25_search, T12_SQL),
     "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
+    "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3766,7 +3822,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
@@ -3796,6 +3851,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),

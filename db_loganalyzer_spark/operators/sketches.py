@@ -133,10 +133,14 @@ def hll_registers(
     )
 
 
-def hll_estimate(
-    df: DataFrame, key_col: str, p: int = 12, salt: int = 0
+def hll_finish(
+    regs: DataFrame, p: int = 12, group_cols: list[str] | None = None
 ) -> DataFrame:
-    """One-row HLL cardinality estimate with deterministic arithmetic.
+    """Finish a ``(group_cols..., bucket, rho)`` register table into one
+    estimate row per group — the merge/finalize half of the sketch,
+    shared by the batch operator and the streaming windowed form (the
+    registers are the mergeable state; this is pure batch math over
+    <= m rows per group).
 
     ``S = sum over ALL m registers of 2^(R - rho)`` (empty registers
     have rho = 0 -> contribute 2^R) is an exact BIGINT: R <= 29, m <=
@@ -146,10 +150,10 @@ def hll_estimate(
     the single ``ln`` call is the one library function in the operator,
     rounded to 6 decimals to absorb sub-ulp engine drift.
     """
+    group_cols = list(group_cols or [])
     m = 1 << p
     big_r = 32 - p + 1
-    regs = hll_registers(df, key_col, p, salt)
-    agg = regs.agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), big_r - F.col("rho")).cast("long")).alias(
             "__s_nonzero"
         ),
@@ -165,8 +169,16 @@ def hll_estimate(
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.lit(m).cast("bigint").alias("m"),
         F.col("__nz").cast("bigint").alias("nonzero_registers"),
         s.alias("scaled_sum"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, p: int = 12, salt: int = 0
+) -> DataFrame:
+    """One-row HLL cardinality estimate (see :func:`hll_finish`)."""
+    return hll_finish(hll_registers(df, key_col, p, salt), p)

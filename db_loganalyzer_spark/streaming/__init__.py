@@ -8,6 +8,7 @@ from .streams import (  # noqa: F401
     streaming_sliding_rollup,
     streaming_sessions,
     streaming_ewma,
+    streaming_hll_registers,
     streaming_value_drops,
     write_stream_parquet,
 )

@@ -356,6 +356,50 @@ def streaming_ewma(
     )
 
 
+def streaming_hll_registers(
+    events: DataFrame,
+    window_seconds: int,
+    key_col: str,
+    p: int = 12,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+    salt: int = 0,
+) -> DataFrame:
+    """a22's streaming form: per-tumbling-window HyperLogLog registers.
+
+    Distinct-count-per-window is the query streaming can't do exactly
+    without keeping every key in state; the HLL register IS the
+    mergeable state — at most ``2^p`` (bucket -> max rho) integers per
+    window, whatever the key cardinality. One stateful aggregation
+    (max per (window, bucket)); append mode emits a window's registers
+    once the watermark closes it. Finish the drained rows with
+    ``sketches.hll_finish(regs, p, ["window_start"])`` — plain batch
+    math, identical to the batch operator's, so the streaming estimate
+    is bit-identical to running a22 over the same closed windows.
+    """
+    from db_loganalyzer_spark.operators.sketches import hll_rank
+
+    pair = hll_rank(key_col, p, salt)
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            pair.getField("bucket").alias("bucket"),
+            pair.getField("rho").alias("rho"),
+        )
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_seconds} seconds"), "bucket"
+        )
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "bucket",
+            "rho",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------

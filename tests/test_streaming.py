@@ -299,3 +299,54 @@ def test_streaming_ewma_state_crosses_batches(spark, tmp_path, tmp_path_factory)
     assert rows[1] == 10.0
     assert abs(rows[2] - 13.0) < 1e-12
     assert abs(rows[3] - 18.1) < 1e-12
+
+
+def test_streaming_hll_matches_batch(
+    spark, sf_dir, events_stream, events_batch, tmp_path_factory
+):
+    """The streaming register table finished through hll_finish must be
+    bit-identical to the batch sketch over the same closed windows —
+    registers are mergeable state, so micro-batch order cannot matter."""
+    from db_loganalyzer_spark.operators.sketches import (
+        hll_finish,
+        hll_rank,
+        hll_registers,
+    )
+    from db_loganalyzer_spark.streaming import streaming_hll_registers
+
+    ck = str(tmp_path_factory.mktemp("ck_hll"))
+    got = hll_finish(
+        run_available_now(
+            streaming_hll_registers(events_stream, 86400, "user_id", p=10),
+            "hll_stream",
+            ck,
+        ),
+        10,
+        ["window_start"],
+    )
+    # batch reference: same registers per day, same finisher
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    pair = hll_rank("user_id", 10)
+    batch_regs = (
+        events_batch.filter(F.col("user_id").isNotNull())
+        .select(
+            day.alias("window_start"),
+            pair.getField("bucket").alias("bucket"),
+            pair.getField("rho").alias("rho"),
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    want = hll_finish(batch_regs, 10, ["window_start"])
+    max_ts = events_batch.agg(
+        F.unix_timestamp(F.max("ts")).alias("m")
+    ).collect()[0]["m"]
+    got_rows = {r["window_start"]: r for r in got.collect()}
+    want_rows = {r["window_start"]: r for r in want.collect()}
+    assert set(got_rows) <= set(want_rows) and len(got_rows) > 0
+    for k in set(want_rows) - set(got_rows):
+        assert k + 86400 >= max_ts  # only the open tail missing
+    for k, gr in got_rows.items():
+        wr = want_rows[k]
+        assert gr["scaled_sum"] == wr["scaled_sum"]
+        assert gr["estimate"] == wr["estimate"]  # bit-identical
