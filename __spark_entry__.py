@@ -3542,6 +3542,64 @@ FROM ret
 """
 
 
+def a24_histogram_quantiles(spark, sf_dir):
+    """A24 — per-type p50/p95/p99 from a 256-bin histogram
+    (operators/sketches.histogram_quantiles): the sort-free percentile
+    at scale. Exact percentile sorts every group; this is two two-phase
+    aggregations (min/max/count, then bin counts) + interpolation over
+    <= 256 bin rows per group, error bounded by one bin width. Every
+    step is IEEE +,-,*,/ (correctly rounded, engine-identical), so the
+    ESTIMATE hash-matches the oracle with no rounding fudge — unlike
+    t-digest/GK sketches, whose merge order changes the answer."""
+    from db_loganalyzer_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", ["event_type"], (0.5, 0.95, 0.99), 256
+    )
+
+
+A24_SQL = """
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), stats AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), binned AS (
+  SELECT b.event_type,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(CAST(FLOOR((b.value - s.lo) / (s.hi - s.lo) * 256)
+                              AS BIGINT), 255) END AS bin,
+         s.lo, s.hi, s.n
+  FROM base b JOIN stats s USING (event_type)
+), counts AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(lo) AS lo, MIN(hi) AS hi, MIN(n) AS n
+  FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, cnt, lo, hi, n,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM counts
+), x AS (
+  SELECT event_type, bin, cnt, lo, hi, n, c, qq.q,
+         CAST(CEIL(qq.q * n) AS BIGINT) AS target
+  FROM cum, (SELECT unnest([0.5, 0.95, 0.99]) AS q) qq
+)
+SELECT event_type, q, n,
+       CASE WHEN hi = lo THEN lo
+            ELSE lo + ((hi - lo) / 256)
+                 * (bin + ((target - (c - cnt)) / CAST(cnt AS DOUBLE))) END
+         AS est
+FROM x WHERE c >= target AND (c - cnt) < target
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -3813,6 +3871,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t12_bm25_search": (t12_bm25_search, T12_SQL),
     "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
+    "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3825,7 +3884,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
@@ -3852,6 +3910,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),

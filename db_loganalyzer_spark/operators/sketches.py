@@ -43,7 +43,7 @@ no driver loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_loganalyzer_spark.operators.sampling import M32
@@ -182,3 +182,88 @@ def hll_estimate(
 ) -> DataFrame:
     """One-row HLL cardinality estimate (see :func:`hll_finish`)."""
     return hll_finish(hll_registers(df, key_col, p, salt), p)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-bin histogram — the
+    sort-free percentile at scale. Exact ``percentile`` sorts every
+    group's values; this makes two aggregation passes (min/max/count,
+    then bin counts), both two-phase map-side-combined, and the
+    estimate interpolates inside the target bin over <= ``bins`` rows
+    per group. Worst-case error is one bin width.
+
+    Every arithmetic step is IEEE +,-,*,/ and floor/ceil over exact
+    inputs — all correctly-rounded, bit-identical in any IEEE-754
+    engine — so unlike t-digest/GK sketches (merge-order-dependent)
+    this estimator is deterministic and oracle-checkable, no rounding
+    fudge needed. Emits ``(group..., q, n, est)``.
+    """
+    if not 0 < len(quantiles):
+        raise ValueError("need at least one quantile")
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    stats = base.groupBy(*group_by).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    v = F.col(value_col)
+    width_frac = (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo"))
+    bin_ix = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(width_frac * bins).cast("long"), F.lit(bins - 1)
+        )
+    )
+    counts = (
+        base.join(F.broadcast(stats), group_by)
+        .groupBy(*group_by, bin_ix.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_by)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w))
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    picked = (
+        cum.select(*group_by, "__bin", "__cnt", "__lo", "__hi", "__n", "__cum", qs)
+        .withColumn("__target", F.ceil(F.col("q") * F.col("__n")).cast("long"))
+        .filter(
+            (F.col("__cum") >= F.col("__target"))
+            & ((F.col("__cum") - F.col("__cnt")) < F.col("__target"))
+        )
+    )
+    est = F.when(
+        F.col("__hi") == F.col("__lo"), F.col("__lo")
+    ).otherwise(
+        F.col("__lo")
+        + ((F.col("__hi") - F.col("__lo")) / bins)
+        * (
+            F.col("__bin")
+            + (
+                (F.col("__target") - (F.col("__cum") - F.col("__cnt")))
+                / F.col("__cnt")
+            )
+        )
+    )
+    return picked.select(
+        *group_by,
+        "q",
+        F.col("__n").alias("n"),
+        est.alias("est"),
+    )

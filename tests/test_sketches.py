@@ -85,3 +85,80 @@ def test_hll_registers_shape_and_null_keys(spark):
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_histogram_quantiles_accuracy(spark):
+    # uniform 0..9999: every quantile is known; 256 bins over a uniform
+    # distribution put the estimate within one bin width of truth.
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(10000).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(df, "v", ["g"], (0.5, 0.99)).collect()
+    }
+    width = 9999.0 / 256
+    assert abs(out[0.5] - 5000) <= width
+    assert abs(out[0.99] - 9900) <= width
+
+
+def test_histogram_quantiles_vs_exact_percentile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import histogram_quantiles
+    from db_loganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            ev, "value", ["event_type"], (0.5, 0.95)
+        ).collect()
+    }
+    # the estimator's contract is the CEIL-RANK order statistic (the
+    # target-th smallest value): the estimate must land in that value's
+    # bin, i.e. within one bin width. (A continuous-interpolated
+    # percentile can sit several bins away across a sparse tail, so it
+    # is the wrong reference.)
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    for q in (0.5, 0.95):
+        kth = {
+            r["event_type"]: r["value"]
+            for r in ranked.filter(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
+            ).collect()
+        }
+        widths = {
+            r["event_type"]: r["w"]
+            for r in ev.groupBy("event_type")
+            .agg(((F.max("value") - F.min("value")) / 256).alias("w"))
+            .collect()
+        }
+        for et, v in kth.items():
+            assert abs(est[(et, q)] - v) <= widths[et], (et, q)
+
+
+def test_histogram_quantiles_constant_group(spark):
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(5).select(
+        F.lit("c").alias("g"), F.lit(42.0).alias("v")
+    )
+    rows = histogram_quantiles(df, "v", ["g"], (0.5,)).collect()
+    assert len(rows) == 1 and rows[0]["est"] == 42.0
