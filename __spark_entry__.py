@@ -3053,6 +3053,79 @@ FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
 """
 
 
+def j10_asof_forward(spark, sf_dir):
+    """J10 — forward as-of join (joins.asof_join direction='forward'):
+    each error event gets the user's NEXT purchase at-or-after it —
+    the time-to-next-action join. Same one-key-shuffle union + tag
+    machinery as j07 with the frame reversed (first-non-null over the
+    following rows); duplicate-timestamp right rows reduce by MIN.
+    Oracle: DuckDB's native ASOF LEFT JOIN with l.ts <= r.ts."""
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, by=["user_id"], value_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("asof_ts").alias("next_ts_us"),
+        (
+            (F.unix_micros("asof_ts") - F.unix_micros("ts")) / 1000000.0
+        ).alias("seconds_to_next"),
+    )
+
+
+J10_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+), r0 AS (
+  SELECT user_id, ts, MIN(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+       r0.value AS value, epoch_us(r0.ts) AS next_ts_us,
+       (epoch_us(r0.ts) - epoch_us(l.ts)) / 1000000.0 AS seconds_to_next
+FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts <= r0.ts
+"""
+
+
+def a25_transition_matrix(spark, sf_dir):
+    """A25 — first-order Markov transitions over per-user event
+    sequences (operators/windows.transition_matrix): count + row-
+    normalized probability for each consecutive (from, to) event-type
+    pair. One key shuffle + one partial agg to an O(|states|^2) frame;
+    p = n / row_total is one exact-integer double division (unrounded,
+    engine-identical)."""
+    ev = _t(spark, sf_dir, "events")
+    return W.transition_matrix(ev, "event_type", ["user_id"])
+
+
+A25_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events
+), trans AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       n / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+FROM trans
+"""
+
+
 def st05_streaming_ewma(spark, sf_dir):
     """w11's streaming form: per-key EWMA as a custom stateful operator
     (applyInPandasWithState, one double of state per key). The recursive
@@ -3872,6 +3945,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
     "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
+    "j10_asof_forward": (j10_asof_forward, J10_SQL),
+    "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -3882,11 +3957,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
@@ -3911,6 +3984,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "mm01_decode_media": (mm01_decode_media, MM01_SQL),

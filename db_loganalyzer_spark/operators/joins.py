@@ -126,39 +126,51 @@ def asof_join(
     value_cols: list[str],
     ts_col: str = "ts",
     right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """J7 — generic backward as-of join: for every left row, attach the
-    latest right row with ``right.ts <= left.ts`` within the same ``by``
-    key (inclusive at equal timestamps). The "state at event time" join
-    every log pipeline needs and Spark has no native operator for
-    (DuckDB spells it ASOF JOIN — the oracle uses exactly that).
+    """J7/J10 — generic as-of join. ``backward`` (default): for every
+    left row, attach the latest right row with ``right.ts <= left.ts``
+    within the same ``by`` key; ``forward``: the earliest right row with
+    ``right.ts >= left.ts`` (the "next reading after this event" join —
+    time-to-next-heartbeat, next scheduled maintenance). Both inclusive
+    at equal timestamps. The "state at event time" join every log
+    pipeline needs and Spark has no native operator for (DuckDB spells
+    both as ASOF JOIN with the matching inequality — the oracle uses
+    exactly that).
 
     Spark-first shape: rather than a range join (quadratic without
     banding) or a per-row subquery, UNION the two sides with a tag,
-    shuffle ONCE on the key, and carry the right side's values forward
-    with a last-non-null window ordered (ts, tag) — right rows sort
-    before left rows at equal ts, which is what makes the match
-    inclusive. One shuffle, no band tuning, unbounded look-back for
-    free; per-key ordering means skew only where one key dominates.
+    shuffle ONCE on the key, and carry the right side's values across
+    with a non-null-skipping window ordered (ts, tag) — the tag makes
+    right rows sort on the inclusive side of left rows at equal ts.
+    Backward carries last-non-null over the preceding frame; forward
+    takes first-non-null over the following frame. One shuffle, no band
+    tuning, unbounded look-back/ahead for free; per-key ordering means
+    skew only where one key dominates.
 
-    The right side is first reduced to its LAST row per (key, ts) —
-    ASOF semantics are single-match, and this pins which row wins a
-    timestamp tie identically in both engines (max by right-row order).
-    Left rows with no prior right row keep NULLs (left-join semantics).
+    The right side is first reduced to one row per (key, ts) — ASOF
+    semantics are single-match, and a per-column MAX (backward) / MIN
+    (forward) pins which duplicate-timestamp row wins identically in
+    both engines. Unmatched left rows keep NULLs (left-join semantics).
     """
-    # per-column MAX per (key, ts): a deterministic, engine-portable rule
-    # for which duplicate-timestamp right row wins (mirrored in the oracle)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
+    # per-column MAX/MIN per (key, ts): a deterministic, engine-portable
+    # rule for which duplicate-timestamp right row wins (mirrored in the
+    # oracle)
+    tie = F.min if fwd else F.max
     r_dedup = right.groupBy(*by, ts_col).agg(
-        *[F.max(c).alias(c) for c in value_cols]
+        *[tie(c).alias(c) for c in value_cols]
     )
-    l_tag = left.withColumn("__tag", F.lit(1))
+    l_tag = left.withColumn("__tag", F.lit(0 if fwd else 1))
     for c in value_cols:
         l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(dict(r_dedup.dtypes)[c]))
     l_tag = l_tag.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts_col]))
     r_tag = r_dedup.select(
         *by,
         F.col(ts_col),
-        F.lit(0).alias("__tag"),
+        F.lit(1 if fwd else 0).alias("__tag"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.col(ts_col).alias("__r_ts"),
     )
@@ -166,19 +178,21 @@ def asof_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     merged = l_tag.unionByName(r_tag.select(l_tag.columns))
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_col, "__tag")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    w = Window.partitionBy(*by).orderBy(ts_col, "__tag")
+    if fwd:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     out = merged
     for c in value_cols:
         out = out.withColumn(
             c if c not in left.columns else f"asof_{c}",
-            F.last(f"__r_{c}", ignorenulls=True).over(w),
+            pick(f"__r_{c}").over(w),
         )
-    out = out.withColumn(right_ts_alias, F.last("__r_ts", ignorenulls=True).over(w))
-    return out.filter(F.col("__tag") == 1).drop(
+    out = out.withColumn(right_ts_alias, pick("__r_ts").over(w))
+    return out.filter(F.col("__tag") == (0 if fwd else 1)).drop(
         "__tag", "__r_ts", *[f"__r_{c}" for c in value_cols]
     )
 

@@ -618,3 +618,39 @@ def ewma(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(smooth, schema)
+
+
+def transition_matrix(
+    df: DataFrame,
+    state_col: str,
+    partition_by: list[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each observed (from_state, to_state) pair of
+    CONSECUTIVE events within a key, the count and the row-normalized
+    probability. The sequence-analytics summary behind "what usually
+    happens after an error?" dashboards and synthetic-trace generators.
+
+    One key shuffle for the lag window (event-level), one partial-agg
+    shuffle to (state, state) pairs — output is O(|states|^2) rows
+    however large the input; the normalizing window runs on that tiny
+    frame. p = n / row_total is one exact-integer double division, so
+    the probabilities hash-match across engines unrounded.
+    """
+    w = _w(partition_by, ts_col, tiebreak)
+    prev = F.lag(F.col(state_col)).over(w)
+    pairs = df.select(
+        prev.alias("from_state"), F.col(state_col).alias("to_state")
+    ).filter(F.col("from_state").isNotNull())
+    trans = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_state")
+    return trans.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(wt)).alias("p"),
+    )

@@ -894,3 +894,108 @@ def test_sliding_rollup_semantics(spark):
     assert out[us(3600)] == (1, 100.0, 100.0)  # row 3 only
     # every row appears in exactly window/slide = 4 windows
     assert sum(n for n, _, _ in out.values()) == 3 * 4
+
+
+def test_asof_forward_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    L = spark.createDataFrame(
+        [(1, dtm.datetime(2024, 1, 1, 0, 0, 10), "a"),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 16), "b"),
+         (2, dtm.datetime(2024, 1, 1, 0, 0, 7), "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    R = spark.createDataFrame(
+        [(1, dtm.datetime(2024, 1, 1, 0, 0, 10), 100.0),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 15), 150.0),
+         (1, dtm.datetime(2024, 1, 1, 0, 0, 15), 160.0),
+         (2, dtm.datetime(2024, 1, 1, 0, 0, 6), 60.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r["tag"]: (r["val"], r["asof_ts"])
+        for r in asof_join(
+            L, R, by=["user_id"], value_cols=["val"], direction="forward"
+        ).collect()
+    }
+    # inclusive at equal ts; duplicate-ts right rows resolve by MIN in
+    # the forward direction; no later right row -> NULLs
+    assert out["a"] == (100.0, dtm.datetime(2024, 1, 1, 0, 0, 10))
+    assert out["b"] == (None, None)
+    assert out["c"] == (None, None)
+
+
+def test_asof_forward_property_vs_python_oracle(spark):
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from db_loganalyzer_spark.operators.joins import asof_join
+
+    t0 = dtm.datetime(2024, 1, 1)
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=9),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        lrows=st.lists(row, min_size=1, max_size=12),
+        rrows=st.lists(row, min_size=0, max_size=12),
+    )
+    def check(lrows, rrows):
+        L = spark.createDataFrame(
+            [(i, k, t0 + dtm.timedelta(seconds=s)) for i, (k, s, _) in enumerate(lrows)],
+            "lid long, user_id long, ts timestamp",
+        )
+        R = spark.createDataFrame(
+            [(k, t0 + dtm.timedelta(seconds=s), float(v)) for k, s, v in rrows],
+            "user_id long, ts timestamp, val double",
+        ) if rrows else spark.createDataFrame([], "user_id long, ts timestamp, val double")
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(
+                L, R, by=["user_id"], value_cols=["val"], direction="forward"
+            ).collect()
+        }
+        for i, (k, s, _) in enumerate(lrows):
+            eligible = [(rs, float(rv)) for rk, rs, rv in rrows if rk == k and rs >= s]
+            if not eligible:
+                want = None
+            else:
+                best_ts = min(rs for rs, _ in eligible)
+                want = min(v for rs, v in eligible if rs == best_ts)
+            assert got[i] == want, (i, k, s, want, got[i])
+
+    check()
+
+
+def test_transition_matrix(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.windows import transition_matrix
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b   (cross-user pairs merge)
+        (1, t0 + dtm.timedelta(seconds=1), 1, "a"),
+        (1, t0 + dtm.timedelta(seconds=2), 2, "b"),
+        (1, t0 + dtm.timedelta(seconds=3), 3, "a"),
+        (2, t0 + dtm.timedelta(seconds=1), 4, "a"),
+        (2, t0 + dtm.timedelta(seconds=2), 5, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "event_type", ["user_id"]).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)  # a always goes to b
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("a", "a") not in out  # no cross-user pair (user2.a after user1.a)
