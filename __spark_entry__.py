@@ -3126,6 +3126,79 @@ FROM trans
 """
 
 
+def w15_trailing_window(spark, sf_dir):
+    """W15 — trailing 1h RANGE-window n/avg/max per user at EVERY event
+    (operators/windows.trailing_window_agg): the "load in the last
+    hour" feature column without a self-join or explode. One key
+    shuffle; ties on ts are all in-frame (RANGE semantics, unlike
+    ROWS). The trailing sum rides integer micro-units (dsum
+    discipline) because raw-double window sums are frame-traversal-
+    order dependent (DuckDB's segment tree vs Spark's running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.trailing_window_agg(ev, "value", 3600, ["user_id"])
+    return out.select(
+        "user_id", "event_id", "ts_us", "value",
+        "n_trailing", "avg_trailing", "max_trailing",
+    )
+
+
+W15_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+       CAST(COUNT(value) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
+            AS DOUBLE) / 1000000.0 / COUNT(value) OVER w AS avg_trailing,
+       MAX(value) OVER w AS max_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def a26_pivot_crosstab(spark, sf_dir):
+    """A26 — event_type x day-of-week crosstab via Spark's native
+    pivot with EXPLICIT pivot values (no extra distinct-discovery job;
+    the plan is one partial-agg shuffle with 7 conditional counters,
+    exactly what the manual FILTER restatement compiles to). Day-of-
+    week from pure day-number arithmetic ((epoch_day + 4) % 7,
+    1970-01-01 = Thursday; 0 = Sunday) — no engine calendar/locale
+    dependency. Absent combinations coalesce to 0."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (
+        (F.floor(F.unix_timestamp("ts") / 86400) + 4) % 7
+    ).cast("int")
+    piv = (
+        ev.select("event_type", dow.alias("dow"))
+        .groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .count()
+    )
+    return piv.select(
+        "event_type",
+        *[
+            F.coalesce(F.col(str(d)), F.lit(0)).cast("long").alias(f"dow_{d}")
+            for d in range(7)
+        ],
+    )
+
+
+A26_SQL = """
+WITH base AS (
+  SELECT event_type,
+         (CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) AS BIGINT) + 4) % 7 AS dow
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE dow = 0) AS BIGINT) AS dow_0,
+       CAST(COUNT(*) FILTER (WHERE dow = 1) AS BIGINT) AS dow_1,
+       CAST(COUNT(*) FILTER (WHERE dow = 2) AS BIGINT) AS dow_2,
+       CAST(COUNT(*) FILTER (WHERE dow = 3) AS BIGINT) AS dow_3,
+       CAST(COUNT(*) FILTER (WHERE dow = 4) AS BIGINT) AS dow_4,
+       CAST(COUNT(*) FILTER (WHERE dow = 5) AS BIGINT) AS dow_5,
+       CAST(COUNT(*) FILTER (WHERE dow = 6) AS BIGINT) AS dow_6
+FROM base GROUP BY 1
+"""
+
+
 def st05_streaming_ewma(spark, sf_dir):
     """w11's streaming form: per-key EWMA as a custom stateful operator
     (applyInPandasWithState, one double of state per key). The recursive
@@ -3947,18 +4020,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
     "j10_asof_forward": (j10_asof_forward, J10_SQL),
     "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
+    "w15_trailing_window": (w15_trailing_window, W15_SQL),
+    "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
@@ -3985,6 +4058,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),

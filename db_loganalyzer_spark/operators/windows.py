@@ -654,3 +654,44 @@ def transition_matrix(
         "n",
         (F.col("n") / F.sum("n").over(wt)).alias("p"),
     )
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    value_col: str,
+    lookback_seconds: int,
+    partition_by: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing RANGE-window aggregate: for EVERY event, n/avg/max of
+    the key's values in the preceding ``lookback_seconds`` (inclusive
+    of the current row; rows tied on ts are all in-frame, which is what
+    makes RANGE — unlike ROWS — deterministic under ties). The
+    "load in the last hour at each event" feature column.
+
+    One key shuffle; the frame is evaluated per key in event order with
+    Spark's sliding-frame machinery — no self-join, no explode. The
+    trailing sum quantizes to integer micro-units first (the dsum
+    discipline): window sums of raw doubles are frame-traversal-order
+    dependent (DuckDB segment tree vs Spark running sum), integer sums
+    are associative in any engine.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(micros)
+        .rangeBetween(-int(lookback_seconds) * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    vmicros = F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    n = F.count(v).over(w)
+    avg = F.sum(vmicros).over(w).cast("double") / F.lit(1000000.0) / n
+    return df.select(
+        *partition_by,
+        F.col("event_id"),
+        micros.alias("ts_us"),
+        v.alias(value_col),
+        n.cast("long").alias("n_trailing"),
+        avg.alias("avg_trailing"),
+        F.max(v).over(w).alias("max_trailing"),
+    )

@@ -211,3 +211,32 @@ def test_session_funnel_tie_and_session_semantics(spark):
     assert out[(1, 1)] == (False, None)
     assert out[(2, 0)] == (True, 0.0)
     assert out[(3, 0)] == (False, None)
+
+
+def test_trailing_window_agg(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.windows import trailing_window_agg
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, 10.0),
+        (1, 2, t0 + dtm.timedelta(seconds=1800), 20.0),
+        (1, 3, t0 + dtm.timedelta(seconds=4000), 40.0),  # 1st drops out
+        (1, 4, t0 + dtm.timedelta(seconds=4000), 60.0),  # tied ts: both in-frame
+        (2, 5, t0, None),  # null value: counted in neither n nor sum
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["n_trailing"], r["avg_trailing"], r["max_trailing"])
+        for r in trailing_window_agg(df, "value", 3600, ["user_id"]).collect()
+    }
+    assert out[1] == (1, 10.0, 10.0)
+    assert out[2] == (2, 15.0, 20.0)
+    # at t=4000 the frame is [400, 4000]: events 2,3,4 — and the tied
+    # rows see each other (RANGE frame)
+    assert out[3] == (3, 40.0, 60.0)
+    assert out[4] == (3, 40.0, 60.0)
+    assert out[5] == (0, None, None)
