@@ -3199,6 +3199,74 @@ FROM base GROUP BY 1
 """
 
 
+def d12_robust_outliers(spark, sf_dir):
+    """D12 (extension) — modified-z-score outliers: 0.6745 * (v - med)
+    / MAD with |z| > 3.5 (detectors.robust_outliers). Median and MAD
+    both ride the a24 histogram sketch — four two-phase agg passes,
+    ZERO per-group sorts, stats broadcast back — so the 50%-breakdown
+    robust detector runs at the same scale shape as the mean/std one.
+    IEEE basic arithmetic throughout: scores hash-match unrounded."""
+    from db_loganalyzer_spark.detectors.detectors import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_outliers(ev, "value", ["event_type"])
+    return out.select(
+        "event_id", "event_type", "value", "med", "mad", "robust_z"
+    )
+
+
+def _hist_median_cte(src: str, val: str, tag: str) -> str:
+    """DuckDB CTE chain restating sketches.histogram_quantiles at
+    q=0.5/256 bins over ``src.{val}`` grouped by event_type; the final
+    CTE ``{tag}`` has (event_type, {tag}_est). Generated so the d12
+    oracle can't drift from the a24 restatement."""
+    return f"""{tag}_s AS (
+  SELECT event_type, MIN({val}) AS lo, MAX({val}) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {src} GROUP BY 1
+), {tag}_b AS (
+  SELECT b.event_type,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST(CAST(FLOOR((b.{val} - s.lo) / (s.hi - s.lo) * 256)
+                              AS BIGINT), 255) END AS bin,
+         s.lo, s.hi, s.n
+  FROM {src} b JOIN {tag}_s s USING (event_type)
+), {tag}_c AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(lo) AS lo, MIN(hi) AS hi, MIN(n) AS n
+  FROM {tag}_b GROUP BY 1, 2
+), {tag} AS (
+  SELECT event_type,
+         CASE WHEN hi = lo THEN lo
+              ELSE lo + ((hi - lo) / 256)
+                   * (bin + ((target - (c - cnt)) / CAST(cnt AS DOUBLE))) END
+           AS {tag}_est
+  FROM (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS c,
+               CAST(CEIL(0.5 * n) AS BIGINT) AS target
+        FROM {tag}_c) x
+  WHERE c >= target AND (c - cnt) < target
+)"""
+
+
+D12_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), {_hist_median_cte('base', 'value', 'med1')},
+dev AS (
+  SELECT b.event_id, b.event_type, b.value, m.med1_est AS med,
+         ABS(b.value - m.med1_est) AS absdev
+  FROM base b JOIN med1 m USING (event_type)
+), {_hist_median_cte('dev', 'absdev', 'mad1')}
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad1_est AS mad,
+       0.6745 * (d.value - d.med) / m.mad1_est AS robust_z
+FROM dev d JOIN mad1 m USING (event_type)
+WHERE ABS(0.6745 * (d.value - d.med) / m.mad1_est) > 3.5
+"""
+
+
 def st05_streaming_ewma(spark, sf_dir):
     """w11's streaming form: per-key EWMA as a custom stateful operator
     (applyInPandasWithState, one double of state per key). The recursive
@@ -4022,6 +4090,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
     "w15_trailing_window": (w15_trailing_window, W15_SQL),
     "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
+    "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
@@ -4030,7 +4099,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "t02_text_stats": (t02_text_stats, T02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
@@ -4059,6 +4127,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "t02_text_stats": (t02_text_stats, T02_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

@@ -781,3 +781,46 @@ def detect_recoveries(
         .orderBy("recovery_id")
     )
     return {"recoveries": picked}
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    threshold: float = 3.5,
+    bins: int = 256,
+) -> DataFrame:
+    """D12 (extension) — robust outliers via median absolute deviation:
+    ``robust_z = 0.6745 * (v - median) / MAD``, flagging |z| >
+    threshold (Iglewicz & Hoaglin's modified z-score). Unlike the
+    mean/std z-score detectors (D6/A10), the breakdown point is 50% —
+    a burst of extreme values cannot drag the baseline toward itself.
+
+    At scale the usual blocker is that median and MAD need per-group
+    sorts; here both ride the histogram-quantile sketch
+    (operators/sketches.histogram_quantiles) — four two-phase
+    aggregation passes total, zero sorts, group stats broadcast back.
+    Every step is IEEE basic arithmetic, so the scores hash-match the
+    oracle restatement unrounded.
+    """
+    from db_loganalyzer_spark.operators.sketches import histogram_quantiles
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    med = histogram_quantiles(base, value_col, group_by, (0.5,), bins).select(
+        *group_by, F.col("est").alias("med")
+    )
+    dev = base.join(F.broadcast(med), group_by).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = histogram_quantiles(dev, "__absdev", group_by, (0.5,), bins).select(
+        *group_by, F.col("est").alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), group_by).withColumn(
+        "robust_z",
+        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    )
+    return scored.filter(F.abs(F.col("robust_z")) > threshold).drop(
+        "__absdev"
+    )

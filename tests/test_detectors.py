@@ -207,3 +207,29 @@ def test_recovery_loop_bucketed_equals_global(spark):
     )["summary"].collect()[0]
     assert bucketed.asDict() == glob.asDict()
     assert bucketed.loop_count == 3  # spans 20s, 10s, 41s; the 41s one crosses a boundary
+
+
+def test_robust_outliers_breakdown_resistance(spark):
+    """A 20% burst of extreme values must not drag the robust baseline:
+    the burst itself is flagged, the inliers are not — the property the
+    mean/std z-score detector lacks."""
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.detectors.detectors import robust_outliers
+
+    inliers = [(i, "m", 100.0 + (i % 11) - 5) for i in range(100)]
+    burst = [(1000 + i, "m", 1e6) for i in range(25)]
+    df = spark.createDataFrame(
+        inliers + burst, "event_id long, event_type string, value double"
+    )
+    out = robust_outliers(df, "value", ["event_type"])
+    flagged = {r["event_id"] for r in out.collect()}
+    assert all(1000 + i in flagged for i in range(25))
+    assert not any(i in flagged for i in range(100))
+    # classical z-score for contrast: the burst inflates sigma so much
+    # that sigma > 3x any inlier deviation — none of the burst's
+    # pollution effect appears in the robust result above
+    stats = df.agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    ).collect()[0]
+    assert stats["sd"] > 1e5  # the contamination the MAD ignores
