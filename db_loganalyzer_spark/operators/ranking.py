@@ -53,10 +53,15 @@ def tfidf_top_terms(
     (``tf * ln(N/df)``). Terms appearing in every document score 0 and
     still rank below rarer terms; ties break on the term itself."""
     tf = term_frequencies(df, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # document frequency as a count window over the tf frame itself —
+    # NOT a groupBy+join back: that would put the token-explode pass in
+    # two lineages and Spark would run the expensive text scan twice
+    # (verified in the physical plan). One explode, then only (doc,
+    # term)-level shuffles.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     n = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -110,23 +115,32 @@ def bm25_search(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
+    # doc length rides along through the tf aggregate (F.first — it is
+    # constant per doc) instead of a join back to the full-corpus lens
+    # frame: one fewer shuffle of corpus-sized data. df per query term
+    # is a count window over the tiny postings frame, not a
+    # groupBy+join that would fork the lineage.
     tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        toks.select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
         .filter(F.col("term").isin(q_terms))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     avg_len = F.col("total_len").cast("double") / F.col("n_docs")
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",

@@ -264,3 +264,48 @@ def test_j09_sweep_has_no_join(spark, sf_dir, qs, cold_cache):
     p = plan_str(spark, qs["j09_interval_concurrency"](spark, sf_dir), "simple")
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_w13_gap_fill_no_cartesian_no_global_window(spark, sf_dir, qs, cold_cache):
+    # grid join stays keyed on (user_id, bucket); the LOCF window stays
+    # per-key — a single-partition window over the grid would serialize
+    # every key's buckets through one task
+    p = plan_str(spark, qs["w13_gap_fill"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+
+
+def test_w15_trailing_window_partitioned(spark, sf_dir, qs, cold_cache):
+    p = plan_str(spark, qs["w15_trailing_window"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_t11_tfidf_rank_window_per_doc(spark, sf_dir, qs, cold_cache):
+    # the per-doc rank window partitions by doc_id (the one allowed
+    # SinglePartition is the global 1-row COUNT(*) N frame); the text
+    # scan must appear in exactly ONE lineage — df-per-term is a count
+    # window over the tf frame, not a groupBy+join that re-runs the
+    # token explode
+    p = plan_str(spark, qs["t11_tfidf_terms"](spark, sf_dir), "simple")
+    assert "windowspecdefinition(doc_id" in p
+    assert "CartesianProduct" not in p
+    assert p.count("Generate explode") == 1
+
+
+def test_d12_stats_broadcast_back(spark, sf_dir, qs, cold_cache):
+    # median/MAD frames are group-level (5 rows) — they must come back
+    # as broadcast joins, not shuffles of the event table
+    p = plan_str(spark, qs["d12_robust_outliers"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_a22_hll_two_phase_aggregate(spark, sf_dir, qs, cold_cache):
+    # the register build must be a two-phase HashAggregate (map-side
+    # partial max) so shuffle volume is O(m) per partition, and the
+    # exact-distinct side must not leak into the sketch side's shuffle
+    p = plan_str(spark, qs["a22_hll_distinct"](spark, sf_dir), "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p  # 1-row exact side broadcasts
