@@ -1683,6 +1683,40 @@ FROM d
 """
 
 
+def mm03_frame_sample(spark, sf_dir):
+    """MM03 — frame-sampling plan: every-30th-frame index per video row
+    (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
+    pure JVM explode of a sequence, no Python in the fan-out. Decode
+    metadata comes from the deterministic fake backend (the pluggable
+    codec slot, reference: the image/audio libs absent in this
+    container); payloads tagged video so n_frames = 1 + byte_len % 300."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        fake_decode_backend,
+        frame_sample_plan,
+        media_table_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs).withColumn(
+        "media_type", F.lit("video")
+    )
+    decoded = decode_media(media, decode_backend=fake_decode_backend)
+    return frame_sample_plan(decoded, every_n=30)
+
+
+MM03_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         1 + octet_length(encode(text)) % 300 AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(x.f AS INT) AS frame_index
+FROM d, unnest(generate_series(0, n_frames - 1, 30)) x(f)
+WHERE n_frames > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # D-family: detectors D1-D11 (+ F7/W10) over a log-shaped view of events
 # ---------------------------------------------------------------------------
@@ -4091,8 +4125,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w15_trailing_window": (w15_trailing_window, W15_SQL),
     "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
     "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
+    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     # -- driver window, part 1: single-row (r4) entries --
-    "f07_field_probe": (f07_field_probe, F07_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
@@ -4128,6 +4162,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
