@@ -88,3 +88,57 @@ def test_scd2_single_sort(spark, stream):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Sort ") <= 2  # one per window stage, no extra
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_gap_fill_property_vs_python_oracle(spark):
+    """Randomized LOCF semantics vs a brute-force reference: arbitrary
+    observation patterns, nulls, duplicate timestamps."""
+    import datetime as dtm
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t0 = dtm.datetime(2024, 1, 1)
+    row = st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=50),   # ts offset (seconds)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows=st.lists(row, min_size=1, max_size=15))
+    def check(rows):
+        df = spark.createDataFrame(
+            [
+                (k, t0 + dtm.timedelta(seconds=s), i,
+                 float(v) if v is not None else None)
+                for i, (k, s, v) in enumerate(rows)
+            ],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        got = {
+            (r["user_id"], r["bucket"]): (r["value"], r["is_gap"])
+            for r in gap_fill(df, 10, ["user_id"]).collect()
+        }
+        base = int(t0.timestamp())
+        # brute force per key
+        per_key = {}
+        for i, (k, s, v) in enumerate(rows):
+            if v is None:
+                continue
+            b = base + (s // 10) * 10
+            per_key.setdefault(k, {}).setdefault(b, []).append((s, i, float(v)))
+        want = {}
+        for k, buckets in per_key.items():
+            lo, hi = min(buckets), max(buckets)
+            last = None
+            for b in range(lo, hi + 10, 10):
+                if b in buckets:
+                    last = max(buckets[b])[2]  # max (ts, event_id) wins
+                    want[(k, b)] = (last, False)
+                else:
+                    want[(k, b)] = (last, True)
+        assert got == want, (got, want)
+
+    check()
