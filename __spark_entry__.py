@@ -38,6 +38,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_loganalyzer_spark.operators.sketches import mix32_sql as _mix32_sql
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from db_loganalyzer_spark.operators import aggregates as A
@@ -1714,6 +1716,114 @@ WITH d AS (
 SELECT media_id, CAST(x.f AS INT) AS frame_index
 FROM d, unnest(generate_series(0, n_frames - 1, 30)) x(f)
 WHERE n_frames > 1
+"""
+
+
+def m10_group_sample(spark, sf_dir):
+    """M10 — deterministic 3-per-source document sample
+    (operators/sampling.group_sample): rows ranked by the mix32
+    avalanche hash of their id, first k kept — stable across runs,
+    engines, partitionings (df.sample() is none of those). The rank
+    filter compiles to a partition-local WindowGroupLimit, never a full
+    per-group sort."""
+    from db_loganalyzer_spark.operators.sampling import group_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_sample(docs, ["source"], 3, id_col="doc_id")
+    return out.select("source", "sample_rank", "doc_id", "n_chars")
+
+
+M10_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_mix32_sql('doc_id')}, doc_id)
+           AS sample_rank
+  FROM documents
+)
+SELECT source, sample_rank, doc_id, n_chars
+FROM ranked WHERE sample_rank <= 3
+"""
+
+
+def w16_level_shifts(spark, sf_dir):
+    """W16 — change-point scoring: next-2h mean minus prev-2h mean of
+    each event type's values at every event (operators/timeseries.
+    level_shifts) — a step change scores ~ its height, noise ~ 0. Two
+    RANGE frames over ONE per-key sort; means in integer micro-units
+    (dsum discipline) so the scores hash-match; rows with < 5 points
+    on either side are dropped, not scored on noise. Keyed by
+    event_type (dense in time at every SF) so the min-points gate
+    passes real rows, not a vacuous empty set."""
+    from db_loganalyzer_spark.operators.timeseries import level_shifts
+
+    ev = _t(spark, sf_dir, "events")
+    out = level_shifts(ev, "value", 7200, ["event_type"], min_points=5)
+    return out.select(
+        "event_type", "event_id", "ts_us",
+        "n_prev", "n_next", "avg_prev", "avg_next", "shift",
+    )
+
+
+W16_SQL = """
+WITH scored AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(COUNT(value) OVER wp AS BIGINT) AS n_prev,
+         CAST(COUNT(value) OVER wn AS BIGINT) AS n_next,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER wp
+              AS DOUBLE) / 1000000.0 / COUNT(value) OVER wp AS avg_prev,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER wn
+              AS DOUBLE) / 1000000.0 / COUNT(value) OVER wn AS avg_next
+  FROM events
+  WINDOW wp AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN 7200000000 PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                RANGE BETWEEN CURRENT ROW AND 7199999999 FOLLOWING)
+)
+SELECT event_type, event_id, ts_us, n_prev, n_next, avg_prev, avg_next,
+       avg_next - avg_prev AS shift
+FROM scored WHERE n_prev >= 5 AND n_next >= 5
+"""
+
+
+def st08_streaming_topk(spark, sf_dir):
+    """ST08 — trending event types per closed hourly window: streaming
+    per-(window, key) counts (streaming/streams.
+    streaming_windowed_counts, one counter of state per pair, append
+    mode at watermark close) ranked top-3 batch-side over the drained
+    rows — a window's ranking only becomes final when the window
+    closes, so the rank belongs after the emit, not in the stream."""
+    from pyspark.sql import Window as SW
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    counts = ST.streaming_windowed_counts(stream, 3600, "event_type")
+    drained = _drain(counts, "st08")
+    w = SW.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "event_type", "n")
+    )
+
+
+ST08_SQL = """
+WITH counts AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT)
+           AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), closed AS (
+  SELECT * FROM counts
+  WHERE window_start + 3600 <= (SELECT epoch_us(MAX(ts)) / 1000000.0 FROM events)
+), ranked AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM closed
+)
+SELECT window_start, rnk, event_type, n FROM ranked WHERE rnk <= 3
 """
 
 
@@ -3454,8 +3564,8 @@ def a22_hll_distinct(spark, sf_dir):
 # 25371803950842.746 = alpha_4096 * 4096^2 * 2^21 exactly as the Python
 # double computes it (alpha scaled by a power of two -> no extra rounding).
 # The hash restatement is generated by sketches.mix32_sql so the two
-# engines' mixers cannot drift.
-from db_loganalyzer_spark.operators.sketches import mix32_sql as _mix32_sql
+# engines' mixers cannot drift (imported near the top of the module,
+# before its first f-string use in M10_SQL).
 
 A22_SQL = f"""
 WITH h AS (
@@ -4126,10 +4236,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
     "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
+    "m10_group_sample": (m10_group_sample, M10_SQL),
+    "w16_level_shifts": (w16_level_shifts, W16_SQL),
+    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
     # -- driver window, part 1: single-row (r4) entries --
-    "w10_severity_first": (w10_severity_first, W10_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
@@ -4163,6 +4273,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
+    "w10_severity_first": (w10_severity_first, W10_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

@@ -140,3 +140,32 @@ def pack_sequences(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_by: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic uniform sample of k rows per group: rank rows by
+    an avalanche hash of their id (sketches.mix32) and keep the first
+    k. The "show me a few examples from every stratum" query at scale —
+    stable across runs, engines, and partitionings, unlike
+    ``df.sample()`` (seed + partitioning dependent) or ``LIMIT``
+    (order-nondeterministic).
+
+    Partition-local window + WindowGroupLimit: Spark pushes the rank
+    filter into a per-partition top-k, so no group's full row set is
+    ever sorted. Ties (hash collisions) break on the id itself.
+    """
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    w = Window.partitionBy(*group_by).orderBy(
+        mix32(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

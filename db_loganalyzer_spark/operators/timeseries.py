@@ -115,3 +115,53 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def level_shifts(
+    df: DataFrame,
+    value_col: str,
+    window_seconds: int,
+    partition_by: list[str],
+    ts_col: str = "ts",
+    min_points: int = 5,
+) -> DataFrame:
+    """Level-shift (change-point) scoring: at every event, the
+    difference between the NEXT window's mean and the PREVIOUS
+    window's mean of the key's values — a step change scores ~ its
+    height, noise scores ~ 0. The two means are RANGE frames on epoch
+    micros ((-W, -1] behind, [0, W-1] ahead, so the current row counts
+    in the leading side only); rows without ``min_points`` on both
+    sides are dropped rather than scored on noise.
+
+    One key shuffle, two frames over one sort; means ride integer
+    micro-units (dsum discipline) so scores hash-match across engines.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    base = Window.partitionBy(*partition_by).orderBy(micros)
+    w_us = int(window_seconds) * 1_000_000
+    prev_f = base.rangeBetween(-w_us, -1)
+    next_f = base.rangeBetween(0, w_us - 1)
+    v = F.col(value_col)
+    vm = F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    def mean_over(frame):
+        n = F.count(v).over(frame)
+        return n, F.sum(vm).over(frame).cast("double") / F.lit(1000000.0) / n
+
+    n_prev, avg_prev = mean_over(prev_f)
+    n_next, avg_next = mean_over(next_f)
+    return (
+        df.select(
+            *partition_by,
+            F.col("event_id"),
+            micros.alias("ts_us"),
+            n_prev.cast("long").alias("n_prev"),
+            n_next.cast("long").alias("n_next"),
+            avg_prev.alias("avg_prev"),
+            avg_next.alias("avg_next"),
+            (avg_next - avg_prev).alias("shift"),
+        )
+        .filter(
+            (F.col("n_prev") >= min_points) & (F.col("n_next") >= min_points)
+        )
+    )

@@ -400,6 +400,33 @@ def streaming_hll_registers(
     )
 
 
+def streaming_windowed_counts(
+    events: DataFrame,
+    window_seconds: int,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-tumbling-window key counts, append mode — the streaming half
+    of windowed top-k (trending keys per hour): the rank itself is not
+    streamable in append mode (a window's ranking is only final at
+    close), so rank the DRAINED closed-window rows batch-side.
+    State is one counter per (window, key)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_seconds} seconds"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------

@@ -999,3 +999,23 @@ def test_transition_matrix(spark):
     assert out[("a", "b")] == (2, 1.0)  # a always goes to b
     assert out[("b", "a")] == (1, 1.0)
     assert ("a", "a") not in out  # no cross-user pair (user2.a after user1.a)
+
+
+def test_group_sample_deterministic_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sampling import group_sample
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id").alias("doc_id")
+    )
+    a = {(r["g"], r["doc_id"]) for r in group_sample(df, ["g"], 5, "doc_id").collect()}
+    b = {(r["g"], r["doc_id"]) for r in
+         group_sample(df.repartition(13), ["g"], 5, "doc_id").collect()}
+    assert a == b and len(a) == 20  # partitioning-independent, k per group
+    # different salt -> different (deterministic) sample
+    c = {(r["g"], r["doc_id"]) for r in
+         group_sample(df, ["g"], 5, "doc_id", salt=1).collect()}
+    assert c != a
+    plan = group_sample(df, ["g"], 5, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # rank filter pushed to per-partition top-k

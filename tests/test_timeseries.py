@@ -142,3 +142,38 @@ def test_gap_fill_property_vs_python_oracle(spark):
         assert got == want, (got, want)
 
     check()
+
+
+def test_level_shifts_detects_step(spark):
+    """A clean step change scores exactly its height; flat segments away
+    from the edge score ~0; edge rows fail the min-points gate."""
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.timeseries import level_shifts
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("m", t0 + dtm.timedelta(seconds=i * 10), i,
+         10.0 if i < 10 else 50.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    # 60s windows = 6 samples each side at 10s spacing
+    out = {
+        r["event_id"]: r
+        for r in level_shifts(
+            df, "value", 60, ["event_type"], min_points=3
+        ).collect()
+    }
+    # at the step boundary (event 10 opens the next frame with 50s while
+    # the prev frame still holds 10s): shift == exactly the step height
+    assert out[10]["shift"] == 40.0
+    # far enough from the step that neither frame touches it: shift == 0
+    assert out[3]["shift"] == 0.0
+    assert out[16]["shift"] == 0.0
+    # the score ramps as the leading frame absorbs the step
+    assert 0.0 < out[6]["shift"] < 40.0
+    # first rows have no prev frame -> dropped by the gate
+    assert 0 not in out and 1 not in out
