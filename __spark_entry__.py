@@ -38,9 +38,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from db_loganalyzer_spark.operators.sketches import mix32_sql as _mix32_sql
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_loganalyzer_spark.operators.sketches import (  # noqa: E402
+    mix32_sql as _mix32_sql,
+)
+from db_loganalyzer_spark.operators.sketches import (  # noqa: E402
+    mix32_sql_select as _mix32_sql_select,
+)
 
 from db_loganalyzer_spark.operators import aggregates as A
 from db_loganalyzer_spark.operators import filters as FL
@@ -1734,12 +1739,16 @@ def m10_group_sample(spark, sf_dir):
 
 
 M10_SQL = f"""
-WITH ranked AS (
+WITH hashed AS (
+  SELECT source, doc_id, n_chars, h
+  FROM {_mix32_sql_select(
+        'doc_id', '(SELECT source, doc_id, n_chars FROM documents)',
+        passthrough=['source', 'doc_id', 'n_chars'])} x
+), ranked AS (
   SELECT source, doc_id, n_chars,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY {_mix32_sql('doc_id')}, doc_id)
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
            AS sample_rank
-  FROM documents
+  FROM hashed
 )
 SELECT source, sample_rank, doc_id, n_chars
 FROM ranked WHERE sample_rank <= 3
@@ -3407,7 +3416,8 @@ dev AS (
 SELECT d.event_id, d.event_type, d.value, d.med, m.mad1_est AS mad,
        0.6745 * (d.value - d.med) / m.mad1_est AS robust_z
 FROM dev d JOIN mad1 m USING (event_type)
-WHERE ABS(0.6745 * (d.value - d.med) / m.mad1_est) > 3.5
+WHERE m.mad1_est <> 0
+  AND ABS(0.6745 * (d.value - d.med) / m.mad1_est) > 3.5
 """
 
 
@@ -3534,7 +3544,9 @@ def a22_hll_distinct(spark, sf_dir):
     """A22 — engine-portable HyperLogLog distinct count
     (operators/sketches.hll_estimate, p=12 -> 4096 registers) next to
     the exact COUNT(DISTINCT) it replaces at scale. The registers use
-    the Knuth multiplicative hash + bin()-length rank (exact integers),
+    the lowbias32 avalanche mixer + bin()-length rank (exact signed-64
+    integers; a plain multiplicative hash is bijective mod power-of-two
+    buckets and biases the estimate +24% — see operators/sketches.py),
     and the harmonic-mean denominator is the exact BIGINT
     sum(2^(R-rho)), so the ESTIMATE itself — one double division of two
     exact integers, linear-counting branch included — hash-matches the
@@ -3569,8 +3581,9 @@ def a22_hll_distinct(spark, sf_dir):
 
 A22_SQL = f"""
 WITH h AS (
-  SELECT {_mix32_sql('user_id')} AS h
-  FROM events WHERE user_id IS NOT NULL
+  SELECT h
+  FROM {_mix32_sql_select('user_id',
+        '(SELECT user_id FROM events WHERE user_id IS NOT NULL)')} x
 ), pr AS (
   SELECT CAST(h % 4096 AS INT) AS bucket,
          CAST((h - h % 4096) / 4096 AS BIGINT) AS v
@@ -3712,9 +3725,13 @@ def st07_streaming_hll(spark, sf_dir):
 
 ST07_SQL = f"""
 WITH h AS (
-  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) * 86400 AS BIGINT) AS window_start,
-         {_mix32_sql('user_id')} AS h
-  FROM events WHERE user_id IS NOT NULL
+  SELECT window_start, h
+  FROM {_mix32_sql_select(
+        'user_id',
+        '(SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 86400) * 86400 '
+        'AS BIGINT) AS window_start, user_id FROM events '
+        'WHERE user_id IS NOT NULL)',
+        passthrough=['window_start'])} x
 ), pr AS (
   SELECT window_start, CAST(h % 4096 AS INT) AS bucket,
          CAST((h - h % 4096) / 4096 AS BIGINT) AS v
@@ -4209,7 +4226,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         a19_stats_report_grouping_sets,
         A19_SQL,
     ),
-    # -- driver window, part 0b: round-5 additions, first driver row (12) --
+    # -- driver window, part 0b: round-5 additions, first driver row
+    # (29 entries, w12 through st08 — together with part 0 they fill
+    # window positions 1-35; always recount list(queries())[:50] after
+    # editing this dict) --
     "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),

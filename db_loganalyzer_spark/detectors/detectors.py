@@ -817,9 +817,17 @@ def robust_outliers(
     mad = histogram_quantiles(dev, "__absdev", group_by, (0.5,), bins).select(
         *group_by, F.col("est").alias("mad")
     )
-    scored = dev.join(F.broadcast(mad), group_by).withColumn(
-        "robust_z",
-        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+    # degenerate groups (MAD = 0: single row, or >= half the values
+    # identical) carry no scale information — exclude them explicitly
+    # rather than divide by zero (ANSI mode makes that a job-killing
+    # DIVIDE_BY_ZERO; the oracle mirrors the same filter)
+    scored = (
+        dev.join(F.broadcast(mad), group_by)
+        .filter(F.col("mad") != 0)
+        .withColumn(
+            "robust_z",
+            F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+        )
     )
     return scored.filter(F.abs(F.col("robust_z")) > threshold).drop(
         "__absdev"

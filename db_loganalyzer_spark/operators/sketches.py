@@ -72,8 +72,13 @@ def mix32(c: Column | str, salt: int = 0) -> Column:
 
 
 def mix32_sql(expr: str, salt: int = 0) -> str:
-    """The DuckDB restatement of :func:`mix32` over ``expr`` — kept next
-    to the Spark form so the two can't drift."""
+    """The DuckDB restatement of :func:`mix32` over ``expr`` as ONE
+    inline expression — kept next to the Spark form so the two can't
+    drift. Each xor stage substitutes the accumulated string twice, so
+    the text (and, absent CSE, the evaluation) grows 2^3-fold: use this
+    for literals and tiny test inputs; table-scale oracles should go
+    through :func:`mix32_sql_select`, which stages the mixer through
+    nested selects at linear cost."""
     h = f"((({expr}) + {salt}) % 4294967296)"
     h = f"xor({h}, {h} >> 16)"
     h = f"(({h} * {_MIX_C1}) % 4294967296)"
@@ -81,6 +86,36 @@ def mix32_sql(expr: str, salt: int = 0) -> str:
     h = f"(({h} * {_MIX_C2}) % 4294967296)"
     h = f"xor({h}, {h} >> 15)"
     return h
+
+
+def mix32_sql_select(
+    expr: str,
+    from_sql: str,
+    passthrough: list[str] | None = None,
+    alias: str = "h",
+    salt: int = 0,
+) -> str:
+    """Linear-cost DuckDB restatement of :func:`mix32`: a nested-select
+    chain where every stage references the previous stage's COLUMN (no
+    expression-tree duplication — each mixer step is evaluated exactly
+    once per row). Returns a parenthesized subquery selecting
+    ``passthrough`` columns plus the hash as ``alias``; embed it in a
+    FROM clause. Bit-identical to mix32/mix32_sql (pinned in tests).
+    """
+    cols = ", ".join(passthrough or [])
+    pre = f"{cols}, " if cols else ""
+    stages = [
+        f"((({expr}) + {salt}) % 4294967296) AS h0",
+        "xor(h0, h0 >> 16) AS h1",
+        f"((h1 * {_MIX_C1}) % 4294967296) AS h2",
+        "xor(h2, h2 >> 15) AS h3",
+        f"((h3 * {_MIX_C2}) % 4294967296) AS h4",
+        f"xor(h4, h4 >> 15) AS {alias}",
+    ]
+    sql = from_sql
+    for st in stages:
+        sql = f"(SELECT {pre}{st} FROM {sql})"
+    return sql
 
 
 def _hll_alpha(m: int) -> float:

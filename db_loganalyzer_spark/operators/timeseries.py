@@ -92,8 +92,10 @@ def scd2_intervals(
     current run). The warehouse dimension-building pass: an as-of join
     against the output (j07) reconstructs state at any point in time.
 
-    One key shuffle; both windows share the same (key, order) spec so
-    Catalyst plans a single sort. Run boundaries compare with null-safe
+    One key shuffle: the run-start filter sits between two window
+    stages over the same (key, order) spec, so the second stage reuses
+    the first's hash partitioning (one Exchange; each stage sorts its
+    own — filtered — input). Run boundaries compare with null-safe
     equality, so NULL states form runs too.
     """
     order = [F.col(ts_col), F.col(tiebreak)]
@@ -106,8 +108,7 @@ def scd2_intervals(
         "__is_run_start",
         (prev_cnt == 0) | ~F.col(state_col).eqNullSafe(prev),
     ).filter(F.col("__is_run_start"))
-    w2 = Window.partitionBy(*partition_by).orderBy(*order)
-    nxt = F.lead(F.col(ts_col)).over(w2)
+    nxt = F.lead(F.col(ts_col)).over(w)
     return changes.select(
         *partition_by,
         F.col(state_col).alias("state"),
@@ -124,6 +125,7 @@ def level_shifts(
     partition_by: list[str],
     ts_col: str = "ts",
     min_points: int = 5,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Level-shift (change-point) scoring: at every event, the
     difference between the NEXT window's mean and the PREVIOUS
@@ -153,7 +155,7 @@ def level_shifts(
     return (
         df.select(
             *partition_by,
-            F.col("event_id"),
+            F.col(id_col),
             micros.alias("ts_us"),
             n_prev.cast("long").alias("n_prev"),
             n_next.cast("long").alias("n_next"),

@@ -662,6 +662,7 @@ def trailing_window_agg(
     lookback_seconds: int,
     partition_by: list[str],
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Trailing RANGE-window aggregate: for EVERY event, n/avg/max of
     the key's values in the preceding ``lookback_seconds`` (inclusive
@@ -688,7 +689,7 @@ def trailing_window_agg(
     avg = F.sum(vmicros).over(w).cast("double") / F.lit(1000000.0) / n
     return df.select(
         *partition_by,
-        F.col("event_id"),
+        F.col(id_col),
         micros.alias("ts_us"),
         v.alias(value_col),
         n.cast("long").alias("n_trailing"),

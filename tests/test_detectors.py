@@ -233,3 +233,22 @@ def test_robust_outliers_breakdown_resistance(spark):
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
     ).collect()[0]
     assert stats["sd"] > 1e5  # the contamination the MAD ignores
+
+
+def test_robust_outliers_degenerate_groups_excluded(spark):
+    """MAD = 0 groups (single row; constant values) must be excluded,
+    not crash with ANSI DIVIDE_BY_ZERO."""
+    from db_loganalyzer_spark.detectors.detectors import robust_outliers
+
+    rows = (
+        [(i, "varied", float(i % 7) + (100.0 if i == 0 else 0.0)) for i in range(30)]
+        + [(100, "solo", 5.0)]
+        + [(200 + i, "constant", 3.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = robust_outliers(df, "value", ["event_type"])
+    types = {r["event_type"] for r in out.collect()}
+    assert "solo" not in types and "constant" not in types
+    assert types == {"varied"}  # the contaminated point still flags

@@ -17,6 +17,7 @@ from db_loganalyzer_spark.operators.sketches import (
     hll_registers,
     mix32,
     mix32_sql,
+    mix32_sql_select,
 )
 
 
@@ -162,3 +163,19 @@ def test_histogram_quantiles_constant_group(spark):
     )
     rows = histogram_quantiles(df, "v", ["g"], (0.5,)).collect()
     assert len(rows) == 1 and rows[0]["est"] == 42.0
+
+
+def test_mix32_sql_select_matches_inline_form():
+    ids = list(range(0, 500, 3)) + [2**40 + 7]
+    con = duckdb.connect()
+    staged = dict(
+        con.execute(
+            "SELECT id, h FROM "
+            + mix32_sql_select(
+                "id", "(SELECT unnest(?) AS id)", passthrough=["id"]
+            )
+            + " x",
+            [ids],
+        ).fetchall()
+    )
+    assert staged == {i: _mix32_py(i) for i in ids}
