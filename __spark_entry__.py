@@ -3252,6 +3252,61 @@ FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts <= r0.ts
 """
 
 
+def j11_asof_nearest(spark, sf_dir):
+    """J11 — nearest-event join (joins.asof_nearest): each error event
+    gets the user's CLOSEST purchase in time, either direction, ties to
+    the earlier one. Two one-key-shuffle as-of passes (j07 backward +
+    j10 forward machinery) and a pure column pick — no range join, no
+    candidate explosion. Oracle: both DuckDB ASOF directions + the same
+    tie rule."""
+    from db_loganalyzer_spark.operators.joins import asof_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_nearest(left, right, by=["user_id"], value_cols=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("nearest_ts").alias("nearest_ts_us"),
+    )
+
+
+J11_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+), rb AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), rf AS (
+  SELECT user_id, ts, MIN(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), b AS (
+  SELECT l.user_id, l.event_id, l.ts, r.value AS bv, r.ts AS bts
+  FROM l ASOF LEFT JOIN rb r ON l.user_id = r.user_id AND l.ts >= r.ts
+), f AS (
+  SELECT l.event_id, r.value AS fv, r.ts AS fts
+  FROM l ASOF LEFT JOIN rf r ON l.user_id = r.user_id AND l.ts <= r.ts
+), j AS (
+  SELECT b.user_id, b.event_id, b.ts, b.bv, b.bts, f.fv, f.fts,
+         (f.fts IS NULL OR (b.bts IS NOT NULL AND
+            epoch_us(b.ts) - epoch_us(b.bts)
+              <= epoch_us(f.fts) - epoch_us(b.ts))) AS take_back
+  FROM b JOIN f USING (event_id)
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CASE WHEN take_back THEN bv ELSE fv END AS value,
+       epoch_us(CASE WHEN take_back THEN bts ELSE fts END) AS nearest_ts_us
+FROM j
+"""
+
+
 def a25_transition_matrix(spark, sf_dir):
     """A25 — first-order Markov transitions over per-user event
     sequences (operators/windows.transition_matrix): count + row-
@@ -4259,8 +4314,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m10_group_sample": (m10_group_sample, M10_SQL),
     "w16_level_shifts": (w16_level_shifts, W16_SQL),
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
+    "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
     # -- driver window, part 1: single-row (r4) entries --
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
@@ -4296,6 +4351,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

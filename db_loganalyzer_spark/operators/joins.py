@@ -289,3 +289,60 @@ def interval_concurrency(
         F.col("__t").alias(point_ts),
         F.col("running_sum").alias("n_active"),
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    value_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """J11 — nearest-event join: for every left row, the right row with
+    the smallest |t_left - t_right| within the key (ties to the EARLIER
+    right row, matching "closest reading" semantics where a stale
+    reading beats a future one at equal distance). Composed from the
+    backward and forward as-of passes — two one-key-shuffle window
+    joins, no range join, no candidate explosion — then a pure column
+    pick of the closer side.
+
+    Unmatched on both sides keeps NULLs; matched on one side takes it
+    regardless of distance.
+    """
+    back = asof_join(
+        left, right, by=by, value_cols=value_cols, ts_col=ts_col,
+        right_ts_alias="__back_ts",
+    )
+    for c in value_cols:
+        back = back.withColumnRenamed(
+            c if c not in left.columns else f"asof_{c}", f"__b_{c}"
+        )
+    both = asof_join(
+        back, right, by=by, value_cols=value_cols, ts_col=ts_col,
+        right_ts_alias="__fwd_ts", direction="forward",
+    )
+    for c in value_cols:
+        both = both.withColumnRenamed(
+            c if c not in back.columns else f"asof_{c}", f"__f_{c}"
+        )
+    d_back = F.unix_micros(F.col(ts_col)) - F.unix_micros("__back_ts")
+    d_fwd = F.unix_micros("__fwd_ts") - F.unix_micros(F.col(ts_col))
+    take_back = F.col("__fwd_ts").isNull() | (
+        F.col("__back_ts").isNotNull() & (d_back <= d_fwd)
+    )
+    out = both.withColumn(
+        "nearest_ts",
+        F.when(take_back, F.col("__back_ts")).otherwise(F.col("__fwd_ts")),
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            c if c not in left.columns else f"nearest_{c}",
+            F.when(take_back, F.col(f"__b_{c}")).otherwise(
+                F.col(f"__f_{c}")
+            ),
+        )
+    return out.drop(
+        "__back_ts", "__fwd_ts",
+        *[f"__b_{c}" for c in value_cols],
+        *[f"__f_{c}" for c in value_cols],
+    )

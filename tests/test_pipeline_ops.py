@@ -1019,3 +1019,53 @@ def test_group_sample_deterministic_and_plan(spark):
     assert c != a
     plan = group_sample(df, ["g"], 5, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # rank filter pushed to per-partition top-k
+
+
+def test_asof_nearest_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.joins import asof_nearest
+
+    def t(s):
+        return dtm.datetime(2024, 1, 1, 0, 0, s)
+
+    L = spark.createDataFrame(
+        [(1, t(10), "mid"),    # back@8 (d=2) vs fwd@13 (d=3) -> back
+         (1, t(3), "before"),  # only fwd exists -> fwd
+         (1, t(50), "after"),  # only back exists -> back
+         (1, t(11), "tie"),    # back@8 d=3, fwd@14? no... back@8 d=3 vs fwd@13 d=2 -> fwd
+         (2, t(5), "none")],   # no right rows at all -> NULLs
+        "user_id long, ts timestamp, tag string",
+    )
+    R = spark.createDataFrame(
+        [(1, t(8), 80.0), (1, t(13), 130.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r["tag"]: (r["val"], r["nearest_ts"])
+        for r in asof_nearest(L, R, by=["user_id"], value_cols=["val"]).collect()
+    }
+    assert out["mid"] == (80.0, t(8))
+    assert out["before"] == (80.0, t(8))
+    assert out["after"] == (130.0, t(13))
+    assert out["tie"] == (130.0, t(13))
+    assert out["none"] == (None, None)
+
+
+def test_asof_nearest_equal_distance_prefers_earlier(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.joins import asof_nearest
+
+    t0 = dtm.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, t0 + dtm.timedelta(seconds=10), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    R = spark.createDataFrame(
+        [(1, t0 + dtm.timedelta(seconds=7), 7.0),
+         (1, t0 + dtm.timedelta(seconds=13), 13.0)],
+        "user_id long, ts timestamp, val double",
+    )
+    r = asof_nearest(L, R, by=["user_id"], value_cols=["val"]).collect()[0]
+    assert r["val"] == 7.0  # d=3 both ways: earlier wins
