@@ -3819,6 +3819,53 @@ FROM est
 """
 
 
+def st09_streaming_gap_fill(spark, sf_dir):
+    """ST09 — w13's streaming form: per-key LOCF resampling as a custom
+    stateful operator (streaming/streams.streaming_gap_fill,
+    applyInPandasWithState). State is the OPEN (bucket, value) per key
+    — two scalars whatever the volume; a bucket's row emits exactly
+    once, when a later bucket supersedes it (append mode cannot
+    retract), holes going out with the carried value. Drained
+    in-order the output equals batch w13 minus each key's final
+    still-open bucket — which is exactly what the oracle states
+    (the grid stops one bucket short of each key's max)."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_gap_fill(stream, 21600, "user_id")
+    return _drain(out, "st09")
+
+
+ST09_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(ts) / 1000000.0 / 21600) * 21600 AS BIGINT) AS bucket,
+         value,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(FLOOR(epoch_us(ts) / 1000000.0 / 21600) * 21600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+), o AS (
+  SELECT user_id, bucket, value AS last_value FROM obs WHERE rn = 1
+), spans AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM o GROUP BY 1
+), grid AS (
+  -- one bucket short of the key's max: the open frontier bucket has
+  -- not been superseded, so the stream has not emitted it yet
+  SELECT user_id, unnest(generate_series(b0, b1 - 21600, 21600)) AS bucket
+  FROM spans WHERE b1 > b0
+), j AS (
+  SELECT g.user_id, g.bucket, o.last_value
+  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket = o.bucket
+)
+SELECT user_id, bucket,
+       last_value(last_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       last_value IS NULL AS is_gap
+FROM j
+"""
+
+
 def t11_tfidf_terms(spark, sf_dir):
     """T11 — top-5 characteristic terms per document by TF-IDF
     (operators/ranking.tfidf_top_terms). One token-explode pass feeds a
@@ -4315,6 +4362,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w16_level_shifts": (w16_level_shifts, W16_SQL),
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
     "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
+    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),

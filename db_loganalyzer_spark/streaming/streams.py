@@ -472,3 +472,93 @@ def write_stream_parquet(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+_GAPFILL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+    ]
+)
+
+_GAPFILL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_bucket", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+
+def _gapfill_fn_factory(bucket_seconds: int):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """w13's streaming form. State per key: the OPEN bucket
+        (bucket, value). A bucket's row is emitted only when a LATER
+        bucket arrives — append mode cannot retract, so emitting the
+        frontier immediately would duplicate it if a same-bucket row
+        landed in a later micro-batch. On emit, holes up to the new
+        bucket go out with the carried value.
+
+        Late-data policy (explicit, tested): a row whose bucket is
+        below the open bucket is DROPPED — its row is already final,
+        the same contract as the watermarked append-mode operators.
+        In-order arrival per key (Kafka per-key partitions;
+        time-ordered file landing) is the deployment assumption, as
+        for st05's EWMA.
+        """
+        bs = bucket_seconds
+        last_b = state.get[0] if state.exists else None
+        last_v = state.get[1] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        uid = int(key[0])
+        for _, row in pdf.iterrows():
+            if pd.isna(row["value"]):
+                continue
+            b = (int(row["ts"].timestamp() * 1_000_000) // (bs * 1_000_000)) * bs
+            v = float(row["value"])
+            if last_b is None:
+                last_b, last_v = b, v
+            elif b < last_b:
+                continue  # late: that bucket's row is already final
+            elif b == last_b:
+                last_v = v  # open bucket: later (ts, event_id) wins
+            else:
+                out.append((uid, last_b, last_v, False))
+                for hole in range(last_b + bs, b, bs):
+                    out.append((uid, hole, last_v, True))
+                last_b, last_v = b, v
+        if last_b is not None:
+            state.update((int(last_b), float(last_v)))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _GAPFILL_SCHEMA]
+        )
+
+    return fn
+
+
+def streaming_gap_fill(
+    events: DataFrame,
+    bucket_seconds: int,
+    key: str = "user_id",
+) -> DataFrame:
+    """w13's streaming form: per-key LOCF resampling as a custom
+    stateful operator (applyInPandasWithState) — emits one row per
+    bucket as soon as a later bucket is observed, holes filled with
+    the carried value. State is the open (bucket, value) per key, two
+    scalars whatever the volume. Drained in-order, the output equals
+    batch w13 minus each key's final (still-open) bucket row — exact
+    equivalence pinned in tests and the oracle gate.
+    """
+    return (
+        events.select(key, "event_id", "ts", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _gapfill_fn_factory(bucket_seconds),
+            outputStructType=_GAPFILL_SCHEMA,
+            stateStructType=_GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

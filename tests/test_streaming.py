@@ -350,3 +350,57 @@ def test_streaming_hll_matches_batch(
         wr = want_rows[k]
         assert gr["scaled_sum"] == wr["scaled_sum"]
         assert gr["estimate"] == wr["estimate"]  # bit-identical
+
+
+def test_streaming_gap_fill_multi_batch_and_late_data(
+    spark, tmp_path, tmp_path_factory
+):
+    """Cross-batch LOCF continuation: the open bucket carries across
+    micro-batches and emits exactly once; a late row below the frontier
+    is dropped (its row is already final)."""
+    import datetime as dtm
+    import os
+
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_gap_fill,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def t(s):
+        return dtm.datetime(2024, 1, 1, 0, 0, 0) + dtm.timedelta(seconds=s)
+
+    # batch 1: buckets 0 (v=1) and 20 (v=2) -> bucket 0 emits, hole 10
+    # emits, bucket 20 stays open in state
+    spark.createDataFrame(
+        [(1, t(5), 7, 1.0), (2, t(25), 7, 2.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    # batch 2: bucket 40 (v=4) supersedes 20; a LATE row in bucket 0
+    # (v=99) must be dropped, not emitted or applied
+    spark.createDataFrame(
+        [(3, t(45), 7, 4.0), (4, t(8), 7, 99.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_gapfill"))
+    out = run_available_now(
+        streaming_gap_fill(stream, 10), "gapfill_stream", ck
+    )
+    base = int(dtm.datetime(2024, 1, 1).timestamp())
+    rows = sorted(
+        (r["bucket"] - base, r["value"], r["is_gap"]) for r in out.collect()
+    )
+    assert rows == [
+        (0, 1.0, False),   # emitted once, late v=99 never applied
+        (10, 1.0, True),   # hole carried
+        (20, 2.0, False),  # open bucket from batch 1, closed by batch 2
+        (30, 2.0, True),   # hole between 20 and 40
+    ]  # bucket 40 still open -> not emitted
