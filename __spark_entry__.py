@@ -4077,6 +4077,63 @@ FROM x WHERE c >= target AND (c - cnt) < target
 """
 
 
+def a27_diurnal_baseline(spark, sf_dir):
+    """A27 — diurnal (hour-of-day) baseline + residuals: per
+    (event_type, hour-of-day) micro-unit mean over the whole history,
+    then each event scored against its hour's profile — the seasonal
+    normalization that keeps nightly batch-load spikes from tripping
+    flat-baseline detectors (complements d07's trailing-window
+    baseline, which this is NOT: the profile here is cyclic, not
+    recent). One partial-agg shuffle to a 5x24-row profile, broadcast
+    back; residuals are a pure projection. Hour from integer epoch
+    arithmetic (UTC session), no calendar functions."""
+    ev = _t(spark, sf_dir, "events")
+    hour = ((F.floor(F.unix_timestamp("ts") / 3600)) % 24).cast("int")
+    base = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_id", "event_type", "value", hour.alias("hod")
+    )
+    vm = F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+    profile = base.groupBy("event_type", "hod").agg(
+        (
+            F.sum(vm).cast("double") / 1000000.0 / F.count("value")
+        ).alias("hod_mean"),
+        F.count(F.lit(1)).cast("long").alias("hod_n"),
+    )
+    return (
+        base.join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            "hod_mean",
+            "hod_n",
+            (F.col("value") - F.col("hod_mean")).alias("residual"),
+        )
+    )
+
+
+A27_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) % 24
+              AS INT) AS hod
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), profile AS (
+  SELECT event_type, hod,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / COUNT(value) AS hod_mean,
+         CAST(COUNT(*) AS BIGINT) AS hod_n
+  FROM base GROUP BY 1, 2
+)
+SELECT b.event_id, b.event_type, b.hod, b.value, p.hod_mean, p.hod_n,
+       b.value - p.hod_mean AS residual
+FROM base b JOIN profile p USING (event_type, hod)
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -4363,9 +4420,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
     "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
     "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
+    "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
@@ -4400,6 +4457,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
