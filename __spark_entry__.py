@@ -4134,6 +4134,48 @@ FROM base b JOIN profile p USING (event_type, hod)
 """
 
 
+def w17_counter_rates(spark, sf_dir):
+    """W17 — per-sample counter rate (operators/timeseries.
+    counter_rates): the Prometheus rate() primitive — (v - prev) /
+    elapsed seconds between consecutive samples per user, resets
+    (v < prev) counted as increase-from-zero, NULL on first sample or
+    zero elapsed time. One key shuffle + one lag window; the rate is a
+    single IEEE division of exact integer micro-deltas, deterministic
+    unrounded."""
+    from db_loganalyzer_spark.operators.timeseries import counter_rates
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    out = counter_rates(ev, "value", ["user_id"])
+    return out.select(
+        "user_id", "event_id", "ts_us", "value",
+        "prev_value", "is_reset", "rate_per_s",
+    )
+
+
+W17_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), l AS (
+  SELECT user_id, event_id, ts_us, value,
+         lag(value) OVER w AS prev_value,
+         lag(ts_us) OVER w AS prev_t
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, ts_us, value, prev_value,
+       COALESCE(value < prev_value, FALSE) AS is_reset,
+       CASE WHEN prev_value IS NOT NULL AND ts_us - prev_t > 0
+            THEN (CASE WHEN value >= prev_value THEN value - prev_value
+                       ELSE value END)
+                 / ((ts_us - prev_t) / 1000000.0)
+       END AS rate_per_s
+FROM l
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -4421,9 +4463,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
     "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
     "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
+    "w17_counter_rates": (w17_counter_rates, W17_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
@@ -4458,6 +4500,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

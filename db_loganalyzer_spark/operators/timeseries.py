@@ -167,3 +167,49 @@ def level_shifts(
             (F.col("n_prev") >= min_points) & (F.col("n_next") >= min_points)
         )
     )
+
+
+def counter_rates(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-sample rate of a monotonic counter (the Prometheus ``rate()``
+    primitive): ``(v - prev_v) / (t - prev_t)`` between consecutive
+    samples per key, with counter RESETS handled the standard way — a
+    drop (v < prev_v) means the counter restarted, so the increase is
+    taken as ``v`` (from zero), not the negative difference. Rows with
+    no predecessor, or zero elapsed time (duplicate timestamps), emit
+    NULL rather than a fake rate.
+
+    One key shuffle, one lag window over the (ts, tiebreak) total
+    order; the rate is a single IEEE division of exact micro-second
+    deltas — deterministic cross-engine unrounded.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(*partition_by).orderBy(
+        F.col(ts_col), F.col(tiebreak)
+    )
+    v = F.col(value_col)
+    prev_v = F.lag(v).over(w)
+    prev_t = F.lag(micros).over(w)
+    dt_us = micros - prev_t
+    increase = F.when(v >= prev_v, v - prev_v).otherwise(v)
+    rate = F.when(
+        prev_v.isNotNull() & (dt_us > 0),
+        increase / (dt_us.cast("double") / 1000000.0),
+    )
+    return df.select(
+        *partition_by,
+        F.col(tiebreak),
+        micros.alias("ts_us"),
+        v.alias(value_col),
+        prev_v.alias("prev_value"),
+        # coalesced: the first sample of a key is not a reset (also the
+        # one nullable-boolean that pandas renders differently per
+        # engine — None vs NaN — in the oracle comparison layer)
+        F.coalesce(v < prev_v, F.lit(False)).alias("is_reset"),
+        rate.alias("rate_per_s"),
+    )

@@ -177,3 +177,32 @@ def test_level_shifts_detects_step(spark):
     assert 0.0 < out[6]["shift"] < 40.0
     # first rows have no prev frame -> dropped by the gate
     assert 0 not in out and 1 not in out
+
+
+def test_counter_rates_semantics(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.timeseries import counter_rates
+
+    def t(s):
+        return dtm.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, t(0), 1, 100.0),
+        (1, t(10), 2, 150.0),   # +50 over 10s -> 5/s
+        (1, t(20), 3, 30.0),    # reset: increase = 30 over 10s -> 3/s
+        (1, t(20), 4, 40.0),    # same ts as previous: dt=0 -> NULL rate
+        (2, t(0), 5, 7.0),      # lone sample -> NULL rate, not a reset
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: (r["rate_per_s"], r["is_reset"])
+        for r in counter_rates(df, "value", ["user_id"]).collect()
+    }
+    assert out[1] == (None, False)
+    assert out[2] == (5.0, False)
+    assert out[3] == (3.0, True)
+    assert out[4] == (None, False)  # 40 >= 30: not a reset, but dt = 0
+    assert out[5] == (None, False)
