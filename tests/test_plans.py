@@ -309,3 +309,13 @@ def test_a22_hll_two_phase_aggregate(spark, sf_dir, qs, cold_cache):
     p = plan_str(spark, qs["a22_hll_distinct"](spark, sf_dir), "simple")
     assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p  # 1-row exact side broadcasts
+
+
+def test_w17_a27_scale_shapes(spark, sf_dir, qs, cold_cache):
+    # w17: per-key lag window stays partitioned; a27: the 5x24 profile
+    # comes back as a broadcast join, never a shuffle of the event table
+    p17 = plan_str(spark, qs["w17_counter_rates"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in p17
+    p27 = plan_str(spark, qs["a27_diurnal_baseline"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p27
+    assert "CartesianProduct" not in p27
