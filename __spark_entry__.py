@@ -4176,6 +4176,38 @@ FROM l
 """
 
 
+def t13_bigram_lm(spark, sf_dir):
+    """T13 — corpus bigram LM counts + conditional P(w2|w1)
+    (operators/ranking.bigram_lm_counts): the n-gram statistics behind
+    boilerplate audits (stuck phrases show near-1.0 conditionals) and
+    classical LM baselines. Pairs zip each token array with its own
+    tail — pure JVM array ops, one explode, no self-join; one
+    partial-agg shuffle to (w1, w2); conditionals divide by the w1 row
+    total over the pair-level frame (exact-integer division,
+    unrounded)."""
+    from db_loganalyzer_spark.operators.ranking import bigram_lm_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_counts(docs)
+
+
+T13_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT tk[g.i] AS w1, tk[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+), counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT w1, w2, n,
+       n / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p_cond
+FROM counts
+"""
+
+
 def st06_streaming_sliding_rollup(spark, sf_dir):
     """a20's streaming form: the SAME F.window(slideDuration) expression
     under a watermark (streaming/streams.streaming_sliding_rollup),
@@ -4464,9 +4496,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
     "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
     "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
@@ -4501,6 +4533,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

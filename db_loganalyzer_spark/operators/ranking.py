@@ -178,3 +178,48 @@ def bm25_search(
         scored.orderBy(F.col("score").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+def bigram_lm_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram language-model counts: for every adjacent token
+    pair, the count and the conditional probability P(w2 | w1) —
+    the n-gram statistics pass behind corpus-quality audits (stuck
+    boilerplate shows up as near-1.0 conditionals) and classical LM
+    baselines.
+
+    Pairs come from zipping each token array with its own tail
+    (``arrays_zip(slice, slice)``) — pure JVM array ops, one explode,
+    no self-join and no window over raw tokens; then one partial-agg
+    shuffle to (w1, w2) counts. The conditional divides by the w1 row
+    total via a window over the O(vocab^2-bounded) pair frame. Pair
+    order within a document never crosses document boundaries.
+    """
+    from db_loganalyzer_spark.operators.textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    w = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        (F.col("n") / F.sum("n").over(w)).alias("p_cond"),
+    )

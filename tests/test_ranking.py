@@ -65,3 +65,21 @@ def test_bm25_topk_plan(corpus):
     out = bm25_search(corpus, "spark", top_k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_counts(spark):
+    from db_loganalyzer_spark.operators.ranking import bigram_lm_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],  # single token: no pairs
+        "doc_id: long, text: string",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["n"], r["p_cond"])
+        for r in bigram_lm_counts(df).collect()
+    }
+    # pairs never cross documents: no ("b", "a") from doc1-end -> doc2-start
+    assert out[("a", "b")] == (3, 1.0)   # 'a' always followed by 'b'
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert ("x", None) not in out and len(out) == 3
