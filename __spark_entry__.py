@@ -4176,6 +4176,18 @@ FROM l
 """
 
 
+def st10_streaming_counter_rates(spark, sf_dir):
+    """ST10 — w17's streaming form (streams.streaming_counter_rates,
+    applyInPandasWithState): state is the previous (t, v) sample per
+    key — two scalars whatever the volume — and every sample emits
+    exactly once, its rate depending only on its predecessor, so the
+    drained stream equals batch w17 row-for-row. Oracle: the identical
+    SQL as w17 (no closed-window subtlety)."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_counter_rates(stream)
+    return _drain(out, "st10")
+
+
 def t13_bigram_lm(spark, sf_dir):
     """T13 — corpus bigram LM counts + conditional P(w2|w1)
     (operators/ranking.bigram_lm_counts): the n-gram statistics behind
@@ -4497,9 +4509,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
     "w17_counter_rates": (w17_counter_rates, W17_SQL),
     "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
+    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
@@ -4534,6 +4546,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),

@@ -562,3 +562,75 @@ def streaming_gap_fill(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_RATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("prev_value", T.DoubleType()),
+        T.StructField("is_reset", T.BooleanType()),
+        T.StructField("rate_per_s", T.DoubleType()),
+    ]
+)
+
+_RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_t", T.LongType()),
+        T.StructField("prev_v", T.DoubleType()),
+    ]
+)
+
+
+def _rate_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """w17's streaming fold: state is the previous sample (t, v) per
+    key — every arriving sample emits exactly one row whose rate
+    depends only on its predecessor, so the drained stream equals the
+    batch operator row-for-row (no open-frontier subtlety as in
+    st09). Same reset / zero-dt / NaN rules as the batch path."""
+    import math
+
+    prev_t = state.get[0] if state.exists else None
+    prev_v = state.get[1] if state.exists else None
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    uid = int(key[0])
+    for _, row in pdf.iterrows():
+        v = row["value"]
+        if pd.isna(v) or math.isnan(float(v)):
+            continue
+        v = float(v)
+        t = int(row["ts"].timestamp() * 1_000_000)
+        if prev_v is None:
+            rate, reset = None, False
+        else:
+            reset = v < prev_v
+            inc = v - prev_v if v >= prev_v else v
+            dt = t - prev_t
+            rate = inc / (dt / 1_000_000.0) if dt > 0 else None
+        out.append((uid, int(row["event_id"]), t, v, prev_v, reset, rate))
+        prev_t, prev_v = t, v
+    if prev_v is not None:
+        state.update((int(prev_t), float(prev_v)))
+    yield pd.DataFrame(out, columns=[f.name for f in _RATE_SCHEMA])
+
+
+def streaming_counter_rates(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """w17's streaming form (timeseries.counter_rates): per-sample
+    counter rate as a custom stateful operator — state is the previous
+    (t, v) per key, two scalars whatever the volume; each sample emits
+    exactly once. Drained in-order the output equals the batch
+    operator exactly (oracle-checked)."""
+    return (
+        events.select(key, "event_id", "ts", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _rate_fn,
+            outputStructType=_RATE_SCHEMA,
+            stateStructType=_RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
