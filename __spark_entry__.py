@@ -4176,6 +4176,114 @@ FROM l
 """
 
 
+def m12_budget_select(spark, sf_dir):
+    """M12 — token-budget corpus selection (operators/sampling.
+    budget_select): per source, keep the best quality-per-token
+    documents until an 800-token budget is spent — the greedy knapsack
+    of every data-mixing recipe, made deterministic (value ratio with
+    id tiebreak; spend as an exact integer window sum). One scan + one
+    partition-local window."""
+    from db_loganalyzer_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return budget_select(docs, 800, by=["source"])
+
+
+M12_SQL = r"""
+WITH base AS (
+  SELECT source, doc_id, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> list_contains(
+                     ['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(toks)
+              END AS swr
+  FROM base
+), q AS (
+  SELECT source, doc_id, n_tokens,
+         ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(pr, 1.0) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(swr, 0.0) >= 0.02 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM stats
+), rt AS (
+  SELECT source, doc_id, n_tokens, quality,
+         CASE WHEN n_tokens > 0 THEN quality / n_tokens ELSE 0.0 END AS value_per_token
+  FROM q
+), c AS (
+  SELECT source, doc_id, n_tokens, quality, value_per_token,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY value_per_token DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM rt
+)
+SELECT source, doc_id, n_tokens, quality, value_per_token, cum_tokens
+FROM c WHERE cum_tokens <= 800
+"""
+
+
+def d13_lag_correlation(spark, sf_dir):
+    """D13 — which signal leads which: Pearson r between the 'error'
+    and 'purchase' bucket-count series at every lag in +-12 hours
+    (detectors.lag_correlation, 3600s buckets). Events collapse to
+    per-type bucket counts; the zero-filled grid, lag explode and all
+    six correlation sums run on bucket-level rows and are exact
+    BIGINTs, so r — one sqrt + one division over exact inputs — is
+    deterministic unrounded."""
+    from db_loganalyzer_spark.detectors.detectors import lag_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return lag_correlation(ev, "error", "purchase", 3600, 12)
+
+
+D13_SQL = """
+WITH base AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT) AS bucket,
+         event_type
+  FROM events WHERE event_type IN ('error', 'purchase')
+), counts AS (
+  SELECT bucket, event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+), span AS (
+  SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM base
+), grid AS (
+  SELECT unnest(generate_series(b0, b1, 3600)) AS bucket FROM span
+), ga AS (
+  SELECT g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS na
+  FROM grid g LEFT JOIN counts c ON c.bucket = g.bucket AND c.t = 'error'
+), gb AS (
+  SELECT g.bucket AS bucket_b, CAST(COALESCE(c.n, 0) AS BIGINT) AS nb
+  FROM grid g LEFT JOIN counts c ON c.bucket = g.bucket AND c.t = 'purchase'
+), paired AS (
+  SELECT l.lag, a.na, b.nb
+  FROM ga a, (SELECT unnest(generate_series(-12, 12)) AS lag) l
+  JOIN gb b ON b.bucket_b = a.bucket + l.lag * 3600
+), s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(na) AS BIGINT) AS sx, CAST(SUM(nb) AS BIGINT) AS sy,
+         CAST(SUM(na * nb) AS BIGINT) AS sxy,
+         CAST(SUM(na * na) AS BIGINT) AS sxx,
+         CAST(SUM(nb * nb) AS BIGINT) AS syy
+  FROM paired GROUP BY 1
+)
+SELECT CAST(lag * 3600 AS BIGINT) AS lag_seconds, n AS n_pairs,
+       CASE WHEN sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+       END AS r
+FROM s
+"""
+
+
 def st10_streaming_counter_rates(spark, sf_dir):
     """ST10 — w17's streaming form (streams.streaming_counter_rates,
     applyInPandasWithState): state is the previous (t, v) sample per
@@ -4510,6 +4618,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w17_counter_rates": (w17_counter_rates, W17_SQL),
     "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
     "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
+    "m12_budget_select": (m12_budget_select, M12_SQL),
+    "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
     # -- driver window, part 1: single-row (r4) entries --
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     # -- driver window, part 1b: new round-3 pipeline operators (6) --

@@ -832,3 +832,86 @@ def robust_outliers(
     return scored.filter(F.abs(F.col("robust_z")) > threshold).drop(
         "__absdev"
     )
+
+
+def lag_correlation(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    bucket_seconds: int,
+    max_lag_buckets: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """D13 (extension) — which signal leads which: Pearson correlation
+    between two event types' bucket counts at every lag in
+    [-K, +K] buckets. A peak at positive lag means type_a's rate
+    precedes type_b's — the cause-ordering evidence the investigation
+    loop's timeline narrates, computed instead of eyeballed.
+
+    Scale shape: events collapse to per-type bucket counts (two partial
+    aggs); the zero-filled grid, the lag explode and every sum after
+    that run on bucket-level rows (O(span/bucket * lags)). All six
+    correlation sums are exact BIGINTs over integer counts, so r — one
+    sqrt and one division over exact inputs — is deterministic
+    cross-engine unrounded.
+    """
+    from db_loganalyzer_spark.functions.scalars import bucket_start
+
+    bs = int(bucket_seconds)
+    b = bucket_start(ts_col, bs)
+    base = events.filter(F.col(type_col).isin([type_a, type_b]))
+    counts = (
+        base.groupBy(b.alias("bucket"), F.col(type_col).alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    span = base.agg(
+        F.min(b).alias("b0"), F.max(b).alias("b1")
+    )
+    grid = span.select(
+        F.explode(F.sequence("b0", "b1", F.lit(bs))).alias("bucket")
+    )
+    ga = grid.join(
+        counts.filter(F.col("t") == type_a).select("bucket", F.col("n").alias("na")),
+        "bucket", "left",
+    ).select("bucket", F.coalesce("na", F.lit(0)).cast("long").alias("na"))
+    gb = grid.join(
+        counts.filter(F.col("t") == type_b).select("bucket", F.col("n").alias("nb")),
+        "bucket", "left",
+    ).select(
+        F.col("bucket").alias("bucket_b"),
+        F.coalesce("nb", F.lit(0)).cast("long").alias("nb"),
+    )
+    lags = ga.select(
+        "bucket", "na",
+        F.explode(
+            F.sequence(
+                F.lit(-max_lag_buckets), F.lit(max_lag_buckets)
+            )
+        ).alias("lag"),
+    )
+    paired = lags.join(
+        gb, F.col("bucket_b") == F.col("bucket") + F.col("lag") * bs
+    )
+    s = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("na").cast("long").alias("sx"),
+        F.sum("nb").cast("long").alias("sy"),
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("sxy"),
+        F.sum(F.col("na") * F.col("na")).cast("long").alias("sxx"),
+        F.sum(F.col("nb") * F.col("nb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ).cast("double")
+    )
+    return s.select(
+        (F.col("lag") * bs).cast("long").alias("lag_seconds"),
+        F.col("n").alias("n_pairs"),
+        F.when(den > 0, num / den).alias("r"),
+    )

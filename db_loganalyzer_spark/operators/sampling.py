@@ -169,3 +169,48 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection: within each group, keep the
+    highest quality-per-token documents until the group's token budget
+    is spent (the greedy knapsack every data-mixing recipe actually
+    runs). Deterministic: value = quality_score / tokens ordered with
+    the id tiebreak, and the running spend is an exact integer window
+    sum — the same selection on any engine or partitioning.
+
+    One scan computes tokens + quality as column expressions; the
+    cumulative spend is a partition-local window over (group)-ordered
+    rows. Emits the kept rows with their running total.
+    """
+    from db_loganalyzer_spark.operators.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    by = list(by or ["source"])
+    tok = token_count(F.col(text_col)).cast("long")
+    q = quality_score(F.col(text_col))
+    d = df.select(
+        *by,
+        F.col(id_col),
+        tok.alias("n_tokens"),
+        q.alias("quality"),
+        F.when(tok > 0, q / tok).otherwise(F.lit(0.0)).alias(
+            "value_per_token"
+        ),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("value_per_token").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+    ).filter(F.col("cum_tokens") <= budget_tokens)

@@ -252,3 +252,27 @@ def test_robust_outliers_degenerate_groups_excluded(spark):
     types = {r["event_type"] for r in out.collect()}
     assert "solo" not in types and "constant" not in types
     assert types == {"varied"}  # the contaminated point still flags
+
+
+def test_lag_correlation_finds_planted_lead(spark):
+    """Series B is series A shifted by +2 buckets: the correlation must
+    peak (r ~ 1.0) exactly at lag = +2 buckets."""
+    import datetime as dtm
+
+    from db_loganalyzer_spark.detectors.detectors import lag_correlation
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(50):
+        burst = 5 if i % 7 == 0 else 1  # spiky pattern
+        for _ in range(burst):
+            rows.append((eid, t0 + dtm.timedelta(seconds=i * 60 + 1), "a")); eid += 1
+        for _ in range(burst):  # same pattern, 2 buckets later
+            rows.append((eid, t0 + dtm.timedelta(seconds=(i + 2) * 60 + 1), "b")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["lag_seconds"]: r["r"] for r in
+           lag_correlation(df, "a", "b", 60, 5).collect()}
+    best = max((v, k) for k, v in out.items() if v is not None)
+    assert best[1] == 120  # +2 buckets of 60s
+    assert best[0] > 0.95

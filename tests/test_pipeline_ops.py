@@ -1069,3 +1069,28 @@ def test_asof_nearest_equal_distance_prefers_earlier(spark):
     )
     r = asof_nearest(L, R, by=["user_id"], value_cols=["val"]).collect()[0]
     assert r["val"] == 7.0  # d=3 both ways: earlier wins
+
+
+def test_budget_select_greedy_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sampling import budget_select
+
+    # quality is driven by token count here: the >= 10-token docs score
+    # higher than the tiny one, and the budget forces a choice
+    good = "the data model is that it runs for a test " * 2  # ~20 tokens
+    rows = [(i, "s", good) for i in range(5)] + [(9, "s", "tiny doc here")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = budget_select(df, 45, by=["source"])
+    kept = sorted(r["doc_id"] for r in out.collect())
+    rows_by_id = {r["doc_id"]: r for r in out.collect()}
+    # the small doc has the best quality/token ratio -> picked first;
+    # then 20-token docs fill until the 45-token budget is exhausted
+    assert 9 in kept and len(kept) == 3
+    assert max(r["cum_tokens"] for r in rows_by_id.values()) <= 45
+    # partitioning-independent
+    kept2 = sorted(
+        r["doc_id"]
+        for r in budget_select(df.repartition(7), 45, by=["source"]).collect()
+    )
+    assert kept2 == kept
