@@ -4176,6 +4176,58 @@ FROM l
 """
 
 
+def a28_funnel_steps(spark, sf_dir):
+    """A28 — three-step ordered funnel view -> click -> purchase per
+    session (operators/windows.funnel_steps over w05's sessionization):
+    m_i = earliest step_i STRICTLY after m_{i-1}. One key shuffle; each
+    step is a windowed conditional min over the same partitioning — no
+    per-step self-join (the usual quadratic funnel query)."""
+    ev = _events(spark, sf_dir)
+    sess = W.sessionize(ev, 3600, partition_by=["user_id"])
+    return W.funnel_steps(
+        sess, ["view", "click", "purchase"], ["user_id", "session_id"]
+    )
+
+
+A28_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) / 1000000.0
+                   - (epoch_us(lag(ts) OVER w) / 1000000.0) > 3600
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_id
+  FROM flagged
+), f1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS m1
+  FROM numbered
+), f2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > m1 THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS m2
+  FROM f1
+), f3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > m2 THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS m3
+  FROM f2
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(m1)) AS step1_us,
+       epoch_us(MIN(m2)) AS step2_us,
+       epoch_us(MIN(m3)) AS step3_us,
+       CAST((MIN(m1) IS NOT NULL)::int + (MIN(m2) IS NOT NULL)::int
+            + (MIN(m3) IS NOT NULL)::int AS BIGINT) AS steps_completed,
+       MIN(m3) IS NOT NULL AS completed
+FROM f3 GROUP BY 1, 2
+"""
+
+
 def m12_budget_select(spark, sf_dir):
     """M12 — token-budget corpus selection (operators/sampling.
     budget_select): per source, keep the best quality-per-token
@@ -4620,9 +4672,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     "m12_budget_select": (m12_budget_select, M12_SQL),
     "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
-    # -- driver window, part 1: single-row (r4) entries --
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    # -- driver window, part 1b: new round-3 pipeline operators (6) --
+    "a28_funnel_steps": (a28_funnel_steps, A28_SQL),
+    # -- driver window, part 1b: new round-3 pipeline operators --
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
     "t07_quality_gate": (t07_quality_gate, T07_SQL),
@@ -4653,6 +4704,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),

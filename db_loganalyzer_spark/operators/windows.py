@@ -696,3 +696,53 @@ def trailing_window_agg(
         avg.alias("avg_trailing"),
         F.max(v).over(w).alias("max_trailing"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    partition_by: list[str],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Generalized N-step ordered funnel (a21's two-step form extended):
+    per group (typically a session), the earliest time each step
+    completes given every previous step already has — ``m_i = min ts of
+    step_i with ts STRICTLY after m_{i-1}``. Emits one row per group
+    with each step's completion time, how many steps completed, and
+    whether the full chain did.
+
+    One key shuffle; each step adds a windowed conditional-min stage
+    over the SAME partitioning (no further Exchange), so the cost is
+    O(steps) window passes over session-level partitions — never a
+    self-join per step, which is the usual quadratic funnel query.
+    Strict ``>`` ordering means a later step sharing a timestamp with
+    its predecessor does NOT count (document-level tie policy; a21
+    uses the finer (ts, event_id) order for its two-step form).
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    w = Window.partitionBy(*partition_by)
+    cur = df
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"__m{i - 1}"))
+        cur = cur.withColumn(
+            f"__m{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    step_cols = [
+        F.unix_micros(F.first(f"__m{i}")).alias(f"step{i + 1}_us")
+        for i in range(len(steps))
+    ]
+    out = cur.groupBy(*partition_by).agg(*step_cols)
+    completed_n = None
+    for i in range(len(steps)):
+        x = F.when(F.col(f"step{i + 1}_us").isNotNull(), 1).otherwise(0)
+        completed_n = x if completed_n is None else completed_n + x
+    return out.select(
+        *partition_by,
+        *[f"step{i + 1}_us" for i in range(len(steps))],
+        completed_n.cast("long").alias("steps_completed"),
+        F.col(f"step{len(steps)}_us").isNotNull().alias("completed"),
+    )

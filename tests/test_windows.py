@@ -240,3 +240,41 @@ def test_trailing_window_agg(spark):
     assert out[3] == (3, 40.0, 60.0)
     assert out[4] == (3, 40.0, 60.0)
     assert out[5] == (0, None, None)
+
+
+def test_funnel_steps_ordering(spark):
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.windows import funnel_steps
+
+    def t(s):
+        return dtm.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # session 1: click BEFORE view must not count; the later click does
+        (1, t(1), 1, "click"),
+        (1, t(2), 2, "view"),
+        (1, t(3), 3, "click"),
+        (1, t(4), 4, "purchase"),
+        # session 2: completes steps 1-2 only
+        (2, t(1), 5, "view"),
+        (2, t(2), 6, "click"),
+        # session 3: purchase tied with click: strict > excludes it
+        (3, t(1), 7, "view"),
+        (3, t(2), 8, "click"),
+        (3, t(2), 9, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "sess long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["sess"]: (r["steps_completed"], r["completed"],
+                    r["step2_us"], r["step3_us"])
+        for r in funnel_steps(
+            df, ["view", "click", "purchase"], ["sess"]
+        ).collect()
+    }
+    us = lambda s: int(t(s).timestamp() * 1_000_000)  # noqa: E731
+    assert out[1] == (3, True, us(3), us(4))  # pre-view click skipped
+    assert out[2] == (2, False, us(2), None)
+    assert out[3] == (2, False, us(2), None)  # tie excluded by strict >
