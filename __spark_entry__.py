@@ -4609,133 +4609,16 @@ GROUP BY 1, 2
 """
 
 
-# The driver checks only the FIRST 50 registry entries per round, so the
-# window is curated per round (VERDICT r2 tasks 2-3; VERDICT r4 task 1):
-# round 5 front-loads every entry that has never had a driver row — the
-# 6 round-4 additions plus ALL round-5 additions (w12/pack01/t09/pipe01/
-# st05/j07 and the later j08/j09/t10/a20/st06/a21 + the a22+ family) —
-# then fills the rest with entries whose sole driver row is r4 (a second
-# row proves stability). Displaced past the window this round: the
-# headline reps q01/q03/q05/a05/a10/j03 (bench-timed every round anyway),
-# a06/f01/j06/w01/w08/t01 (green r2+r3+r4), and enough single-row r4
-# entries (m07/mm01/mm02/t04/...) to make room — all pinned by
-# scripts/check_oracle.py + CI.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # -- driver window, part 0: round-4 additions, first driver row (6) --
-    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
-    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
-    "w11_ewma": (w11_ewma, W11_SQL),
-    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
-    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
-    "a19_stats_report_grouping_sets": (
-        a19_stats_report_grouping_sets,
-        A19_SQL,
-    ),
-    # -- driver window, part 0b: round-5 additions, first driver row
-    # (29 entries, w12 through st08 — together with part 0 they fill
-    # window positions 1-35; always recount list(queries())[:50] after
-    # editing this dict) --
-    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
-    "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
-    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
-    "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
-    "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
-    "j07_asof_join": (j07_asof_join, J07_SQL),
-    "j08_interval_join": (j08_interval_join, J08_SQL),
-    "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
-    "t10_length_histogram": (t10_length_histogram, T10_SQL),
-    "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
-    "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
-    "a21_session_funnel": (a21_session_funnel, A21_SQL),
-    "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
-    "w13_gap_fill": (w13_gap_fill, W13_SQL),
-    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
-    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
-    "t12_bm25_search": (t12_bm25_search, T12_SQL),
-    "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
-    "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
-    "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
-    "j10_asof_forward": (j10_asof_forward, J10_SQL),
-    "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
-    "w15_trailing_window": (w15_trailing_window, W15_SQL),
-    "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
-    "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
-    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
-    "m10_group_sample": (m10_group_sample, M10_SQL),
-    "w16_level_shifts": (w16_level_shifts, W16_SQL),
-    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
-    "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
-    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
-    "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
-    "w17_counter_rates": (w17_counter_rates, W17_SQL),
-    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
-    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
-    "m12_budget_select": (m12_budget_select, M12_SQL),
-    "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
-    "a28_funnel_steps": (a28_funnel_steps, A28_SQL),
-    # -- driver window, part 1b: new round-3 pipeline operators --
-    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
-    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
-    "t07_quality_gate": (t07_quality_gate, T07_SQL),
-    "m05_hash_split": (m05_hash_split, M05_SQL),
-    "m06_decontaminate": (m06_decontaminate, M06_SQL),
-    "m08_dedup_components": (m08_dedup_components, M08_SQL),
-    # -- driver window, part 2: r2-red rows, fixed this round (3) --
-    "w05_sessionization": (w05_sessionization, W05_SQL),
-    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
-    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    # -- past the window (position 51+): single-row (r4) entries
-    # displaced by the round-5 additions above (still pinned by
-    # scripts/check_oracle.py + CI) --
-    "t08_corpus_report": (t08_corpus_report, T08_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
-    "t03_language_id": (t03_language_id, T03_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "t02_text_stats": (t02_text_stats, T02_SQL),
-    "f07_field_probe": (f07_field_probe, F07_SQL),
-    "w10_severity_first": (w10_severity_first, W10_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
-    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    "t04_fingerprints": (t04_fingerprints, T04_SQL),
-    # -- past the window: multi-round driver-green, pinned locally --
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
-    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "w01_value_drops": (w01_value_drops, W01_SQL),
-    "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
-    "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
-    "s07_processes": (s07_processes, S07_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
+    # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
+    # ordered by staleness of their latest driver row — brand-new round-6
+    # entries first, then every r2/r3-checked entry (34), then r4-checked
+    # oldest-first, then r5-checked. New entries are inserted at the TOP;
+    # as long as (new + 34) <= 50 the whole stale block stays in-window.
+    # Displaced entries remain pinned by scripts/check_oracle.py + CI.
+    # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
-    "j01_equi_join": (j01_equi_join, J01_SQL),
-    "w02_value_resets": (w02_value_resets, W02_SQL),
-    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),
     "a03_time_span": (a03_time_span, A03_SQL),
     "a04_global_max": (a04_global_max, A04_SQL),
@@ -4745,16 +4628,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a14_summary_stats": (a14_summary_stats, A14_SQL),
     "a16_count": (a16_count, A16_SQL),
     "a17_role_distribution": (a17_role_distribution, A17_SQL),
-    "f02_event_pattern": (f02_event_pattern, F02_SQL),
-    "f03_severity_floor": (f03_severity_floor, F03_SQL),
-    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
-    "f05_interesting_events": (f05_interesting_events, F05_SQL),
-    "f06_event_class": (f06_event_class, F06_SQL),
-    "f08_json_field": (f08_json_field, F08_SQL),
-    "f10_exclusion": (f10_exclusion, F10_SQL),
-    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
-    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
-    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
     "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
     "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
     "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
@@ -4763,6 +4636,119 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    "f02_event_pattern": (f02_event_pattern, F02_SQL),
+    "f03_severity_floor": (f03_severity_floor, F03_SQL),
+    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
+    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    # ---- latest driver row: r3 ----
+    "s07_processes": (s07_processes, S07_SQL),
+    # ---- latest driver row: r4 ----
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
+    "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
+    "t02_text_stats": (t02_text_stats, T02_SQL),
+    "t03_language_id": (t03_language_id, T03_SQL),
+    "t04_fingerprints": (t04_fingerprints, T04_SQL),
+    "t08_corpus_report": (t08_corpus_report, T08_SQL),
+    "w01_value_drops": (w01_value_drops, W01_SQL),
+    "w05_sessionization": (w05_sessionization, W05_SQL),
+    "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
+    "w10_severity_first": (w10_severity_first, W10_SQL),
+    # ---- latest driver row: r5 ----
+    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
+    "a19_stats_report_grouping_sets": (a19_stats_report_grouping_sets, A19_SQL),
+    "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
+    "a21_session_funnel": (a21_session_funnel, A21_SQL),
+    "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
+    "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
+    "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
+    "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
+    "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
+    "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
+    "a28_funnel_steps": (a28_funnel_steps, A28_SQL),
+    "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
+    "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
+    "j07_asof_join": (j07_asof_join, J07_SQL),
+    "j08_interval_join": (j08_interval_join, J08_SQL),
+    "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
+    "j10_asof_forward": (j10_asof_forward, J10_SQL),
+    "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
+    "m05_hash_split": (m05_hash_split, M05_SQL),
+    "m06_decontaminate": (m06_decontaminate, M06_SQL),
+    "m08_dedup_components": (m08_dedup_components, M08_SQL),
+    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
+    "m10_group_sample": (m10_group_sample, M10_SQL),
+    "m12_budget_select": (m12_budget_select, M12_SQL),
+    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
+    "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
+    "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
+    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
+    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
+    "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
+    "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
+    "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
+    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
+    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
+    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
+    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
+    "t07_quality_gate": (t07_quality_gate, T07_SQL),
+    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
+    "t10_length_histogram": (t10_length_histogram, T10_SQL),
+    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
+    "t12_bm25_search": (t12_bm25_search, T12_SQL),
+    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
+    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
+    "w15_trailing_window": (w15_trailing_window, W15_SQL),
+    "w16_level_shifts": (w16_level_shifts, W16_SQL),
+    "w17_counter_rates": (w17_counter_rates, W17_SQL),
 }
 
 

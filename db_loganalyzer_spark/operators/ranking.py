@@ -203,11 +203,17 @@ def bigram_lm_counts(
 
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    # Clamp the slice length at 0: a doc whose normalized text has <2
+    # tokens would otherwise hand F.slice a negative length and kill
+    # the whole job (INVALID_PARAMETER_VALUE.LENGTH). Zero-length
+    # slices zip to an empty array, so empty/1-token docs simply
+    # contribute no pairs — matching the generate_series oracle.
+    npairs = F.greatest(n - 1, F.lit(0))
     pairs = df.select(
         F.explode(
             F.arrays_zip(
-                F.slice(toks, 1, n - 1).alias("w1"),
-                F.slice(toks, 2, n - 1).alias("w2"),
+                F.slice(toks, 1, npairs).alias("w1"),
+                F.slice(toks, 2, npairs).alias("w2"),
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

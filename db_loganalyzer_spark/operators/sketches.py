@@ -62,7 +62,12 @@ def mix32(c: Column | str, salt: int = 0) -> Column:
     non-negative signed-64 values, restatable verbatim in DuckDB SQL.
     """
     col = F.col(c) if isinstance(c, str) else c
-    h = (col.cast("long") + salt) % M32
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # id would sign-extend through the xor/shift stages and diverge
+    # from the Python reference (whose % is always non-negative). Only
+    # the first reduction needs it — every later stage's dividend is
+    # already non-negative.
+    h = F.pmod(col.cast("long") + salt, F.lit(M32))
     h = h.bitwiseXOR(F.shiftright(h, 16))
     h = (h * _MIX_C1) % M32
     h = h.bitwiseXOR(F.shiftright(h, 15))
@@ -79,7 +84,7 @@ def mix32_sql(expr: str, salt: int = 0) -> str:
     for literals and tiny test inputs; table-scale oracles should go
     through :func:`mix32_sql_select`, which stages the mixer through
     nested selects at linear cost."""
-    h = f"((({expr}) + {salt}) % 4294967296)"
+    h = f"(((({expr}) + {salt}) % 4294967296 + 4294967296) % 4294967296)"
     h = f"xor({h}, {h} >> 16)"
     h = f"(({h} * {_MIX_C1}) % 4294967296)"
     h = f"xor({h}, {h} >> 15)"
@@ -105,7 +110,7 @@ def mix32_sql_select(
     cols = ", ".join(passthrough or [])
     pre = f"{cols}, " if cols else ""
     stages = [
-        f"((({expr}) + {salt}) % 4294967296) AS h0",
+        f"(((({expr}) + {salt}) % 4294967296 + 4294967296) % 4294967296) AS h0",
         "xor(h0, h0 >> 16) AS h1",
         f"((h1 * {_MIX_C1}) % 4294967296) AS h2",
         "xor(h2, h2 >> 15) AS h3",
@@ -241,6 +246,16 @@ def histogram_quantiles(
     """
     if not 0 < len(quantiles):
         raise ValueError("need at least one quantile")
+    for q in quantiles:
+        # q = 0 would make target = ceil(0*n) = 0 and the pick filter
+        # unsatisfiable — the quantile silently vanishes from the
+        # output. Reject it (use min() for q=0) rather than emit less
+        # than the caller asked for.
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(
+                f"quantile {q!r} outside (0, 1]; use an explicit "
+                "min() aggregate for q=0"
+            )
     base = df.filter(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     )

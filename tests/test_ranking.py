@@ -71,7 +71,11 @@ def test_bigram_lm_counts(spark):
     from db_loganalyzer_spark.operators.ranking import bigram_lm_counts
 
     df = spark.createDataFrame(
-        [(1, "a b a b"), (2, "a b c"), (3, "x")],  # single token: no pairs
+        # single token: no pairs; empty / punctuation-only texts: zero
+        # tokens, which once drove F.slice's length to -1 and raised
+        # INVALID_PARAMETER_VALUE.LENGTH, killing the whole job — they
+        # must contribute nothing, not crash.
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, ""), (5, "..!!")],
         "doc_id: long, text: string",
     )
     out = {

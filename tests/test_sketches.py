@@ -32,7 +32,13 @@ def _mix32_py(x: int, salt: int = 0) -> int:
 
 
 def test_mix32_matches_python_and_duckdb(spark):
-    ids = list(range(0, 2000, 7)) + [2**31 - 1, 2**40 + 123, 0]
+    # Negative ids included deliberately: Spark/DuckDB % keeps the
+    # dividend's sign, Python's never does — mix32 must use pmod (and
+    # the SQL forms (x % M + M) % M) to stay well-defined on any
+    # integer input, not just the repo's non-negative ids.
+    ids = list(range(0, 2000, 7)) + [
+        2**31 - 1, 2**40 + 123, 0, -1, -17, -(2**33) - 5,
+    ]
     df = spark.createDataFrame([(i,) for i in ids], "id: long")
     got = {
         r["id"]: r["h"]
@@ -105,6 +111,24 @@ def test_histogram_quantiles_accuracy(spark):
     width = 9999.0 / 256
     assert abs(out[0.5] - 5000) <= width
     assert abs(out[0.99] - 9900) <= width
+
+
+def test_histogram_quantiles_rejects_out_of_range_q(spark):
+    # q=0 used to make target = ceil(0*n) = 0 and the pick filter
+    # unsatisfiable — the quantile silently vanished from the output
+    # instead of erroring. The guard must reject q outside (0, 1].
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import histogram_quantiles
+
+    df = spark.range(10).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    for bad in ((0.0, 0.5), (-0.1,), (1.5,)):
+        with pytest.raises(ValueError, match="quantile"):
+            histogram_quantiles(df, "v", ["g"], bad)
+    with pytest.raises(ValueError, match="at least one"):
+        histogram_quantiles(df, "v", ["g"], ())
 
 
 def test_histogram_quantiles_vs_exact_percentile(spark, sf_dir):
