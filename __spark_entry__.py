@@ -977,8 +977,8 @@ def m02_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.12, n=2)
 
 
-# Shared by M02 (pair list) and M08 (connected components over the pairs).
-_M02_CTES = r"""sh AS (
+# Shared by M02/M02C (pair list) and M08/M08C (components over the pairs).
+_M02_SHINGLES = r"""
   SELECT doc_id AS id, unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(words) - 1, 0)),
            i -> array_to_string(words[i:i+1], ' ')))) AS shingle
@@ -987,8 +987,26 @@ _M02_CTES = r"""sh AS (
            list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                        x -> x <> '') AS words
     FROM documents
-  )
-), sizes AS (
+  )"""
+
+
+def _m02_ctes(cap: int | None = None) -> str:
+    """The shingle-index CTE chain, optionally with the stop-shingle
+    cap: shingles in more than ``cap`` documents are dropped from the
+    index BEFORE set sizes are taken, so the capped form is exact
+    Jaccard over the discriminative vocabulary — the same semantics as
+    ``ngram_jaccard_pairs(max_doc_freq=cap)``."""
+    if cap is None:
+        sh = f"sh AS ({_M02_SHINGLES}\n)"
+    else:
+        sh = (
+            f"sh0 AS ({_M02_SHINGLES}\n), hot AS (\n"
+            f"  SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {cap}\n"
+            "), sh AS (\n"
+            "  SELECT id, shingle FROM sh0\n"
+            "  WHERE shingle NOT IN (SELECT shingle FROM hot)\n)"
+        )
+    return sh + r""", sizes AS (
   SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
@@ -1003,8 +1021,30 @@ _M02_CTES = r"""sh AS (
   WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
 )"""
 
+
 M02_SQL = f"""
-WITH {_M02_CTES}
+WITH {_m02_ctes()}
+SELECT id_a, id_b, n_inter, n_a, n_b, jaccard FROM pairs
+"""
+
+
+def m02c_ngram_jaccard_capped(spark, sf_dir):
+    """The shape a 100 TB job should copy: m02's exact shingle-index
+    Jaccard with the stop-shingle cap (``max_doc_freq=200``) applied —
+    a boilerplate shingle shared by d documents expands to d*(d-1)/2
+    join rows on ONE shuffle key, so the uncapped index is quadratic in
+    clone count (measured 184 s vs 11.2 s at sf1 clone-stress,
+    BASELINE.md). Capped results are exact Jaccard over the
+    discriminative vocabulary; the oracle applies the identical HAVING
+    cap to its index."""
+    from db_loganalyzer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_doc_freq=200)
+
+
+M02C_SQL = f"""
+WITH {_m02_ctes(200)}
 SELECT id_a, id_b, n_inter, n_a, n_b, jaccard FROM pairs
 """
 
@@ -1024,8 +1064,7 @@ def m08_dedup_components(spark, sf_dir):
     return dedup_components(pairs).select("id", "component_id")
 
 
-M08_SQL = f"""
-WITH RECURSIVE {_M02_CTES},
+_M08_CLOSURE = """,
 e AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -1037,6 +1076,29 @@ reach AS (
 )
 SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY 1
 """
+
+M08_SQL = f"""
+WITH RECURSIVE {_m02_ctes()}{_M08_CLOSURE}"""
+
+
+def m08c_dedup_components_capped(spark, sf_dir):
+    """m08's connected components over the CAPPED m02c edge list — the
+    registry shape safe to copy into a 100 TB dedup job (uncapped
+    components measured 192 s vs 22 s capped at sf1 clone-stress,
+    BASELINE.md). Same min-label-propagation fixpoint; only the edge
+    generation applies the stop-shingle cap."""
+    from db_loganalyzer_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_doc_freq=200)
+    return dedup_components(pairs).select("id", "component_id")
+
+
+M08C_SQL = f"""
+WITH RECURSIVE {_m02_ctes(200)}{_M08_CLOSURE}"""
 
 
 def t07_quality_gate(spark, sf_dir):
@@ -4617,6 +4679,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # oldest-first, then r5-checked. New entries are inserted at the TOP;
     # as long as (new + 34) <= 50 the whole stale block stays in-window.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
+    # ---- new in r6 (first driver row) ----
+    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
+    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),
