@@ -561,18 +561,26 @@ def rollback_analysis(events: DataFrame) -> dict[str, DataFrame]:
         field_num("CommittedVersion").alias("committed"),
         field_num("DurableVersion").alias("durable"),
     )
+    # allow_global_order: the reference's version scans ARE a single
+    # global order (machine_id=constant special case, see docstring);
+    # the frames here are pre-filtered to version-bearing events. At
+    # cluster scale pass partition_by through the operators instead.
     drops_c = value_drops(versions.filter(F.col("committed").isNotNull()), "committed",
-                          ts_col="ts", tiebreak="event_id")
+                          ts_col="ts", tiebreak="event_id",
+                          allow_global_order=True)
     drops_d = value_drops(versions.filter(F.col("durable").isNotNull()), "durable",
-                          ts_col="ts", tiebreak="event_id")
+                          ts_col="ts", tiebreak="event_id",
+                          allow_global_order=True)
     resets = value_resets(
         versions.filter(F.col("committed").isNotNull()), "committed",
         high=1_000_000, low=1_000_000, ts_col="ts", tiebreak="event_id",
+        allow_global_order=True,
     )
     rv = events.filter(F.col("event") == "RecoveryState").select(
         "event_id", "ts", field_num("RecoveryVersion").alias("rv")
     ).filter(F.col("rv").isNotNull())
-    rv_regr = lag_regressions(rv, "rv", ts_col="ts", tiebreak="event_id")
+    rv_regr = lag_regressions(rv, "rv", ts_col="ts", tiebreak="event_id",
+                              allow_global_order=True)
 
     drops = drops_c.select("event_id", "ts", F.lit("CommittedVersion").alias("column"),
                            "prev_value", F.col("committed").alias("value"), "drop_amount")
@@ -611,7 +619,10 @@ def recovery_episodes(
     from ..operators.windows import session_summary, sessionize
 
     recs = events.filter(F.col("event") == "MasterRecoveryState").select("ts", "event_id")
-    sessions = sessionize(recs, gap_seconds, ts_col="ts", tiebreak="event_id")
+    # MasterRecoveryState is a rare event type: the sessionized frame is
+    # recovery-level, not event-level — a deliberate, bounded global order.
+    sessions = sessionize(recs, gap_seconds, ts_col="ts", tiebreak="event_id",
+                          allow_global_order=True)
     episodes = session_summary(sessions).select(
         F.col("session_id").alias("episode_id"),
         F.timestamp_micros(F.col("start_ts_us")).alias("start_ts"),

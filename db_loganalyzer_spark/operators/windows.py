@@ -15,15 +15,46 @@ rank. Output is bit-identical to the single-partition window.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _w(partition_by: list[str], ts_col: str, tiebreak: str | None):
+class GlobalOrderWarning(UserWarning):
+    """An operator was asked for a whole-frame (no partition key) window:
+    Spark moves every row to ONE task for that window — fine for test-
+    scale or already-bucket-level frames, a scale-killer on raw event
+    volume. Pass ``partition_by`` with a natural stream key, or use the
+    ``*_stitched`` variant for a distributed bit-identical global order.
+    """
+
+
+def _w(
+    partition_by: list[str],
+    ts_col: str,
+    tiebreak: str | None,
+    allow_global: bool = False,
+):
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.orderBy(*order)
-    return w.partitionBy(*partition_by) if partition_by else w
+    if not partition_by and allow_global:
+        return Window.orderBy(*order)
+    if not partition_by:
+        # Loud by design (VERDICT r5 item 5): the silent empty default
+        # was the one remaining way to build a single-partition sort
+        # with this library. The warning names the escape hatches; it
+        # does NOT fire for bucketed calls or the stitched forms.
+        warnings.warn(
+            "window over the whole frame (no partition_by): all rows "
+            "will be sorted in a single task. Use partition_by=[...] "
+            "with a stream key, or the *_stitched variant for a "
+            "distributed global order.",
+            GlobalOrderWarning,
+            stacklevel=3,
+        )
+        return Window.orderBy(*order)
+    return Window.orderBy(*order).partitionBy(*partition_by)
 
 
 def value_drops(
@@ -32,6 +63,7 @@ def value_drops(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W1 — compare each non-null value with the LAST NON-NULL previous
     value (not plain lag — nulls are skipped, matching the reference's
@@ -39,7 +71,7 @@ def value_drops(
 
     reference: global_scanner.py:273-323
     """
-    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     prev = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -62,12 +94,13 @@ def value_resets(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W2 — flag transitions prev > high AND current < low (version reset).
 
     reference: global_scanner.py:325-354
     """
-    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     prev = F.last(F.col(value_col), ignorenulls=True).over(w)
@@ -83,12 +116,13 @@ def lag_regressions(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W3 — plain-lag regression: current < immediately previous value.
 
     reference: global_scanner.py:356-385 (RecoveryVersion regressions)
     """
-    w = _w(partition_by or [], ts_col, tiebreak)
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order)
     prev = F.lag(F.col(value_col)).over(w)
     return (
         df.withColumn("prev_value", prev)
@@ -103,6 +137,7 @@ def sessionize(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W5 — gaps-and-islands sessionization: new session where the gap to
     the previous event exceeds ``gap_seconds``; adds ``session_id``
@@ -111,7 +146,7 @@ def sessionize(
     reference: global_scanner.py:177-219 (recovery episodes, 60s gap).
     Streaming form: ``session_window(ts, gap)`` — see streaming module.
     """
-    w = _w(partition_by or [], ts_col, tiebreak)
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order)
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
@@ -200,13 +235,14 @@ def burst_windows(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W6 — rows i where t[i] - t[i-k+1] <= window (k events within the
     window, sliding over the sorted stream) — the recovery-loop shape.
 
     reference: detectors.py:176-203
     """
-    w = _w(partition_by or [], ts_col, tiebreak)
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order)
     t_prev = F.lag(F.col(ts_col), k - 1).over(w)
     span = F.col(ts_col).cast("double") - F.col("__t_prev").cast("double")
     return (
@@ -223,13 +259,14 @@ def marker_chunks(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W8 — split the ordered stream into chunks that END at each marker
     row (marker belongs to the chunk it closes); adds ``chunk_id``.
 
     reference: tools/chunker.py:18-44
     """
-    w = _w(partition_by or [], ts_col, tiebreak).rowsBetween(
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     marker = F.when(marker_predicate, 1).otherwise(0)
@@ -268,13 +305,14 @@ def first_matching(
     partition_by: list[str] | None = None,
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """W9b — first event satisfying a predicate (per partition): the
     timeline builder's "first severe / first lag>100k / first Recovery".
 
     reference: timeline_builder.py:50-71
     """
-    w = _w(partition_by or [], ts_col, tiebreak)
+    w = _w(partition_by or [], ts_col, tiebreak, allow_global_order)
     return (
         df.filter(predicate)
         .withColumn("__rn", F.row_number().over(w))
@@ -626,6 +664,7 @@ def transition_matrix(
     partition_by: list[str],
     ts_col: str = "ts",
     tiebreak: str | None = "event_id",
+    allow_global_order: bool = False,
 ) -> DataFrame:
     """First-order Markov transition matrix over per-key event
     sequences: for each observed (from_state, to_state) pair of
@@ -639,7 +678,7 @@ def transition_matrix(
     frame. p = n / row_total is one exact-integer double division, so
     the probabilities hash-match across engines unrounded.
     """
-    w = _w(partition_by, ts_col, tiebreak)
+    w = _w(partition_by, ts_col, tiebreak, allow_global_order)
     prev = F.lag(F.col(state_col)).over(w)
     pairs = df.select(
         prev.alias("from_state"), F.col(state_col).alias("to_state")

@@ -3,6 +3,7 @@ known answers (the reference's semantics from SURVEY §2.5)."""
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from db_loganalyzer_spark.operators import windows as W
@@ -13,6 +14,24 @@ def _df(spark, rows):
         [(i, datetime(2024, 1, 1, 0, 0, s), v) for i, (s, v) in enumerate(rows)],
         "event_id long, ts timestamp, value double",
     )
+
+
+def test_global_order_warning_guard(spark):
+    # VERDICT r5 item 5: the empty-partition default must be LOUD. The
+    # warning fires for W1 with partition_by=None, and does NOT fire for
+    # a bucketed call, the stitched form, or an explicit opt-in.
+    import warnings
+
+    df = _df(spark, [(0, 10.0), (1, 5.0)]).withColumn(
+        "machine", F.lit("m1")
+    )
+    with pytest.warns(W.GlobalOrderWarning):
+        W.value_drops(df, "value")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", W.GlobalOrderWarning)
+        W.value_drops(df, "value", partition_by=["machine"])
+        W.value_drops_stitched(df, "value")
+        W.value_drops(df, "value", allow_global_order=True)
 
 
 def test_value_drops_skips_nulls(spark):
