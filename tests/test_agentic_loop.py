@@ -358,3 +358,94 @@ def test_phased_loop_llm_budget(scenario):
     res = agent.investigate(scenario, "q")
     assert calls["n"] <= 2  # budget respected even with 8 iterations
     assert res.iterations == 8
+
+
+# ---------------------------------------------------------------------------
+# End-to-end on the reference's own sample data (VERDICT r5 item 8): no
+# synthetic fixtures — the reference JSONL + simulation XML are ingested,
+# the derived tables feed the detectors, and the phased loop runs over
+# them with a scripted LLM. Every evidence assertion below is a fact of
+# the files themselves (4 MasterRecoveryState events with StatusCodes
+# 0/1/3/5 within 4 ms; max VersionLag 51464 — under the 100k spike bar).
+# ---------------------------------------------------------------------------
+
+REF_JSON = "/root/reference/data/sample_log.json"
+REF_XML_DIR = "/root/reference/data/log_example/simlogs"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_JSON)
+    or not __import__("os").path.isdir(REF_XML_DIR),
+    reason="reference not present",
+)
+def test_reference_sample_end_to_end(spark, tmp_path):
+    import glob
+    import os
+
+    from db_loganalyzer_spark.agentic.investigation import extract_metrics
+    from db_loganalyzer_spark.detectors import detectors as D
+    from db_loganalyzer_spark.sources import trace_logs as TL
+    from pyspark.sql import functions as F
+
+    paths = [REF_JSON] + sorted(glob.glob(os.path.join(REF_XML_DIR, "*.xml")))
+    tables = TL.ingest(spark, paths)
+    events = tables["events"]
+    assert events.count() > 700  # 489 JSONL rows + 319 XML events
+
+    # D11 on the real XML recovery sequence: exactly the four states the
+    # file carries, decoded through RECOVERY_STATES.
+    recs = D.detect_recoveries(events)["recoveries"]
+    states = {r["state_name"] for r in recs.collect()}
+    assert states == {
+        "reading_coordinated_state",
+        "locking_coordinated_state",
+        "reading_transaction_system_state",
+        "configuration_never_created",
+    }
+
+    # D10: the four recoveries land within 4 ms -> ONE episode of 4.
+    eps = D.recovery_episodes(events)["episodes"].collect()
+    assert len(eps) == 1 and eps[0]["n_recoveries"] == 4
+
+    # L2 metric extraction against the JSONL's actual lag values: the
+    # sample's max VersionLag is 51464, so the >100k spike list is empty
+    # while the lag metric itself IS present in the event stream.
+    m = extract_metrics(events)
+    assert m["version_lag_spikes"].count() == 0
+    assert (
+        events.filter(
+            F.element_at("fields", F.lit("VersionLag")).isNotNull()
+        ).count()
+        > 20
+    )
+
+    # The full phased loop over the combined reference stream with a
+    # scripted LLM: phase A runs this engine's scanners over the real
+    # tables, the recovery evidence flows into the loop, and the stop
+    # condition fires on the scripted confidence.
+    def llm(prompt):
+        return json.dumps(
+            {
+                "hypothesis": "CLUSTER 2: recovery sequence observed",
+                "confidence": 0.85,
+                "reasoning": "four-state recovery progression in trace",
+            }
+        )
+
+    agent = PhasedInvestigationAgent(
+        llm,
+        max_iterations=5,
+        max_llm_calls=2,
+        confidence_threshold=0.8,
+        io_log_dir=str(tmp_path),
+        now=lambda: dt.datetime(2024, 1, 15, 12, 0, 0, tzinfo=dt.timezone.utc),
+        sleep=lambda _: None,
+    )
+    res = agent.investigate(events, "what happened in this trace?")
+    assert res.tools_used[:2] == ["scanner.top_events", "scanner.severity_counts"]
+    assert "scanner.recovery_episodes" in res.tools_used
+    assert res.confidence >= 0.8
+    assert res.hypothesis.startswith("CLUSTER 2")
+    # L8: the call was logged to disk
+    logged = sorted(p.name for p in tmp_path.iterdir())
+    assert any(n.startswith("llm_input") for n in logged)
