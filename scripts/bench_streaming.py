@@ -1,0 +1,154 @@
+"""Streaming wall-clock evidence (VERDICT r5 item 6): sustained
+micro-batch throughput and state size for the stateful streaming
+operators, measured from StreamingQueryProgress — not from the
+availableNow correctness drains.
+
+Usage: python scripts/bench_streaming.py [SF_DIR] [N_SLICES]
+
+Method: the source table is re-landed as N_SLICES time-ordered parquet
+files (the landing-directory model the file source is documented for);
+each query streams them with ``maxFilesPerTrigger=1`` so every slice is
+one micro-batch. Reported per query, all from the progress events:
+  - rows_per_sec_sustained: total input rows / total micro-batch
+    processing time (excludes the idle gaps between triggers)
+  - rows_per_sec_wall: total input rows / wall-clock of the whole drain
+  - batch_ms_p50/p95: micro-batch durations
+  - state_rows / state_mb: final stateOperators totals (the per-key
+    state story: HLL keeps <= 2^p register rows per open window,
+    gap-fill keeps 2 scalars per key)
+Prints ONE JSON line per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from db_loganalyzer_spark.session import get_spark
+from db_loganalyzer_spark.streaming import streams as ST
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+N_SLICES = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+
+def land_slices(spark, table: str, workdir: str) -> tuple[str, int]:
+    """Write the table as N_SLICES ts-ordered parquet files, one per
+    time range, landed sequentially (increasing mtime) so the file
+    source discovers them in stream order."""
+    from db_loganalyzer_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_DIR, table).orderBy("ts", "event_id")
+    n = df.count()
+    land = os.path.join(workdir, table)
+    os.makedirs(land, exist_ok=True)
+    sliced = df.repartitionByRange(N_SLICES, "ts", "event_id")
+    tmp = os.path.join(workdir, f"__{table}_parts")
+    sliced.write.mode("overwrite").parquet(tmp)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        shutil.move(
+            os.path.join(tmp, f), os.path.join(land, f"{table}-{i:05d}.parquet")
+        )
+        os.utime(os.path.join(land, f"{table}-{i:05d}.parquet"), None)
+    return land, n
+
+
+def stream_from(spark, land_dir: str, template_df):
+    reader = (
+        spark.readStream.schema(template_df.schema)
+        .option("maxFilesPerTrigger", 1)
+    )
+    return reader.parquet(land_dir)
+
+
+def drain_with_progress(df, name: str, workdir: str, n_rows: int) -> dict:
+    q = (
+        df.writeStream.format("noop")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt", name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    q.awaitTermination()
+    wall = time.time() - t0
+    prog = [
+        p if isinstance(p, dict) else json.loads(p.json)
+        for p in q.recentProgress
+    ]
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    durs = sorted(p["batchDuration"] for p in batches)
+    proc_ms = sum(durs)
+    state_rows = state_mb = 0
+    for p in reversed(prog):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = sum(o.get("numRowsTotal", 0) for o in ops)
+            state_mb = sum(o.get("memoryUsedBytes", 0) for o in ops) / 1e6
+            break
+    return {
+        "query": name,
+        "input_rows": n_rows,
+        "micro_batches": len(batches),
+        "rows_per_sec_sustained": round(n_rows / (proc_ms / 1000.0), 1)
+        if proc_ms
+        else None,
+        "rows_per_sec_wall": round(n_rows / wall, 1),
+        "batch_ms_p50": durs[len(durs) // 2] if durs else None,
+        "batch_ms_p95": durs[int(len(durs) * 0.95)] if durs else None,
+        "state_rows": state_rows,
+        "state_mb": round(state_mb, 2),
+        "sf_dir": SF_DIR,
+    }
+
+
+def main():
+    spark = get_spark("bench-streaming")
+    # State-store partition count = shuffle partitions, FIXED at the
+    # first checkpoint. Every micro-batch pays per-partition overhead
+    # (store open/commit + one python worker per partition), so at
+    # local[32] fewer/fatter state partitions win; a cluster deployment
+    # sizes this to executors, not to micro-batch row counts.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        from db_loganalyzer_spark.sources.tables import load_table
+
+        land, n = land_slices(spark, "events", workdir)
+        template = load_table(spark, SF_DIR, "events")
+
+        # st07: windowed HLL registers — state is (window, bucket) maxes
+        hll = ST.streaming_hll_registers(
+            stream_from(spark, land, template),
+            window_seconds=3600,
+            key_col="user_id",
+            p=12,
+        )
+        print(json.dumps(drain_with_progress(hll, "st07_hll", workdir, n)))
+
+        # st09: per-key LOCF gap-fill — state is 2 scalars per key
+        gap = ST.streaming_gap_fill(
+            stream_from(spark, land, template), bucket_seconds=300
+        )
+        print(json.dumps(drain_with_progress(gap, "st09_gap_fill", workdir, n)))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
