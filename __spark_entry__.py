@@ -1101,6 +1101,213 @@ M08C_SQL = f"""
 WITH RECURSIVE {_m02_ctes(200)}{_M08_CLOSURE}"""
 
 
+def t14_shingle_containment(spark, sf_dir):
+    """T14 — directional shingle containment (quote/excerpt detection):
+    C(src->dst) = |S(src) ∩ S(dst)| / |S(src)|. The asymmetric signal
+    Jaccard misses — a paragraph quoted inside a long doc is ~0 Jaccard
+    but ~1.0 containment — and the document-level check snippet
+    decontamination needs. Same capped inverted-index plan family as
+    m02c (stop-shingle cap 200 on by default: containment amplifies
+    boilerplate blowup, a stop-shingle-only doc is 'contained' in
+    everything)."""
+    from db_loganalyzer_spark.operators.dedup import shingle_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        docs, threshold=0.4, n=2, max_doc_freq=200
+    )
+
+
+T14_SQL = f"""
+WITH sh0 AS ({_M02_SHINGLES}
+), hot AS (
+  SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > 200
+), sh AS (
+  SELECT id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+), pairboth AS (
+  SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+SELECT src_id, dst_id, n_inter, n_src, containment FROM (
+  SELECT id_a AS src_id, id_b AS dst_id, n_inter, n_a AS n_src,
+         n_inter / n_a AS containment
+  FROM pairboth
+  UNION ALL
+  SELECT id_b, id_a, n_inter, n_b, n_inter / n_b FROM pairboth
+) WHERE containment >= 0.4
+"""
+
+
+def a29_grouped_hll(spark, sf_dir):
+    """A29 — per-group HLL distinct (sketches.hll_estimate_grouped):
+    the scale form of GROUP BY event_type, COUNT(DISTINCT user_id).
+    The exact form shuffles every distinct (group, key) pair; this
+    shuffles <= 4096 register rows per group per map partition and
+    finishes with the same verified-estimate math as a22 — estimate
+    AND per-group exact + relative error all hash-matched."""
+    from db_loganalyzer_spark.operators.sketches import hll_estimate_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate_grouped(ev, "user_id", ["event_type"], p=12)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "m",
+        "nonzero_registers",
+        "scaled_sum",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            (F.col("estimate") / F.col("exact_distinct") - 1) * 100, 4
+        ).alias("rel_err_pct"),
+    )
+
+
+A29_SQL = f"""
+WITH h AS (
+  SELECT event_type, h
+  FROM {_mix32_sql_select('user_id',
+        '(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL)',
+        passthrough=['event_type'])} x
+), pr AS (
+  SELECT event_type,
+         CAST(h % 4096 AS INT) AS bucket,
+         CAST((h - h % 4096) / 4096 AS BIGINT) AS v
+  FROM h
+), regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN v = 0 THEN 21 ELSE 20 - length(bin(v)) + 1 END) AS rho
+  FROM pr GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT) AS s_nonzero,
+         CAST(COUNT(*) AS BIGINT) AS nz
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, nz,
+         s_nonzero + (4096 - nz) * 2097152 AS s,
+         4096 - nz AS zeros
+  FROM agg
+), fin AS (
+  SELECT event_type, nz, s,
+         ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                         AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                    ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+               6) AS estimate
+  FROM est
+)
+SELECT f.event_type,
+       CAST(4096 AS BIGINT) AS m,
+       f.nz AS nonzero_registers,
+       f.s AS scaled_sum,
+       f.estimate,
+       x.exact_distinct,
+       ROUND((f.estimate / x.exact_distinct - 1) * 100, 4) AS rel_err_pct
+FROM fin f
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1) x USING (event_type)
+"""
+
+
+def a30_countmin_freqs(spark, sf_dir):
+    """A30 — count-min sketch point-frequency estimates for every
+    event_type, next to the exact counts they over-approximate. The
+    sketch is depth=4 x width=1024 counters (one bounded partial-agg
+    shuffle — map-side output <= 4096 rows per partition whatever the
+    volume), the heavy-hitter screen that replaces a full per-key
+    groupBy at 100 TB. The depth hashes are the lowbias32 mixer at
+    salts d*10007+1 over a portable polynomial string hash, so every
+    counter — and therefore the ESTIMATE itself — hash-matches the
+    DuckDB restatement: a verified approximation, like a22/a24."""
+    from db_loganalyzer_spark.operators.sketches import countmin_estimates
+    from db_loganalyzer_spark.operators.textstats import _token_hash
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            _token_hash(F.col("event_type"), 1_000_000_007).alias("kh"),
+        )
+    )
+    keys = ev.groupBy("event_type", "kh").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = countmin_estimates(ev, keys, "kh", depth=4, width=1024)
+    return est.select(
+        "event_type",
+        "exact_n",
+        "est",
+        F.round((F.col("est") / F.col("exact_n") - 1) * 100, 4).alias(
+            "overestimate_pct"
+        ),
+    )
+
+
+_A30_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(event_type, ''), "
+    "ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+_A30_BASE = (
+    "(SELECT event_type, "
+    + _A30_CHARFOLD
+    + " AS kh FROM events WHERE event_type IS NOT NULL)"
+)
+
+
+def _a30_bucket_select(d: int, src: str) -> str:
+    """Depth-d bucket assignment via the staged mixer (salt d*10007+1)."""
+    return _mix32_sql_select(
+        "kh", src, passthrough=["event_type"], salt=d * 10007 + 1
+    )
+
+
+A30_SQL = f"""
+WITH sk AS (
+  {" UNION ALL ".join(
+    f'''SELECT {d} AS d, CAST(h % 1024 AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {_a30_bucket_select(d, _A30_BASE)} s{d} GROUP BY 1, 2'''
+    for d in range(4)
+  )}
+), probe_base AS (
+  SELECT DISTINCT event_type, kh FROM {_A30_BASE} pb
+), probe AS (
+  {" UNION ALL ".join(
+    f'''SELECT event_type, {d} AS d, CAST(h % 1024 AS INT) AS bucket
+        FROM {_a30_bucket_select(d, "(SELECT * FROM probe_base)")} p{d}'''
+    for d in range(4)
+  )}
+), est AS (
+  SELECT p.event_type, MIN(sk.cnt) AS est
+  FROM probe p JOIN sk USING (d, bucket)
+  GROUP BY 1
+)
+SELECT e.event_type, x.exact_n, e.est,
+       ROUND((CAST(e.est AS DOUBLE) / x.exact_n - 1) * 100, 4) AS overestimate_pct
+FROM est e
+JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1) x USING (event_type)
+"""
+
+
 def t07_quality_gate(spark, sf_dir):
     """Composite keep/drop quality gate (length bounds + Gopher
     repetition rules) with failing rules as a sorted joined string."""
@@ -4682,6 +4889,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- new in r6 (first driver row) ----
     "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
     "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
+    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
+    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
+    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -238,6 +238,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = 200,
+) -> DataFrame:
+    """Directional shingle containment C(src->dst) = |S(src) ∩ S(dst)|
+    / |S(src)| — the asymmetric companion to :func:`ngram_jaccard_pairs`.
+    Jaccard misses subset relationships (a paragraph quoted inside a
+    long document scores near 0 Jaccard but 1.0 containment), which is
+    the signal quote/excerpt detection and snippet-level decontamination
+    need. Same inverted-index shape as m02 — one self-join on shingle,
+    co-occurrence counts, then BOTH directions of each unordered pair
+    are scored by the smaller side's size. ``max_doc_freq`` defaults ON
+    (200): containment amplifies the boilerplate-shingle blowup because
+    a tiny doc made of stop-shingles is "contained" in everything.
+    """
+    df = _spread(df)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        "n_inter",
+        F.col("n_a").alias("n_src"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        "n_inter",
+        F.col("n_b").alias("n_src"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,

@@ -224,6 +224,107 @@ def hll_estimate(
     return hll_finish(hll_registers(df, key_col, p, salt), p)
 
 
+def hll_estimate_grouped(
+    df: DataFrame,
+    key_col: str,
+    group_by: list[str],
+    p: int = 12,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group HLL distinct estimate — the scale form of
+    ``GROUP BY g, COUNT(DISTINCT k)``, which shuffles every distinct
+    (g, k) pair; this shuffles <= m register rows per group per map
+    partition (map-side max combine), then finishes each group's <= m
+    rows with the shared :func:`hll_finish` math."""
+    pair = hll_rank(key_col, p, salt)
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            *group_by,
+            pair.getField("bucket").alias("bucket"),
+            pair.getField("rho").alias("rho"),
+        )
+        .groupBy(*group_by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_finish(regs, p, group_by)
+
+
+def countmin_sketch(
+    df: DataFrame, hash_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch build: ``(d, bucket, cnt)`` counters, at most
+    ``depth * width`` rows whatever the input size. ``hash_col`` is an
+    integer column (hash strings first — e.g. textstats._token_hash);
+    row d uses the lowbias32 mixer with salt d*10007+1, so the depth
+    hash functions are avalanche-independent yet restatable in SQL.
+
+    Scale: the ONE shuffle is a partial agg whose map-side output is
+    bounded by depth*width counters per partition — the fixed-size
+    frequency summary that replaces a full per-key groupBy when only
+    heavy-hitter screening is needed. Estimates are deterministic
+    (structure + data, no RNG), so they hash-match a SQL restatement:
+    a verified approximation, same doctrine as the HLL entry.
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (mix32(F.col(hash_col), salt=d * 10007 + 1) % width)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        rows.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    keys: DataFrame,
+    hash_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates ``est = min over d of sketch[d][h_d(k)]``
+    for each probe row in ``keys`` (same ``hash_col`` convention). The
+    probe side explodes to its depth buckets, equi-joins the (tiny,
+    broadcastable) sketch, and takes one min per key — the sketch is
+    built once however many keys are probed. Overestimates only, by
+    the classic eps = e/width bound per row of depth."""
+    sketch = countmin_sketch(df, hash_col, depth, width)
+    probe = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (mix32(F.col(hash_col), salt=d * 10007 + 1) % width)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("*", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    key_cols = [c for c in keys.columns]
+    return (
+        probe.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(*key_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,80 @@
+"""Full-registry breadth timing (VERDICT r5 item 4): run EVERY
+queries() entry at a given SF dir and record wall seconds per entry as
+JSONL (streamed, so partial progress survives a kill).
+
+Usage: python scripts/bench_registry.py SF_DIR OUT.jsonl [--skip a,b,c]
+
+Timing covers building the DataFrame (for streaming entries the
+availableNow drain happens here) plus a noop-sink write of the result —
+the full distributed plan, no driver materialization. This is a
+breadth/regression sweep, not the headline bench: cold plans, no table
+cache, session.py defaults (AQE on, shuffle partitions = cores).
+
+Known-quadratic entries are skipped BY DEFAULT at replica-scaled SFs
+(pass --skip "" to force): the scale dirs are built by
+make_scale_data.py as N verbatim replicas of sf0.1, so every document
+has N-1 exact clones — the uncapped m02/m08 shingle index is quadratic
+in clone count BY DESIGN (their capped twins m02c/m08c are the shapes
+meant for this regime and do run here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from db_loganalyzer_spark.session import get_spark
+
+DEFAULT_SKIP = {"m02_ngram_jaccard", "m08_dedup_components"}
+
+
+def main():
+    sf_dir = sys.argv[1]
+    out_path = sys.argv[2]
+    skip = DEFAULT_SKIP
+    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+        skip = {s for s in sys.argv[4].split(",") if s}
+
+    spark = get_spark("bench-registry")
+    qs = entry_mod.queries()
+    with open(out_path, "w") as out:
+        for name, fn in qs.items():
+            if name in skip:
+                out.write(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "skipped": "uncapped quadratic under replica clones;"
+                            " capped twin runs instead",
+                        }
+                    )
+                    + "\n"
+                )
+                out.flush()
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                rec = {
+                    "query": name,
+                    "sec": round(time.time() - t0, 2),
+                }
+            except Exception as e:  # record and keep sweeping
+                rec = {
+                    "query": name,
+                    "sec": round(time.time() - t0, 2),
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ DOMAIN_OWNER = {
 
 def main() -> None:
     src, dst, replicas = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    vary = len(sys.argv) > 4 and sys.argv[4] == "--vary"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -91,6 +92,36 @@ def main() -> None:
         repl = ", ".join(
             f"{k} + r.i * {offs[DOMAINS[k]]} AS {k}" for k in keys
         )
+        # --vary: de-clone the content columns. Verbatim replication
+        # makes EVERY document an N-clone, so shingle/LSH dedup work
+        # grows quadratically in N — useful as a deliberate clone-stress
+        # mode (the BASELINE.md sf1 clone tables), but wrong for a
+        # breadth sweep: real corpora are exact-deduped before these
+        # operators run. Varied mode deterministically permutes each
+        # replica's words (token multiset preserved — text stats stay
+        # comparable; shingle sets diverge) and circularly shifts each
+        # replica's embedding (norm/distribution preserved; cosine
+        # neighborhoods diverge).
+        if vary and tab == "documents":
+            # Position goes into the shuffle key so repeated words don't
+            # clump; replica 0 keeps the original corpus verbatim so the
+            # organic near-dup structure survives as a subset.
+            words = "list_filter(string_split(text, ' '), x -> x <> '')"
+            repl += (
+                ", CASE WHEN r.i = 0 THEN text ELSE "
+                "array_to_string(list_transform(list_sort("
+                f"list_transform(generate_series(1, len({words})), j -> "
+                f"struct_pack(h := hash(({words})[j] || '|' || CAST(j AS VARCHAR)"
+                " || '|' || CAST(r.i AS VARCHAR)"
+                " || '|' || CAST(doc_id AS VARCHAR)), "
+                f"w := ({words})[j]))), s -> s.w), ' ') END AS text"
+            )
+        if vary and tab == "embeddings":
+            repl += (
+                ", CASE WHEN r.i = 0 THEN embedding ELSE list_concat("
+                "embedding[(r.i % len(embedding)) + 1:],"
+                " embedding[1:(r.i % len(embedding))]) END AS embedding"
+            )
         con.execute(
             f"COPY (SELECT * REPLACE ({repl}) "
             f"FROM read_parquet('{src}/{tab}.parquet') "

@@ -203,3 +203,58 @@ def test_mix32_sql_select_matches_inline_form():
         ).fetchall()
     )
     assert staged == {i: _mix32_py(i) for i in ids}
+
+
+def test_hll_estimate_grouped_within_bound(spark):
+    # two groups with known distinct counts; m=4096 -> se ~1.6%, allow 5x
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import hll_estimate_grouped
+
+    df = spark.range(30000).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+        (F.col("id") % 7000).alias("k"),  # group a sees ~3334, b sees 7000
+    )
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    est = {
+        r["g"]: r["estimate"]
+        for r in hll_estimate_grouped(df, "k", ["g"], p=12).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.08, (g, est[g], n)
+
+
+def test_countmin_never_underestimates_and_is_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+
+    # zipf-ish: key k appears k times, keys 1..60 -> 1830 rows
+    df = spark.range(1, 61).select(
+        F.explode(F.sequence(F.lit(1), F.col("id"))).alias("_"),
+        F.col("id").alias("kh"),
+    ).select("kh")
+    sketch = countmin_sketch(df, "kh", depth=4, width=1024)
+    assert sketch.count() <= 4 * 1024
+    # every counter sums the rows that hashed there: total mass per row d
+    per_d = {r["d"]: r["s"] for r in sketch.groupBy("d").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert set(per_d.values()) == {1830}
+
+    keys = df.groupBy("kh").agg(F.count(F.lit(1)).alias("true_n"))
+    est = {
+        r["kh"]: (r["est"], r["true_n"])
+        for r in countmin_estimates(df, keys, "kh", depth=4, width=1024)
+        .join(keys, "kh")
+        .collect()
+    }
+    assert len(est) == 60
+    for k, (e, t) in est.items():
+        assert e >= t, (k, e, t)  # count-min never underestimates
+        assert e - t <= 1830 * 0.02  # way inside the e/width mass bound
