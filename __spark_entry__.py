@@ -1101,6 +1101,49 @@ M08C_SQL = f"""
 WITH RECURSIVE {_m02_ctes(200)}{_M08_CLOSURE}"""
 
 
+def d14_cusum_drift(spark, sf_dir):
+    """D14 — per-key CUSUM drift scores (detectors.cusum_drift): the
+    sequential small-but-sustained shift detector, via the prefix-min
+    closed form (two stacked window passes, ONE key shuffle, no
+    iteration). Deviations are exact BIGINT micro-units against the
+    key's discrete median (an order statistic — engine-identical), so
+    every running sum is integer and the score is one exact-integer
+    division: hash-matched unrounded."""
+    from db_loganalyzer_spark.detectors.detectors import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(ev, "value", ["user_id"], threshold=1000.0)
+
+
+D14_SQL = r"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vus
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), ranked AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vus, event_id) AS rn
+  FROM base
+), med AS (
+  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN vus END)
+              OVER (PARTITION BY user_id) AS medus
+  FROM ranked
+), c AS (
+  SELECT *, SUM(vus - medus) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM med
+), s AS (
+  SELECT *, cc - LEAST(0, MIN(cc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
+  FROM c
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+       CAST(ss AS DOUBLE) / 1000000.0 AS cusum,
+       (CAST(ss AS DOUBLE) / 1000000.0) > 1000.0 AS is_drift
+FROM s
+"""
+
+
 def t14_shingle_containment(spark, sf_dir):
     """T14 — directional shingle containment (quote/excerpt detection):
     C(src->dst) = |S(src) ∩ S(dst)| / |S(src)|. The asymmetric signal
@@ -2138,31 +2181,43 @@ def _log_events(spark, sf_dir):
         .when(k4 == 2, "Manual recovery triggered")
         .otherwise("routine coverage probe")
     )
-    fields = (
-        F.when(m == 0, F.create_map(
+    # One 8-branch CASE whose branches are map literals generates a
+    # single >64 KB Janino method — codegen FAILS and the whole stage
+    # silently falls back to interpreted eval (seen as "Code grows
+    # beyond 64 KB" in round-6 sweep logs; this projection feeds every
+    # detector entry). map_concat of per-branch maps is semantically
+    # identical (exactly one branch is non-empty per row) but each
+    # argument is an independent subtree Spark's codegen splits into
+    # its own method, so the stage stays compiled.
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    branch = lambda cond, mp: F.when(cond, mp).otherwise(empty_map)  # noqa: E731
+    fields = F.map_concat(
+        branch(m == 0, F.create_map(
             F.lit("VersionLag"), istr(F.col("value") * 1000),
             F.lit("BytesInput"), istr(F.col("value") * 100),
             F.lit("CommittedVersion"), ((F.col("event_id") % 100) * 100000).cast("string"),
             F.lit("DurableVersion"), ((F.col("event_id") % 150) * 80000).cast("string"),
-        ))
-        .when(m == 1, F.create_map(F.lit("StatusCode"), (F.col("k_val") % 15).cast("string")))
-        .when(m == 2, F.create_map(
+        )),
+        branch(m == 1, F.create_map(F.lit("StatusCode"), (F.col("k_val") % 15).cast("string"))),
+        branch(m == 2, F.create_map(
             F.lit("ReleasedTPS"), istr(F.col("value") * 100),
             F.lit("Reason"), F.lit("queue saturated"),
-        ))
-        .when(m == 3, F.create_map(F.lit("LogId"), F.col("k_val").cast("string")))
-        .when(m == 4, F.create_map(
+        )),
+        branch(m == 3, F.create_map(F.lit("LogId"), F.col("k_val").cast("string"))),
+        branch(m == 4, F.create_map(
             F.lit("Reason"),
             F.when(F.col("k_val") % 2 == 0, "connection lost").otherwise("heartbeat timeout"),
-        ))
-        .when(m == 5, F.create_map(F.lit("Comment"), comment))
-        .when(m == 6, F.create_map(F.lit("RecoveryVersion"), istr(F.col("value") * 1000000)))
-        .when(m == 7, F.create_map(
+        )),
+        branch(m == 5, F.create_map(F.lit("Comment"), comment)),
+        branch(m == 6, F.create_map(F.lit("RecoveryVersion"), istr(F.col("value") * 1000000))),
+        branch(m == 7, F.create_map(
             F.lit("Max"), (F.col("severity") % 5).cast("string"),
             F.lit("P99"), (F.col("severity") % 3).cast("string"),
             F.lit("QueryQueue"), istr(F.col("value") * 3),
-        ))
-        .otherwise(F.create_map(F.lit("Elapsed"), istr(F.col("value") * 10)))
+        )),
+        branch(m >= 8, F.create_map(F.lit("Elapsed"), istr(F.col("value") * 10))),
     )
     return ev.select(
         "event_id", "ts", "severity", "value", "k_val",
@@ -4892,6 +4947,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
     "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
     "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
+    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -926,3 +926,87 @@ def lag_correlation(
         F.col("n").alias("n_pairs"),
         F.when(den > 0, num / den).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D14 CUSUM drift
+# ---------------------------------------------------------------------------
+
+
+def cusum_drift(
+    events: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    threshold: float,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    k: float = 0.0,
+) -> DataFrame:
+    """D14 — per-key CUSUM change-point score: the classic sequential
+    drift detector ``s_t = max(0, s_{t-1} + (x_t - ref - k))``, which a
+    z-score-on-buckets detector (d06/d08) misses when the shift is small
+    but sustained. Uses the prefix-min closed form
+    ``s_t = C_t - min(0, min_{j<=t} C_j)`` (C = running sum of
+    deviations), so the recursion becomes two stacked window passes over
+    ONE key shuffle — no iteration, no UDF.
+
+    Determinism discipline: deviations are exact BIGINT micro-units
+    against the key's discrete MEDIAN (the ((n+1)/2)-th smallest value —
+    an order statistic, engine-identical, and it keeps every running
+    sum integer where a mean would reintroduce float accumulation whose
+    grouping differs between Spark's incremental WindowExec and
+    DuckDB's segment trees). The final score is one division of exact
+    integers. Bound: |C_t| <= n * (|v|*1e6 + |k|*1e6) — safe in
+    signed-64 for millions of rows per key at metric-sized values.
+
+    ``k`` is the standard slack per observation (drift allowance);
+    ``threshold`` flags ``cusum > threshold``.
+    """
+    k_us = int(round(k * 1_000_000))
+    wk = Window.partitionBy(*partition_by)
+    order = [F.col(ts_col), F.col(tiebreak)]
+    wo = Window.partitionBy(*partition_by).orderBy(*order)
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    base = events.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(
+        *partition_by,
+        F.col(tiebreak),
+        F.col(ts_col),
+        F.col(value_col).alias("value"),
+        F.floor(F.col(value_col) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("__vus"),
+    )
+    ranked = base.withColumn("__n", F.count(F.lit(1)).over(wk)).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*partition_by).orderBy("__vus", tiebreak)
+        ),
+    )
+    with_med = ranked.withColumn(
+        "__med",
+        F.max(
+            F.when(
+                # integer floor-div: (n+1)/2 in Spark is DOUBLE division
+                F.col("__rn") == F.floor((F.col("__n") + 1) / 2),
+                F.col("__vus"),
+            ).otherwise(F.lit(None))
+        ).over(wk),
+    )
+    dev = F.col("__vus") - F.col("__med") - F.lit(k_us)
+    with_c = with_med.withColumn("__c", F.sum(dev).over(run))
+    with_s = with_c.withColumn(
+        "__s", F.col("__c") - F.least(F.lit(0), F.min("__c").over(run))
+    )
+    return with_s.select(
+        *partition_by,
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(tiebreak),
+        "value",
+        (F.col("__s").cast("double") / 1_000_000.0).alias("cusum"),
+        (
+            (F.col("__s").cast("double") / 1_000_000.0) > threshold
+        ).alias("is_drift"),
+    )

@@ -276,3 +276,51 @@ def test_lag_correlation_finds_planted_lead(spark):
     best = max((v, k) for k, v in out.items() if v is not None)
     assert best[1] == 120  # +2 buckets of 60s
     assert best[0] > 0.95
+
+
+def test_cusum_drift_matches_sequential_reference(spark):
+    """The prefix-min closed form must equal the textbook recursion
+    s_t = max(0, s_{t-1} + (x_t - median)) computed sequentially, and
+    flag a planted sustained shift while leaving balanced noise alone."""
+    import datetime as dt
+
+    from db_loganalyzer_spark.detectors.detectors import cusum_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key "a": balanced noise around 10; key "b": +5 shift over the last
+    # 3 points (a MINORITY of the series — the median reference assumes
+    # drift affects < half the points, else it IS the new baseline)
+    vals_a = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0, 9.0, 10.0]
+    vals_b = [10.0, 10.5, 9.5, 10.0, 10.2, 9.8, 10.1, 15.8, 15.1, 15.4]
+    rows = []
+    eid = 0
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        for i, v in enumerate(vals):
+            rows.append((key, eid, t0 + dt.timedelta(seconds=i), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["user_id"], r["event_id"]): (r["cusum"], r["is_drift"])
+        for r in cusum_drift(
+            df, "value", ["user_id"], threshold=8.0
+        ).collect()
+    }
+
+    def reference(vals, eids):
+        med_us = sorted(int(v * 1e6) for v in vals)[(len(vals) + 1) // 2 - 1]
+        s, exp = 0, {}
+        for v, e in zip(vals, eids):
+            s = max(0, s + int(v * 1e6) - med_us)
+            exp[e] = s / 1e6
+        return exp
+
+    exp_a = reference(vals_a, range(0, 10))
+    exp_b = reference(vals_b, range(10, 20))
+    for e, want in {**exp_a, **exp_b}.items():
+        key = "a" if e < 10 else "b"
+        assert out[(key, e)][0] == want, (e, out[(key, e)][0], want)
+    # the sustained +5 shift accumulates past threshold; noise never does
+    assert any(flag for (k, _), (_, flag) in out.items() if k == "b")
+    assert not any(flag for (k, _), (_, flag) in out.items() if k == "a")
