@@ -1115,7 +1115,7 @@ def d14_cusum_drift(spark, sf_dir):
     return cusum_drift(ev, "value", ["user_id"], threshold=1000.0)
 
 
-D14_SQL = r"""
+_D14_CTES = r"""
 WITH base AS (
   SELECT user_id, event_id, ts, value,
          CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vus
@@ -1137,10 +1137,197 @@ WITH base AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
   FROM c
 )
+"""
+
+D14_SQL = _D14_CTES + r"""
 SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
        CAST(ss AS DOUBLE) / 1000000.0 AS cusum,
        (CAST(ss AS DOUBLE) / 1000000.0) > 1000.0 AS is_drift
 FROM s
+"""
+
+
+def d15_cusum_changepoints(spark, sf_dir):
+    """D15 — per-key CUSUM peak localization (detectors.
+    cusum_changepoints): WHERE each key's sustained drift concentrates
+    — one deterministic argmax row per key (exact BIGINT score rank,
+    (ts, event_id) tiebreak) over d14's scored frame, same key shuffle,
+    one extra row_number pass."""
+    from db_loganalyzer_spark.detectors.detectors import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoints(ev, "value", ["user_id"], threshold=1000.0)
+
+
+D15_SQL = _D14_CTES + r"""
+SELECT user_id, epoch_us(ts) AS peak_ts_us, event_id AS peak_event_id,
+       CAST(ss AS DOUBLE) / 1000000.0 AS peak_cusum,
+       n AS n_points,
+       (CAST(ss AS DOUBLE) / 1000000.0) > 1000.0 AS is_drift
+FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ss DESC, epoch_us(ts), event_id) = 1
+"""
+
+
+def a31_cumulative_hll(spark, sf_dir):
+    """A31 — cumulative distinct-users curve via running HLL register
+    merge (sketches.hll_cumulative): one estimate per day-bucket of all
+    users seen SO FAR. Exact cumulative distinct re-deduplicates all
+    history per bucket; registers merge by pointwise max, so the whole
+    curve is one running-max window over a sketch-bounded (buckets x
+    4096) grid. Joined against the exact first-seen cumulative count so
+    the gate checks the approximation itself (same discipline as
+    a22/a29)."""
+    from db_loganalyzer_spark.operators.sketches import hll_cumulative
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_cumulative(ev, "user_id", bucket_seconds=86400, p=12)
+    bkt = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400.0 * 1e6)).cast(
+        "long"
+    )
+    base = ev.filter(F.col("user_id").isNotNull()).select(
+        bkt.alias("bkt"), "user_id"
+    )
+    fs = base.groupBy("user_id").agg(F.min("bkt").alias("fb"))
+    fc = fs.groupBy("fb").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window as SW
+
+    # bucket-level frame (one row per day) — global-order window is
+    # structurally bounded here, same class as the d-family rollups
+    run = SW.orderBy("bkt").rowsBetween(
+        SW.unboundedPreceding, SW.currentRow
+    )
+    exact = (
+        base.select("bkt")
+        .distinct()
+        .join(fc, F.col("bkt") == F.col("fb"), "left")
+        .select("bkt", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+        .withColumn("exact_cum", F.sum("c").over(run).cast("long"))
+        .select("bkt", "exact_cum")
+    )
+    return est.join(exact, "bkt").select(
+        "bkt",
+        "m",
+        "nonzero_registers",
+        "scaled_sum",
+        "estimate",
+        "exact_cum",
+        F.round((F.col("estimate") / F.col("exact_cum") - 1) * 100, 4).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+A31_SQL = f"""
+WITH h AS (
+  SELECT ts, h
+  FROM {_mix32_sql_select('user_id',
+        '(SELECT ts, user_id FROM events WHERE user_id IS NOT NULL)',
+        passthrough=['ts'])} x
+), pr AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS bkt,
+         CAST(h % 4096 AS INT) AS bucket,
+         CAST((h - h % 4096) / 4096 AS BIGINT) AS v
+  FROM h
+), sparse AS (
+  SELECT bkt, bucket,
+         MAX(CASE WHEN v = 0 THEN 21 ELSE 20 - length(bin(v)) + 1 END) AS rho
+  FROM pr GROUP BY 1, 2
+), grid AS (
+  SELECT b.bkt, r.bucket
+  FROM (SELECT DISTINCT bkt FROM sparse) b,
+       (SELECT DISTINCT bucket FROM sparse) r
+), dense AS (
+  SELECT g.bkt, g.bucket,
+         MAX(s.rho) OVER (PARTITION BY g.bucket ORDER BY g.bkt
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS rho
+  FROM grid g LEFT JOIN sparse s ON s.bkt = g.bkt AND s.bucket = g.bucket
+), agg AS (
+  SELECT bkt,
+         CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT) AS s_nonzero,
+         CAST(COUNT(*) AS BIGINT) AS nz
+  FROM dense WHERE rho IS NOT NULL GROUP BY 1
+), est AS (
+  SELECT bkt, nz,
+         s_nonzero + (4096 - nz) * 2097152 AS s,
+         4096 - nz AS zeros
+  FROM agg
+), fin AS (
+  SELECT bkt, nz, s,
+         ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                         AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                    ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+               6) AS estimate
+  FROM est
+), fs AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS fb
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), fc AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS c FROM fs GROUP BY 1
+), cum AS (
+  SELECT b.bkt,
+         CAST(SUM(COALESCE(fc.c, 0)) OVER (ORDER BY b.bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+             ) AS exact_cum
+  FROM (SELECT DISTINCT bkt FROM sparse) b LEFT JOIN fc ON fc.fb = b.bkt
+)
+SELECT f.bkt,
+       CAST(4096 AS BIGINT) AS m,
+       f.nz AS nonzero_registers,
+       f.s AS scaled_sum,
+       f.estimate,
+       c.exact_cum,
+       ROUND((f.estimate / c.exact_cum - 1) * 100, 4) AS rel_err_pct
+FROM fin f JOIN cum c USING (bkt)
+"""
+
+
+def t15_doc_perplexity(spark, sf_dir):
+    """T15 — per-document cross-entropy / perplexity under the corpus
+    bigram LM (ranking.doc_lm_scores): the model-based quality score
+    over t13's counts. Pair NLLs are rounded+scaled to exact BIGINT
+    micro-units BEFORE the per-doc sum (order-free), so the entropy and
+    the rounded exp() perplexity hash-match."""
+    from db_loganalyzer_spark.operators.ranking import doc_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_lm_scores(docs, "doc_id", "text")
+
+
+T15_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     t -> t <> '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+), counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), lm AS (
+  SELECT w1, w2,
+         n / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p_cond
+  FROM counts
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(ROUND(-ln(p_cond), 6) * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM pairs JOIN lm USING (w1, w2)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(nll) AS s
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_pairs, 0) AS n_pairs,
+       (CAST(a.s AS DOUBLE) / 1000000.0) / CAST(a.n_pairs AS DOUBLE)
+         AS cross_entropy,
+       ROUND(exp((CAST(a.s AS DOUBLE) / 1000000.0)
+                 / CAST(a.n_pairs AS DOUBLE)), 6) AS perplexity
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -4948,6 +5135,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
     "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
     "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
+    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
+    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
+    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

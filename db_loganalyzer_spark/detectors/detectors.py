@@ -941,6 +941,7 @@ def cusum_drift(
     ts_col: str = "ts",
     tiebreak: str = "event_id",
     k: float = 0.0,
+    include_raw: bool = False,
 ) -> DataFrame:
     """D14 — per-key CUSUM change-point score: the classic sequential
     drift detector ``s_t = max(0, s_{t-1} + (x_t - ref - k))``, which a
@@ -1000,6 +1001,11 @@ def cusum_drift(
     with_s = with_c.withColumn(
         "__s", F.col("__c") - F.least(F.lit(0), F.min("__c").over(run))
     )
+    raw = (
+        # exact BIGINT score for downstream argmax ranking (the double
+        # `cusum` could collide after / 1e6 rounding at extreme sums)
+        [F.col("__s").alias("cusum_us")] if include_raw else []
+    )
     return with_s.select(
         *partition_by,
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
@@ -1009,4 +1015,56 @@ def cusum_drift(
         (
             (F.col("__s").cast("double") / 1_000_000.0) > threshold
         ).alias("is_drift"),
+        *raw,
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    threshold: float,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    k: float = 0.0,
+) -> DataFrame:
+    """D15 — changepoint localization on top of :func:`cusum_drift`:
+    for each key, the row where the CUSUM score peaks — the standard
+    point estimate of WHERE a sustained shift is concentrated (the
+    peak is where accumulated drift is largest; drift onset is just
+    before the last zero preceding it). One extra ``row_number`` pass
+    over the SAME key partitioning — no new shuffle key.
+
+    Ranking is on the exact BIGINT score (``include_raw``), ties broken
+    by earliest ``(ts, tiebreak)`` — fully deterministic across
+    engines. Output: one row per key with the peak location, the peak
+    score, the key's row count, and whether the peak clears
+    ``threshold``.
+    """
+    scored = cusum_drift(
+        events,
+        value_col,
+        partition_by,
+        threshold,
+        ts_col=ts_col,
+        tiebreak=tiebreak,
+        k=k,
+        include_raw=True,
+    )
+    wk = Window.partitionBy(*partition_by)
+    rank = Window.partitionBy(*partition_by).orderBy(
+        F.desc("cusum_us"), "ts_us", tiebreak
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(rank))
+        .withColumn("n_points", F.count(F.lit(1)).over(wk))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *partition_by,
+            F.col("ts_us").alias("peak_ts_us"),
+            F.col(tiebreak).alias("peak_" + tiebreak),
+            F.col("cusum").alias("peak_cusum"),
+            F.col("n_points"),
+            F.col("is_drift"),
+        )
     )

@@ -229,3 +229,68 @@ def bigram_lm_counts(
         "n",
         (F.col("n") / F.sum("n").over(w)).alias("p_cond"),
     )
+
+
+def doc_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T15 — per-document cross-entropy / perplexity under the corpus
+    bigram LM (:func:`bigram_lm_counts`): the classic model-based
+    quality score — templated/boilerplate docs score near-zero entropy,
+    token-salad outliers score high — used to rank what t07's
+    rule-based gate can't see.
+
+    Plan shape: one pair explode (same JVM ``arrays_zip`` lineage as
+    the LM itself), one (w1, w2)-key shuffle join of doc pairs against
+    the vocab^2-bounded LM frame, one per-doc partial agg. No UDFs, no
+    window over raw tokens.
+
+    Determinism discipline: each pair's negative log-probability is
+    rounded to 6 decimals (``ln`` is the one library call) and scaled
+    to an exact BIGINT micro-unit BEFORE the per-doc sum, so the
+    accumulation is order-free integer math; the entropy is then two
+    IEEE divisions of exact integers, and ``exp`` (the second library
+    call) is rounded to 6 decimals. Docs with < 2 tokens surface with
+    ``n_pairs = 0`` and NULL scores rather than dropping out.
+    """
+    toks = tokens(F.col(text_col))
+    npairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, npairs).alias("w1"),
+                F.slice(toks, 2, npairs).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    lm = bigram_lm_counts(df, id_col, text_col).select("w1", "w2", "p_cond")
+    nll_us = (
+        F.floor(F.round(-F.log(F.col("p_cond")), 6) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+    )
+    agg = (
+        pairs.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(nll_us).alias("__nll_sum"),
+        )
+    )
+    entropy = (F.col("__nll_sum").cast("double") / 1_000_000.0) / F.col(
+        "n_pairs"
+    ).cast("double")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            entropy.alias("cross_entropy"),
+            F.round(F.exp(entropy), 6).alias("perplexity"),
+        )
+    )

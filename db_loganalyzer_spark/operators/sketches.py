@@ -250,6 +250,60 @@ def hll_estimate_grouped(
     return hll_finish(regs, p, group_by)
 
 
+def hll_cumulative(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    p: int = 12,
+    salt: int = 0,
+) -> DataFrame:
+    """Cumulative distinct-count curve: one estimate row per time
+    bucket of the distinct ``key_col`` values seen **up to and
+    including** that bucket — the "unique users over time" growth curve.
+
+    The exact form is brutal at scale (each bucket's cumulative
+    distinct re-deduplicates all history — either an O(buckets x keys)
+    self-join or a giant first-seen shuffle). HLL registers make it one
+    running ``max``: registers are mergeable by pointwise max, so the
+    cumulative register table at bucket ``b`` is ``max`` over buckets
+    ``<= b`` — a window over a frame whose size is **sketch-bounded**
+    (<= m registers x buckets, independent of row count).
+
+    Plan: per-(bucket-of-time, register) partial-max shuffle (the only
+    data-sized pass), dense bucket x register grid via a broadcast
+    cross join of two tiny distinct frames, running max per register
+    ordered by time, then the shared :func:`hll_finish` per bucket.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    bkt = F.floor(us / F.lit(float(bucket_seconds) * 1e6)).cast("long")
+    pair = hll_rank(key_col, p, salt)
+    sparse = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            bkt.alias("bkt"),
+            pair.getField("bucket").alias("bucket"),
+            pair.getField("rho").alias("rho"),
+        )
+        .groupBy("bkt", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    bkts = sparse.select("bkt").distinct()
+    regs = sparse.select("bucket").distinct()
+    grid = bkts.crossJoin(F.broadcast(regs))
+    run = (
+        Window.partitionBy("bucket")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = (
+        grid.join(sparse, ["bkt", "bucket"], "left")
+        .withColumn("rho", F.max("rho").over(run))
+        .filter(F.col("rho").isNotNull())
+    )
+    return hll_finish(dense, p, ["bkt"])
+
+
 def countmin_sketch(
     df: DataFrame, hash_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:

@@ -2,7 +2,10 @@
 queries() entry at a given SF dir and record wall seconds per entry as
 JSONL (streamed, so partial progress survives a kill).
 
-Usage: python scripts/bench_registry.py SF_DIR OUT.jsonl [--skip a,b,c]
+Usage: python scripts/bench_registry.py SF_DIR OUT.jsonl [--skip a,b,c] [--resume]
+
+--resume appends to OUT.jsonl and skips entries it already records
+(timed or errored), so a killed sweep continues where it stopped.
 
 Timing covers building the DataFrame (for streaming entries the
 availableNow drain happens here) plus a noop-sink write of the result —
@@ -34,16 +37,30 @@ DEFAULT_SKIP = {"m02_ngram_jaccard", "m08_dedup_components"}
 
 
 def main():
-    sf_dir = sys.argv[1]
-    out_path = sys.argv[2]
+    args = sys.argv[1:]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
+    sf_dir = args[0]
+    out_path = args[1]
     skip = DEFAULT_SKIP
-    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-        skip = {s for s in sys.argv[4].split(",") if s}
+    if len(args) > 3 and args[2] == "--skip":
+        skip = {s for s in args[3].split(",") if s}
+
+    done: set[str] = set()
+    if resume and os.path.exists(out_path):
+        for line in open(out_path):
+            try:
+                done.add(json.loads(line)["query"])
+            except Exception:
+                pass
 
     spark = get_spark("bench-registry")
     qs = entry_mod.queries()
-    with open(out_path, "w") as out:
+    with open(out_path, "a" if resume else "w") as out:
         for name, fn in qs.items():
+            if name in done:
+                continue
             if name in skip:
                 out.write(
                     json.dumps(

@@ -324,3 +324,36 @@ def test_cusum_drift_matches_sequential_reference(spark):
     # the sustained +5 shift accumulates past threshold; noise never does
     assert any(flag for (k, _), (_, flag) in out.items() if k == "b")
     assert not any(flag for (k, _), (_, flag) in out.items() if k == "a")
+
+
+def test_cusum_changepoints_locates_peak(spark):
+    import datetime as dt
+
+    from db_loganalyzer_spark.detectors.detectors import cusum_changepoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals_a = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0, 9.0, 10.0]
+    vals_b = [10.0, 10.5, 9.5, 10.0, 10.2, 9.8, 10.1, 15.8, 15.1, 15.4]
+    rows = []
+    eid = 0
+    for key, vals in (("a", vals_a), ("b", vals_b)):
+        for i, v in enumerate(vals):
+            rows.append((key, eid, t0 + dt.timedelta(seconds=i), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in cusum_changepoints(
+            df, "value", ["user_id"], threshold=8.0
+        ).collect()
+    }
+    assert len(out) == 2 and all(r["n_points"] == 10 for r in out.values())
+    # drift accumulates through the shifted tail: peak at the LAST point
+    assert out["b"]["peak_event_id"] == 19 and out["b"]["is_drift"]
+    assert not out["a"]["is_drift"]
+    # hand-computed: key a deviations vs median 10 give s =
+    # 0,1,0,0,2,0,0,1,0,0 — unique peak 2.0 at event 4
+    assert out["a"]["peak_cusum"] == 2.0
+    assert out["a"]["peak_event_id"] == 4

@@ -87,3 +87,30 @@ def test_bigram_lm_counts(spark):
     assert out[("b", "a")] == (1, 0.5)
     assert out[("b", "c")] == (1, 0.5)
     assert ("x", None) not in out and len(out) == 3
+
+
+def test_doc_lm_scores_hand_computed(spark):
+    import math
+
+    from db_loganalyzer_spark.operators.ranking import doc_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["cross_entropy"], r["perplexity"])
+        for r in doc_lm_scores(df).collect()
+    }
+    # LM: p(b|a)=1, p(a|b)=p(c|b)=0.5; nll micro-units rounded per pair
+    nll = {p: int(round(round(-math.log(v), 6) * 1e6)) for p, v in
+           {("a", "b"): 1.0, ("b", "a"): 0.5, ("b", "c"): 0.5}.items()}
+    e1 = (nll[("a", "b")] * 2 + nll[("b", "a")]) / 1e6 / 3
+    e2 = (nll[("a", "b")] + nll[("b", "c")]) / 1e6 / 2
+    assert out[1] == (3, e1, round(math.exp(e1), 6))
+    assert out[2] == (2, e2, round(math.exp(e2), 6))
+    # <2-token docs surface with zero pairs and NULL scores, not dropped
+    assert out[3] == (0, None, None)
+    assert out[4] == (0, None, None)
+    # boilerplate (all-predictable pairs) scores lower entropy than mixed
+    assert out[1][1] < out[2][1]

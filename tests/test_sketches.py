@@ -258,3 +258,42 @@ def test_countmin_never_underestimates_and_is_bounded(spark):
     for k, (e, t) in est.items():
         assert e >= t, (k, e, t)  # count-min never underestimates
         assert e - t <= 1830 * 0.02  # way inside the e/width mass bound
+
+
+def test_hll_cumulative_monotone_and_matches_prefix_estimates(spark):
+    import datetime as dt
+
+    from db_loganalyzer_spark.operators.sketches import (
+        hll_cumulative,
+        hll_estimate,
+    )
+
+    # three daily waves of users with heavy overlap: day 0 users 0..999,
+    # day 1 users 500..1999, day 2 users 0..2999 (nothing new on day 2
+    # beyond wave 1's tail — curve must flatten, never dip)
+    t0 = dt.datetime(2024, 3, 1)
+    waves = [range(0, 1000), range(500, 2000), range(0, 3000)]
+    rows = [
+        (t0 + dt.timedelta(days=d), int(u))
+        for d, wave in enumerate(waves)
+        for u in wave
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {
+        r["bkt"]: r["estimate"]
+        for r in hll_cumulative(df, "user_id", bucket_seconds=86400).collect()
+    }
+    assert len(out) == 3
+    bkts = sorted(out)
+    # monotone non-decreasing (registers only ever grow)
+    assert out[bkts[0]] <= out[bkts[1]] <= out[bkts[2]]
+    # each cumulative point IS the plain estimate of the prefix
+    for i, b in enumerate(bkts):
+        seen = set()
+        for w in waves[: i + 1]:
+            seen.update(w)
+        prefix = spark.createDataFrame(
+            [(int(u),) for u in seen], "user_id long"
+        )
+        want = hll_estimate(prefix, "user_id", p=12).collect()[0]["estimate"]
+        assert out[b] == want, (b, out[b], want)
