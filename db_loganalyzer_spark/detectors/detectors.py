@@ -912,13 +912,17 @@ def lag_correlation(
         F.sum(F.col("na") * F.col("na")).cast("long").alias("sxx"),
         F.sum(F.col("nb") * F.col("nb")).cast("long").alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
+    # The composite terms exceed signed-64 at scale (the variance
+    # product is ~(buckets * c^2)^2 — observed ARITHMETIC_OVERFLOW at
+    # sf10). DECIMAL(38,0) keeps them exact (mirroring DuckDB's silent
+    # HUGEINT promotion of BIGINT products), and the single cast of the
+    # exact integer product to double is engine-identical.
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
     den = F.sqrt(
         (
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            (d("n") * d("sxx") - d("sx") * d("sx"))
+            * (d("n") * d("syy") - d("sy") * d("sy"))
         ).cast("double")
     )
     return s.select(
