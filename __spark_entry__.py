@@ -1101,6 +1101,83 @@ M08C_SQL = f"""
 WITH RECURSIVE {_m02_ctes(200)}{_M08_CLOSURE}"""
 
 
+def m13_dedup_representatives(spark, sf_dir):
+    """M13 — canonical representative selection (dedup.
+    dedup_representatives): after near-dup grouping over the CAPPED
+    m02c edges, keep the highest-quality doc per group (id tiebreak),
+    mark the rest as drops; singletons keep themselves. One row per
+    doc, one row_number over the component key the grouping already
+    shuffled on."""
+    from db_loganalyzer_spark.operators.dedup import (
+        dedup_representatives,
+        ngram_jaccard_pairs,
+    )
+    from db_loganalyzer_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_doc_freq=200)
+    return dedup_representatives(docs, pairs, quality_score("text"))
+
+
+# components as a CTE (same closure as _M08_CLOSURE, minus its SELECT)
+_M08_COMPS_CTE = """,
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+),
+comps AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY 1
+)"""
+
+_QUALITY_CTE = r""",
+q0 AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), q1 AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> list_contains(
+                     ['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(toks)
+              END AS swr
+  FROM q0
+), q AS (
+  SELECT doc_id,
+         ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(pr, 1.0) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(swr, 0.0) >= 0.02 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM q1
+)"""
+
+M13_SQL = (
+    f"WITH RECURSIVE {_m02_ctes(200)}{_M08_COMPS_CTE}{_QUALITY_CTE}"
+    + """
+, j AS (
+  SELECT q.doc_id, COALESCE(c.component_id, q.doc_id) AS component_id,
+         q.quality
+  FROM q LEFT JOIN comps c ON c.id = q.doc_id
+)
+SELECT doc_id, component_id, quality,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS group_size,
+       ROW_NUMBER() OVER (PARTITION BY component_id
+                          ORDER BY quality DESC, doc_id) = 1 AS is_keeper
+FROM j
+"""
+)
+
+
 def d14_cusum_drift(spark, sf_dir):
     """D14 — per-key CUSUM drift scores (detectors.cusum_drift): the
     sequential small-but-sustained shift detector, via the prefix-min
@@ -5138,6 +5215,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
     "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
     "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
+    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

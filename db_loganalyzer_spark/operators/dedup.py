@@ -27,7 +27,7 @@ hot path):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 31-bit primes for the portable family: values stay < 2^31, so every
@@ -709,3 +709,47 @@ def dedup_components(
                 "raise max_iterations"
             )
     return labels
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """M13 — canonical representative selection: the step a real corpus
+    pipeline runs AFTER near-dup grouping — inside every duplicate
+    group keep the single best document (highest ``quality``, lowest id
+    on ties) and mark the rest as drops, so downstream stages filter on
+    ``is_keeper`` instead of keeping an arbitrary clone.
+
+    Composition: :func:`dedup_components` turns the pair list into
+    groups; docs absent from any pair are their own singleton group
+    (left join + coalesce to self). Ranking is one ``row_number`` over
+    the component key — the same shuffle the components already
+    produced; group size rides the same window partitioning.
+
+    Returns one row per input doc: ``(id, component_id, quality,
+    group_size, is_keeper)`` — deterministic for any quality expression
+    with a total (quality DESC, id ASC) order.
+    """
+    comps = dedup_components(pairs).withColumnRenamed("id", id_col)
+    base = docs.select(F.col(id_col), quality.alias("quality"))
+    j = base.join(comps, id_col, "left").withColumn(
+        "component_id", F.coalesce("component_id", F.col(id_col))
+    )
+    wk = Window.partitionBy("component_id")
+    rk = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    return (
+        j.withColumn("group_size", F.count(F.lit(1)).over(wk).cast("long"))
+        .withColumn("__rn", F.row_number().over(rk))
+        .select(
+            id_col,
+            "component_id",
+            "quality",
+            "group_size",
+            (F.col("__rn") == 1).alias("is_keeper"),
+        )
+    )

@@ -1094,3 +1094,22 @@ def test_budget_select_greedy_and_deterministic(spark):
         for r in budget_select(df.repartition(7), 45, by=["source"]).collect()
     )
     assert kept2 == kept
+
+
+def test_dedup_representatives_keeps_best_per_group(spark):
+    # group {1,2,3} via edges, singleton 9; quality ranks 2 best in the
+    # group; tie between 1 and 3 resolved by lower id at rank 2
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.75), (3, 0.5), (9, 0.25)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r.doc_id: (r.component_id, r.group_size, r.is_keeper)
+        for r in DD.dedup_representatives(docs, pairs, F.col("q")).collect()
+    }
+    assert out == {
+        1: (1, 3, False),
+        2: (1, 3, True),
+        3: (1, 3, False),
+        9: (9, 1, True),
+    }
