@@ -4936,6 +4936,41 @@ def st10_streaming_counter_rates(spark, sf_dir):
     return _drain(out, "st10")
 
 
+def st11_streaming_cusum(spark, sf_dir):
+    """ST11 — d14's streaming form (streams.streaming_cusum,
+    applyInPandasWithState): per-key CUSUM drift maintained live with
+    exactly TWO BIGINT scalars of state (running deviation sum + its
+    prefix min), numpy-vectorized fold, every sample emitting once.
+    Fixed reference (35.0 ~ the global value median) stands in for the
+    batch form's per-key median — the realistic monitoring deployment
+    seeds it from a batch baseline. Oracle: the batch closed form with
+    the same fixed ref."""
+    stream = ST.read_events_stream(spark, sf_dir)
+    out = ST.streaming_cusum(stream, ref=35.0, threshold=1000.0)
+    return _drain(out, "st11")
+
+
+ST11_SQL = r"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vus
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), c AS (
+  SELECT *, SUM(vus - 35000000) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM base
+), s AS (
+  SELECT *, cc - LEAST(0, MIN(cc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
+  FROM c
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+       CAST(ss AS DOUBLE) / 1000000.0 AS cusum,
+       (CAST(ss AS DOUBLE) / 1000000.0) > 1000.0 AS is_drift
+FROM s
+"""
+
+
 def t13_bigram_lm(spark, sf_dir):
     """T13 — corpus bigram LM counts + conditional P(w2|w1)
     (operators/ranking.bigram_lm_counts): the n-gram statistics behind
@@ -5216,6 +5251,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
     "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
     "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
+    "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -946,6 +946,7 @@ def cusum_drift(
     tiebreak: str = "event_id",
     k: float = 0.0,
     include_raw: bool = False,
+    ref: float | None = None,
 ) -> DataFrame:
     """D14 — per-key CUSUM change-point score: the classic sequential
     drift detector ``s_t = max(0, s_{t-1} + (x_t - ref - k))``, which a
@@ -965,7 +966,11 @@ def cusum_drift(
     signed-64 for millions of rows per key at metric-sized values.
 
     ``k`` is the standard slack per observation (drift allowance);
-    ``threshold`` flags ``cusum > threshold``.
+    ``threshold`` flags ``cusum > threshold``. Pass ``ref`` to use a
+    FIXED reference level instead of the per-key median — the
+    streaming twin (streams.streaming_cusum) can only know a fixed
+    reference, and with the same ``ref`` this batch form equals the
+    drained stream row-for-row (also skips both median window passes).
     """
     k_us = int(round(k * 1_000_000))
     wk = Window.partitionBy(*partition_by)
@@ -984,22 +989,29 @@ def cusum_drift(
         .cast("long")
         .alias("__vus"),
     )
-    ranked = base.withColumn("__n", F.count(F.lit(1)).over(wk)).withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy(*partition_by).orderBy("__vus", tiebreak)
-        ),
-    )
-    with_med = ranked.withColumn(
-        "__med",
-        F.max(
-            F.when(
-                # integer floor-div: (n+1)/2 in Spark is DOUBLE division
-                F.col("__rn") == F.floor((F.col("__n") + 1) / 2),
-                F.col("__vus"),
-            ).otherwise(F.lit(None))
-        ).over(wk),
-    )
+    if ref is not None:
+        with_med = base.withColumn(
+            "__med", F.lit(int(round(ref * 1_000_000))).cast("long")
+        )
+    else:
+        ranked = base.withColumn(
+            "__n", F.count(F.lit(1)).over(wk)
+        ).withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*partition_by).orderBy("__vus", tiebreak)
+            ),
+        )
+        with_med = ranked.withColumn(
+            "__med",
+            F.max(
+                F.when(
+                    # integer floor-div: (n+1)/2 in Spark is DOUBLE division
+                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2),
+                    F.col("__vus"),
+                ).otherwise(F.lit(None))
+            ).over(wk),
+        )
     dev = F.col("__vus") - F.col("__med") - F.lit(k_us)
     with_c = with_med.withColumn("__c", F.sum(dev).over(run))
     with_s = with_c.withColumn(

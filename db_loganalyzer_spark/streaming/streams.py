@@ -660,3 +660,91 @@ def streaming_counter_rates(events: DataFrame, key: str = "user_id") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cusum", T.DoubleType()),
+        T.StructField("is_drift", T.BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("c", T.LongType()),
+        T.StructField("cmin", T.LongType()),
+    ]
+)
+
+
+def _make_cusum_fn(ref_us: int, k_us: int, threshold: float):
+    def _cusum_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """d14's streaming fold with a fixed reference: the prefix-min
+        closed form ``s_t = C_t - min(0, min_{j<=t} C_j)`` carries
+        across micro-batches as exactly TWO BIGINT scalars per key
+        (running deviation sum C and its running min). The fold is
+        numpy-vectorized (cumsum + minimum.accumulate); every row
+        emits exactly once, so the drained stream equals the batch
+        operator with the same ``ref`` row-for-row."""
+        import numpy as np
+
+        c0, cmin0 = (state.get if state.exists else (0, 0))
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            return
+        vus = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        c_arr = c0 + np.cumsum(vus - ref_us - k_us)
+        cmin_arr = np.minimum(cmin0, np.minimum.accumulate(c_arr))
+        s_arr = c_arr - np.minimum(0, cmin_arr)
+        state.update((int(c_arr[-1]), int(cmin_arr[-1])))
+        cus = s_arr.astype(np.float64) / 1e6
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), int(key[0]), dtype=np.int64),
+                # robust to ns- or us-resolution pandas timestamps
+                "ts_us": pdf["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "value": pdf["value"].to_numpy(dtype=np.float64),
+                "cusum": cus,
+                "is_drift": cus > threshold,
+            }
+        )
+
+    return _cusum_fn
+
+
+def streaming_cusum(
+    events: DataFrame,
+    ref: float,
+    threshold: float,
+    key: str = "user_id",
+    k: float = 0.0,
+) -> DataFrame:
+    """d14's streaming form (detectors.cusum_drift with ``ref=``): the
+    sequential drift score maintained live per key with O(1) state —
+    two BIGINT scalars however many samples have streamed, vs the
+    batch form's full-history window. A monitoring deployment seeds
+    ``ref`` from a batch baseline (a06/a27) and gets the same exact
+    integer arithmetic the batch/oracle pair pins."""
+    fn = _make_cusum_fn(
+        int(round(ref * 1_000_000)), int(round(k * 1_000_000)), threshold
+    )
+    return (
+        events.select(key, "event_id", "ts", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -404,3 +404,61 @@ def test_streaming_gap_fill_multi_batch_and_late_data(
         (20, 2.0, False),  # open bucket from batch 1, closed by batch 2
         (30, 2.0, True),   # hole between 20 and 40
     ]  # bucket 40 still open -> not emitted
+
+
+def test_streaming_cusum_state_crosses_batches(spark, tmp_path, tmp_path_factory):
+    """The two-scalar CUSUM state (running sum C + its prefix min) must
+    carry across micro-batches: the second batch's scores continue the
+    first batch's accumulation exactly, matching the batch closed form
+    with the same fixed reference."""
+    import datetime as dt
+    import os
+
+    from db_loganalyzer_spark.detectors.detectors import cusum_drift
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_cusum,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    vals = [8.0, 14.0, 9.0, 15.0, 16.0, 7.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 7, v)
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_cusum"))
+    got = {
+        r["event_id"]: (r["cusum"], r["is_drift"])
+        for r in run_available_now(
+            streaming_cusum(stream, ref=10.0, threshold=6.0),
+            "cusum_two_batches",
+            ck,
+        ).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        r["event_id"]: (r["cusum"], r["is_drift"])
+        for r in cusum_drift(
+            batch, "value", ["user_id"], threshold=6.0, ref=10.0
+        ).collect()
+    }
+    assert got == want and len(want) == 6
+    # hand check: dev = -2,4,-1,5,6,-3 -> s = 0,4,3,8,14,11
+    assert [got[i][0] for i in range(6)] == [0.0, 4.0, 3.0, 8.0, 14.0, 11.0]
+    assert [got[i][1] for i in range(6)] == [
+        False, False, False, True, True, True,
+    ]
