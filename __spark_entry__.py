@@ -3288,6 +3288,31 @@ def _drain(df, prefix: str, output_mode: str = "append"):
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    if output_mode == "append":
+        # File sink, not memory sink: the memory sink collects every
+        # emitted row to the driver, which breaks the per-row streaming
+        # forms (st09/st10/st11 emit one row per input row) past
+        # driver.maxResultSize at sf10 — observed in the round-6 sweep.
+        # Parquet drain keeps results executor-side; downstream reads
+        # the files like any other table (schema pinned for the
+        # zero-emission edge case).
+        out_dir = tempfile.mkdtemp(prefix=f"st_out_{prefix}_")
+        q = (
+            df.writeStream.format("parquet")
+            .queryName(name)
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.mkdtemp(prefix="st_ck_"), name),
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return df.sparkSession.read.schema(df.schema).parquet(out_dir)
+    # complete mode (bounded aggregate output) is not supported by the
+    # file sink; the memory sink is safe there by construction.
     return ST.run_available_now(
         df, name, tempfile.mkdtemp(prefix="st_ck_"), output_mode=output_mode
     )
