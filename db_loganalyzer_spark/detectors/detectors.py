@@ -744,53 +744,102 @@ def detect_recoveries(
         comment.alias("comment"),
     ).filter(F.col("priority").isNotNull())
 
-    # Range-join bucketing: a pure range condition would plan as a
-    # nested-loop product (anchors x candidates — measured 8s at sf0.1,
-    # unbounded at scale). An event in [anchor - L, anchor) lives either
-    # in the anchor's L-second time bucket or the one before it, so the
-    # anchor side explodes to those TWO bucket ids and the join becomes
-    # equi on bucket + band filter — a shuffled hash join whose work is
-    # bounded by bucket co-residency, the same shape as J3's equi-keyed
-    # look-back. Left semantics (recoveries with no cause survive) are
-    # restored by the final left join from recs.
+    # Look-back attribution WITHOUT a range join. The earlier bucketed
+    # equi join's work is anchors x candidates CO-RESIDENT per bucket —
+    # quadratic in time-density, and log density grows with cluster
+    # size (measured 4.7x super-linear at the 10x-densified sf10:
+    # 424 s). Instead: union anchors and candidates into the same
+    # L-second buckets (candidates replicated into their own and the
+    # NEXT bucket, so an anchor's [rts - L, rts) window is fully
+    # covered by its own partition) and carry the most recent
+    # candidate per priority tier forward with one running max of a
+    # (ts, event_id, cause) struct — sort + linear scan per bucket, no
+    # pairwise intermediate. At equal ts the anchor sorts BEFORE
+    # candidates (kind 0 < 1), preserving the strict ts < rts rule;
+    # the struct max's lexicographic order reproduces the old
+    # (priority asc, ts desc, event_id desc) pick exactly.
     def tbucket(c):
         return F.floor(F.col(c).cast("double") / look_back_seconds).cast("long")
 
-    rec_b = recs.withColumn(
-        "__b", F.explode(F.array(tbucket("recovery_ts"), tbucket("recovery_ts") - 1))
+    cause_str = F.when(F.col("priority") == 1, F.col("comment")).when(
+        F.col("priority") == 2,
+        F.when(
+            F.col("is_fail_name"),
+            F.concat(F.lit("Detected failure event: "), F.col("event")),
+        ).otherwise(
+            F.concat(
+                F.lit("High severity event: "),
+                F.col("event"),
+                F.lit(" (severity "),
+                F.col("severity").cast("string"),
+                F.lit(")"),
+            )
+        ),
     )
-    cand_b = cand.withColumn("__b", tbucket("ts"))
-    matched = rec_b.join(
-        cand_b,
-        (rec_b["__b"] == cand_b["__b"])
-        & (F.col("ts") >= F.col("recovery_ts") - F.expr(f"INTERVAL {look_back_seconds} SECONDS"))
-        & (F.col("ts") < F.col("recovery_ts")),
-        "inner",
-    ).drop("__b")
-    w = Window.partitionBy("recovery_id").orderBy(
-        F.col("priority").asc_nulls_last(), F.desc("ts"), F.desc("event_id")
+    cand_u = cand.select(
+        F.explode(F.array(tbucket("ts"), tbucket("ts") + 1)).alias("__b"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.col("priority"),
+        cause_str.alias("cause_str"),
+        F.lit(None).cast("long").alias("recovery_id"),
+        F.lit(None).cast("int").alias("state_code"),
+        F.lit(None).cast("string").alias("state_name"),
     )
-    best = (
-        matched.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    rec_u = recs.select(
+        tbucket("recovery_ts").alias("__b"),
+        F.col("recovery_ts").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("recovery_id").alias("event_id"),
+        F.lit(None).cast("int").alias("priority"),
+        F.lit(None).cast("string").alias("cause_str"),
+        F.col("recovery_id"),
+        "state_code",
+        "state_name",
+    )
+    run = (
+        Window.partitionBy("__b")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def tier_last(p):
+        return F.max(
+            F.when(
+                F.col("priority") == p,
+                F.struct(
+                    F.col("ts").alias("cts"),
+                    F.col("event_id").alias("cid"),
+                    F.col("cause_str").alias("cause"),
+                ),
+            )
+        ).over(run)
+
+    lb = F.col("ts") - F.expr(f"INTERVAL {look_back_seconds} SECONDS")
+    scanned = (
+        cand_u.unionByName(rec_u)
+        .withColumn("__t1", tier_last(1))
+        .withColumn("__t2", tier_last(2))
+        .filter(F.col("kind") == 0)
         .withColumn(
             "cause",
-            F.when(F.col("priority") == 1, F.col("comment"))
-            .when(F.col("priority") == 2,
-                  F.when(F.col("is_fail_name"),
-                         F.concat(F.lit("Detected failure event: "), F.col("event")))
-                  .otherwise(
-                      F.concat(F.lit("High severity event: "), F.col("event"),
-                               F.lit(" (severity "), F.col("severity").cast("string"),
-                               F.lit(")")))),
+            F.when(
+                F.col("__t1").isNotNull() & (F.col("__t1.cts") >= lb),
+                F.col("__t1.cause"),
+            ).when(
+                F.col("__t2").isNotNull() & (F.col("__t2.cts") >= lb),
+                F.col("__t2.cause"),
+            ),
         )
-        .select("recovery_id", "cause")
     )
-    picked = (
-        recs.join(best, "recovery_id", "left")
-        .select("recovery_id", "recovery_ts", "state_code", "state_name", "cause")
-        .orderBy("recovery_id")
-    )
+    picked = scanned.select(
+        "recovery_id",
+        F.col("ts").alias("recovery_ts"),
+        "state_code",
+        "state_name",
+        "cause",
+    ).orderBy("recovery_id")
     return {"recoveries": picked}
 
 
