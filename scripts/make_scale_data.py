@@ -70,9 +70,33 @@ DOMAIN_OWNER = {
 
 def main() -> None:
     src, dst, replicas = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    vary = len(sys.argv) > 4 and sys.argv[4] == "--vary"
+    flags = set(sys.argv[4:])
+    vary = "--vary" in flags
+    # --stretch-time: offset each replica's events by the source time
+    # span, so event DENSITY stays constant and the time RANGE grows —
+    # the "longer retention" scale model. Without it, replication
+    # densifies a fixed span ("more machines"), which makes any
+    # time-co-residency work (look-back scans, interval overlap)
+    # genuinely quadratic — keep that mode for density stress.
+    stretch = "--stretch-time" in flags
+    # --grow-vocab: suffix every word of replica i>0 with "_i", giving
+    # each replica its own vocabulary namespace — the "new content,
+    # same shape" corpus model (real vocabulary grows with corpus
+    # size; the source synthetic vocab is ~31 words, so without this
+    # EVERY shingle is corpus-wide boilerplate and all pairwise dedup
+    # work is quadratic BY CONSTRUCTION). Takes precedence over
+    # --vary's permutation for documents.
+    grow = "--grow-vocab" in flags
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+
+    span_us = 0
+    if stretch:
+        lo, hi = con.execute(
+            f"SELECT epoch_us(MIN(ts)), epoch_us(MAX(ts)) "
+            f"FROM read_parquet('{src}/events.parquet')"
+        ).fetchone()
+        span_us = (hi - lo) + 3_600_000_000  # +1h guard gap
 
     offs: dict[str, int] = {}
     for dom, (tab, col) in DOMAIN_OWNER.items():
@@ -102,7 +126,18 @@ def main() -> None:
         # comparable; shingle sets diverge) and circularly shifts each
         # replica's embedding (norm/distribution preserved; cosine
         # neighborhoods diverge).
-        if vary and tab == "documents":
+        if stretch and tab == "events":
+            repl += (
+                f", ts + to_microseconds(r.i * {span_us}) AS ts"
+            )
+        if grow and tab == "documents":
+            words = "list_filter(string_split(text, ' '), x -> x <> '')"
+            repl += (
+                ", CASE WHEN r.i = 0 THEN text ELSE "
+                f"array_to_string(list_transform({words}, "
+                "w -> w || '_' || CAST(r.i AS VARCHAR)), ' ') END AS text"
+            )
+        elif vary and tab == "documents":
             # Position goes into the shuffle key so repeated words don't
             # clump; replica 0 keeps the original corpus verbatim so the
             # organic near-dup structure survives as a subset.
