@@ -295,6 +295,27 @@ def ivf_topk(
     )
 
 
+def auto_n_planes(
+    corpus: DataFrame, target_bucket_size: int = 500, floor: int = 4
+) -> int:
+    """The LSH occupancy dial, computed instead of guessed: with a fixed
+    plane count, bucket occupancy grows linearly with the corpus and the
+    self-join's candidate pairs grow QUADRATICALLY (measured 6.5x
+    super-linear at a 10x corpus, BASELINE.md round-6) — the scale rule
+    is ``n_planes ~ log2(n / target_bucket_size)``, i.e. add one plane
+    per corpus doubling. Costs one count job; pass the result to
+    :func:`embedding_near_dups` / :func:`lsh_topk`.
+
+    NOTE: deterministic pipelines (the oracle-paired registry entries)
+    should pin ``n_planes`` explicitly — an auto value changes with the
+    corpus and with it every bucket id.
+    """
+    import math
+
+    n = corpus.count()
+    return max(floor, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -306,7 +327,14 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH self-join (same bucket)
     then exact cosine filter. The dedup-by-meaning shape for a training
-    corpus."""
+    corpus.
+
+    ``n_planes`` is the occupancy/recall dial: per-bucket candidate
+    pairs ~ (n / 2^planes)^2 * 2^planes, so hold ``n / 2^planes`` near
+    constant as the corpus grows (:func:`auto_n_planes`; measured
+    395 s -> 33 s -> 10 s at 6 -> 10 -> 12 planes on a 500k-vector
+    corpus). Narrower buckets trade recall, recovered by multi-probe
+    (:func:`lsh_topk`) or a second seeded table union."""
     planes = _hyperplanes(dim, n_planes, seed)
     # _spread: a small corpus arrives as 1-2 parquet splits; the self-join
     # broadcasts one side, so pair generation runs on the PROBE side's scan

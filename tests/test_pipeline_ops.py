@@ -1113,3 +1113,15 @@ def test_dedup_representatives_keeps_best_per_group(spark):
         3: (1, 3, False),
         9: (9, 1, True),
     }
+
+
+def test_auto_n_planes_tracks_corpus_growth(spark):
+    # one plane per corpus doubling, floored for tiny corpora
+    small = spark.range(1000).select(F.col("id").alias("vec_id"))
+    big = spark.range(32000).select(F.col("id").alias("vec_id"))
+    assert SIM.auto_n_planes(small, target_bucket_size=500) == 4  # floor
+    assert SIM.auto_n_planes(big, target_bucket_size=500) == 6
+    assert (
+        SIM.auto_n_planes(big, target_bucket_size=500)
+        == SIM.auto_n_planes(big.union(big), target_bucket_size=500) - 1
+    )
