@@ -319,3 +319,34 @@ def test_w17_a27_scale_shapes(spark, sf_dir, qs, cold_cache):
     p27 = plan_str(spark, qs["a27_diurnal_baseline"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p27
     assert "CartesianProduct" not in p27
+
+
+def test_d11_cause_attribution_has_no_range_join(spark, sf_dir, qs, cold_cache):
+    # the round-6 rewrite: look-back cause attribution is union +
+    # per-tier carry-forward window over L-second buckets — the
+    # anchors x candidates pair join (quadratic in log density,
+    # measured 424 s at the densified sf10) must never come back.
+    # The only join left is the final nothing-matched left join
+    # removal — there is none: assert no join node at all before
+    # the output sort.
+    p = plan_str(spark, qs["d11_detect_recoveries"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "Join" not in p
+
+
+def test_d13_variance_terms_stay_decimal(spark, sf_dir, qs, cold_cache):
+    # the composite Pearson terms overflow signed-64 at scale; the fix
+    # routes them through DECIMAL(38,0). Pin the cast so a refactor
+    # back to bigint multiplication (silent until sf10) fails loudly.
+    p = plan_str(spark, qs["d13_lag_correlation"](spark, sf_dir), "formatted")
+    assert "decimal(38,0)" in p
+
+
+def test_m13_ranking_reuses_component_shuffle(spark, sf_dir, qs, cold_cache):
+    # representative selection must not add a second exchange beyond
+    # the component key: the row_number + group_size windows both hang
+    # off hashpartitioning(component_id)
+    p = plan_str(spark, qs["m13_dedup_representatives"](spark, sf_dir), "formatted")
+    assert len(re.findall(r"hashpartitioning\(component_id", p)) >= 1
+    # and the quality expression stays JVM-side (no python UDF)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
