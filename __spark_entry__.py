@@ -1178,6 +1178,133 @@ FROM j
 )
 
 
+def m14_leakage_safe_split(spark, sf_dir):
+    """M14 — near-dup-aware train/val/test split (dedup.
+    leakage_safe_split): the split hash runs on the COMPONENT id, so a
+    train doc's near-clone can never land in val/test — the standard
+    eval-contamination failure removed by construction. Same grouping
+    the dedup pipeline already runs; the split itself is a pure
+    projection."""
+    from db_loganalyzer_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_doc_freq=200)
+    return leakage_safe_split(docs, pairs)
+
+
+M14_SQL = (
+    f"WITH RECURSIVE {_m02_ctes(200)}{_M08_COMPS_CTE}"
+    + """
+, j AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN comps c ON c.id = d.doc_id
+)
+SELECT doc_id, component_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split
+FROM (SELECT doc_id, component_id,
+             ((component_id * 2654435761) % 4294967296) % 100 AS b
+      FROM j)
+"""
+)
+
+
+def a32_hll_overlap(spark, sf_dir):
+    """A32 — sketch-side set algebra (sketches.hll_overlap): estimated
+    |error users|, |purchase users|, their union, and by
+    inclusion-exclusion their intersection + Jaccard — no distinct-pair
+    shuffle, no self-join; three <= 2^p register tables, two already
+    shared. Exact intersection joined in-row so the gate checks the
+    estimate against truth."""
+    from db_loganalyzer_spark.operators.sketches import hll_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_overlap(ev, "user_id", "event_type", "error", "purchase")
+    both = (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin(["error", "purchase"])
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+    )
+    exact = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_intersection")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+A32_SQL = f"""
+WITH h AS (
+  SELECT event_type, h
+  FROM {_mix32_sql_select('user_id',
+        "(SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL"
+        " AND event_type IN ('error', 'purchase'))",
+        passthrough=['event_type'])} x
+), pr AS (
+  SELECT event_type,
+         CAST(h % 4096 AS INT) AS bucket,
+         CAST((h - h % 4096) / 4096 AS BIGINT) AS v
+  FROM h
+), regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN v = 0 THEN 21 ELSE 20 - length(bin(v)) + 1 END) AS rho
+  FROM pr GROUP BY 1, 2
+), uregs AS (
+  SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1
+), fin_l AS (
+  SELECT event_type,
+         ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                         AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                    ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+               6) AS estimate
+  FROM (
+    SELECT event_type,
+           CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT)
+             + (4096 - COUNT(*)) * 2097152 AS s,
+           4096 - COUNT(*) AS zeros
+    FROM regs GROUP BY 1
+  )
+), fin_u AS (
+  SELECT ROUND(CASE WHEN (25371803950842.746 / CAST(s AS DOUBLE)) <= 10240.0
+                         AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+                    ELSE 25371803950842.746 / CAST(s AS DOUBLE) END,
+               6) AS est_union
+  FROM (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << (21 - rho)) AS BIGINT)
+             + (4096 - COUNT(*)) * 2097152 AS s,
+           4096 - COUNT(*) AS zeros
+    FROM uregs
+  )
+), wide AS (
+  SELECT a.estimate AS est_a, b.estimate AS est_b, u.est_union
+  FROM (SELECT estimate FROM fin_l WHERE event_type = 'error') a,
+       (SELECT estimate FROM fin_l WHERE event_type = 'purchase') b,
+       fin_u u
+), inter AS (
+  SELECT *, GREATEST(ROUND(est_a + est_b - est_union, 6), 0.0)
+              AS est_intersection
+  FROM wide
+)
+SELECT 'error' AS label_a, 'purchase' AS label_b,
+       est_a, est_b, est_union, est_intersection,
+       CASE WHEN est_union > 0
+            THEN ROUND(est_intersection / est_union, 6) END AS jaccard_est,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT user_id FROM events
+          WHERE user_id IS NOT NULL AND event_type IN ('error', 'purchase')
+          GROUP BY 1 HAVING COUNT(DISTINCT event_type) = 2))
+         AS exact_intersection
+FROM inter
+"""
+
+
 def d14_cusum_drift(spark, sf_dir):
     """D14 — per-key CUSUM drift scores (detectors.cusum_drift): the
     sequential small-but-sustained shift detector, via the prefix-min
@@ -5277,6 +5404,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
     "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
     "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
+    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
+    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -753,3 +753,35 @@ def dedup_representatives(
             (F.col("__rn") == 1).alias("is_keeper"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    salt: int = 0,
+) -> DataFrame:
+    """M14 — near-dup-aware train/val/test split: hash the COMPONENT id,
+    not the doc id, so every member of a duplicate group lands in the
+    same split. Plain per-doc hashing leaks: a train doc's near-clone in
+    val inflates eval scores — the standard contamination failure the
+    group-level assignment removes by construction.
+
+    Same composition cost as :func:`dedup_representatives` (components
+    + one left join); the split itself is a pure projection
+    (sampling.assign_split's Knuth bucket), so the incremental cost
+    over a naive split is just the dedup grouping a pipeline runs
+    anyway. Singletons (docs in no pair) hash their own id — identical
+    to the naive split for them.
+    """
+    from db_loganalyzer_spark.operators.sampling import assign_split
+
+    comps = dedup_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col(id_col)))
+        .withColumn("split", assign_split("component_id", splits, salt))
+        .select(id_col, "component_id", "split")
+    )

@@ -472,3 +472,69 @@ def histogram_quantiles(
         F.col("__n").alias("n"),
         est.alias("est"),
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    p: int = 12,
+    salt: int = 0,
+) -> DataFrame:
+    """A32 — sketch-side set algebra: estimated |A|, |B|, |A u B| and
+    (by inclusion-exclusion) |A n B| + Jaccard for the key sets of two
+    label values — "how much do error users overlap purchase users"
+    without ever shuffling a distinct (label, key) pair set.
+
+    Registers are mergeable by pointwise max, so the union sketch is
+    one more groupBy over the two label sketches ALREADY built — total
+    cost three register tables of <= 2^p rows each. The exact form at
+    scale needs a full-key shuffle AND a self-join; this needs neither.
+    Inclusion-exclusion inherits the individual estimates' error (for
+    small overlaps the relative error can exceed 100% — the standard
+    HLL caveat, which the in-row exact columns at test SF make visible).
+    """
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(label_col).isin([label_a, label_b])
+    ).select(F.col(label_col).alias("__l"), F.col(key_col).alias("__k"))
+    pair = hll_rank("__k", p, salt)
+    per_label = (
+        base.select(
+            "__l",
+            pair.getField("bucket").alias("bucket"),
+            pair.getField("rho").alias("rho"),
+        )
+        .groupBy("__l", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est_ab = hll_finish(per_label, p, ["__l"]).select(
+        "__l", F.col("estimate")
+    )
+    est_u = hll_finish(
+        per_label.groupBy("bucket").agg(F.max("rho").alias("rho")), p
+    ).select(F.col("estimate").alias("est_union"))
+    ea = est_ab.filter(F.col("__l") == label_a).select(
+        F.col("estimate").alias("est_a")
+    )
+    eb = est_ab.filter(F.col("__l") == label_b).select(
+        F.col("estimate").alias("est_b")
+    )
+    out = ea.crossJoin(eb).crossJoin(est_u)
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return out.select(
+        F.lit(label_a).alias("label_a"),
+        F.lit(label_b).alias("label_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0, F.round(inter / F.col("est_union"), 6)
+        ).alias("jaccard_est"),
+    )

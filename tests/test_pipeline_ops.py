@@ -1125,3 +1125,43 @@ def test_auto_n_planes_tracks_corpus_growth(spark):
         SIM.auto_n_planes(big, target_bucket_size=500)
         == SIM.auto_n_planes(big.union(big), target_bucket_size=500) - 1
     )
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 0-1-2, pair (50, 150), rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 150)], "id_a long, id_b long"
+    )
+    out = DD.leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 200
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    # every component maps to exactly one split — the leakage property
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert by_comp[0] == by_comp.get(0)  # chain 0-1-2 shares component 0
+    comp_of = {r.doc_id: r.component_id for r in out}
+    assert comp_of[0] == comp_of[1] == comp_of[2] == 0
+    assert comp_of[50] == comp_of[150] == 50
+    # and all three splits actually occur over 200 singleton-ish docs
+    assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    from db_loganalyzer_spark.operators.sketches import hll_overlap
+
+    # A = 0..3999, B = 2000..7999 -> |A n B| = 2000, |A u B| = 8000
+    rows = [(int(k), "a") for k in range(4000)] + [
+        (int(k), "b") for k in range(2000, 8000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lab string")
+    r = hll_overlap(df, "user_id", "lab", "a", "b", p=12).collect()[0]
+    assert abs(r["est_a"] - 4000) / 4000 < 0.1
+    assert abs(r["est_b"] - 6000) / 6000 < 0.1
+    assert abs(r["est_union"] - 8000) / 8000 < 0.1
+    # inclusion-exclusion compounds the three errors — loose bound
+    assert abs(r["est_intersection"] - 2000) / 2000 < 0.35
+    assert 0.1 < r["jaccard_est"] < 0.45  # truth 0.25
