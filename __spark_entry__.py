@@ -5389,8 +5389,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
     # ordered by staleness of their latest driver row — brand-new round-6
     # entries first, then every r2/r3-checked entry (34), then r4-checked
-    # oldest-first, then r5-checked. New entries are inserted at the TOP;
-    # as long as (new + 34) <= 50 the whole stale block stays in-window.
+    # oldest-first, then r5-checked. New entries are inserted at the TOP.
+    # End of round 6: 18 new + 32 of the 34 r2/r3-stale entries fill the
+    # window; the stale block's last two (cl01_embed_docs,
+    # cl02_cluster_reps, positions 51-52) are displaced to round 7 —
+    # both re-verified green by scripts/check_oracle.py this round.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
     # ---- new in r6 (first driver row) ----
     "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
