@@ -4874,6 +4874,48 @@ FROM base b JOIN profile p USING (event_type, hod)
 """
 
 
+def d16_seasonal_anomalies(spark, sf_dir):
+    """D16 — anomalies against the CYCLIC hour-of-day profile
+    (detectors.seasonal_anomalies): values z-scored per (type, hod)
+    mean/std over history, so daily peaks are baseline, not alarms —
+    the seasonal completion of d06/d07. One partial-agg shuffle to a
+    types x 24 profile broadcast back; sum-of-squares accumulates in
+    DECIMAL(38,0) (mirrors DuckDB HUGEINT — the d13 overflow class);
+    z hash-matches unrounded (exact-integer variance, IEEE sqrt)."""
+    from db_loganalyzer_spark.detectors.detectors import seasonal_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomalies(ev, "value", z_threshold=3.0, min_samples=30)
+
+
+D16_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) AS BIGINT) % 24
+              AS INT) AS hod,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), prof AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vm) AS BIGINT) AS s,
+         SUM(CAST(vm AS HUGEINT) * vm) AS q
+  FROM base GROUP BY 1, 2
+), p2 AS (
+  SELECT event_type, hod, n,
+         CAST(s AS DOUBLE) / 1000000.0 / n AS hod_mean,
+         sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0 AS hod_std
+  FROM prof
+)
+SELECT b.event_id, b.event_type, b.hod, b.value, p.hod_mean, p.hod_std,
+       (b.value - p.hod_mean) / p.hod_std AS z
+FROM base b JOIN p2 p USING (event_type, hod)
+WHERE p.n >= 30 AND p.hod_std IS NOT NULL AND p.hod_std > 0
+  AND ABS((b.value - p.hod_mean) / p.hod_std) >= 3.0
+"""
+
+
 def w17_counter_rates(spark, sf_dir):
     """W17 — per-sample counter rate (operators/timeseries.
     counter_rates): the Prometheus rate() primitive — (v - prev) /
@@ -5409,6 +5451,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
     "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
     "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
+    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -1133,3 +1133,83 @@ def cusum_changepoints(
             F.col("is_drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D16 seasonal-residual anomalies
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    value_col: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+    min_samples: int = 30,
+) -> DataFrame:
+    """D16 — anomalies against a CYCLIC (hour-of-day) profile: each
+    value is z-scored against its (type, hour-of-day) mean/std over the
+    whole history, so the nightly batch-load peak is part of the
+    baseline instead of a daily false alarm — the seasonal completion
+    of d06 (flat bucket z) and d07 (trailing-window baseline).
+
+    Scale shape: ONE partial-agg shuffle to a (types x 24)-row profile
+    — count, micro-unit sum, and micro-unit sum-of-squares — broadcast
+    back over the scan; scoring is a pure projection. Determinism: each
+    squared micro-unit ALREADY exceeds signed-64 for values past ~3000
+    (vm^2 > 9.2e18), so the square is taken in DECIMAL(38,0) — exact,
+    and the DuckDB oracle multiplies in HUGEINT (its BIGINT `*` errors
+    on overflow rather than promoting — same class as the d13 fix);
+    variance is one double division of exact integers, and IEEE sqrt is
+    correctly rounded — the z-scores hash-match unrounded.
+    """
+    hour = ((F.floor(F.unix_timestamp(ts_col) / 3600)) % 24).cast("int")
+    base = events.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    ).select(
+        "event_id",
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+        hour.alias("hod"),
+    )
+    vm = F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
+    vmd = vm.cast("decimal(38,0)")
+    prof = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vm).alias("s"),
+        F.sum(vmd * vmd).alias("q"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mean = F.col("s").cast("double") / 1_000_000.0 / F.col("n")
+    var_num = (d("n") * F.col("q") - d("s") * F.col("s")).cast("double")
+    std = (
+        F.sqrt(var_num / (F.col("n") * (F.col("n") - 1)).cast("double"))
+        / 1_000_000.0
+    )
+    scored = base.join(
+        F.broadcast(
+            prof.select(
+                "event_type",
+                "hod",
+                "n",
+                mean.alias("hod_mean"),
+                std.alias("hod_std"),
+            )
+        ),
+        ["event_type", "hod"],
+    )
+    zc = (F.col("value") - F.col("hod_mean")) / F.col("hod_std")
+    return (
+        scored.filter(
+            (F.col("n") >= min_samples)
+            & F.col("hod_std").isNotNull()
+            & (F.col("hod_std") > 0)
+        )
+        .withColumn("z", zc)
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(
+            "event_id", "event_type", "hod", "value",
+            "hod_mean", "hod_std", "z",
+        )
+    )

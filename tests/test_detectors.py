@@ -357,3 +357,34 @@ def test_cusum_changepoints_locates_peak(spark):
     # 0,1,0,0,2,0,0,1,0,0 — unique peak 2.0 at event 4
     assert out["a"]["peak_cusum"] == 2.0
     assert out["a"]["peak_event_id"] == 4
+
+
+def test_seasonal_anomalies_baseline_absorbs_daily_peak(spark):
+    """A nightly peak that repeats every day is baseline; the same
+    magnitude at an off-hour is the anomaly."""
+    import datetime as dt
+
+    from db_loganalyzer_spark.detectors.detectors import seasonal_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 40 days: hour 2 always ~100 (the nightly batch), hour 10 always ~10
+    for day in range(40):
+        for hod, val in ((2, 100.0), (10, 10.0)):
+            jitter = (eid % 5) * 0.5  # spread so std > 0
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, hours=hod), "load",
+                 val + jitter)
+            )
+            eid += 1
+    # the true anomaly: one 100.0 at hour 10
+    rows.append((eid, t0 + dt.timedelta(days=40, hours=10), "load", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = seasonal_anomalies(df, "value", z_threshold=3.0, min_samples=30)
+    flagged = out.collect()
+    # only the off-hour spike fires; all 40 nightly peaks stay silent
+    assert [r.event_id for r in flagged] == [eid]
+    assert flagged[0].hod == 10 and flagged[0].z > 3
