@@ -145,6 +145,12 @@ def main():
             stream_from(spark, land, template), bucket_seconds=300
         )
         print(json.dumps(drain_with_progress(gap, "st09_gap_fill", workdir, n)))
+
+        # st11: per-key CUSUM — state is 2 BIGINT scalars per key
+        cus = ST.streaming_cusum(
+            stream_from(spark, land, template), ref=35.0, threshold=1000.0
+        )
+        print(json.dumps(drain_with_progress(cus, "st11_cusum", workdir, n)))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
