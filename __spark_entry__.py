@@ -4874,6 +4874,61 @@ FROM base b JOIN profile p USING (event_type, hod)
 """
 
 
+def t16_zipf_fit(spark, sf_dir):
+    """T16 — Zipf power-law fit of the corpus vocabulary
+    (textstats.zipf_fit): least-squares slope/intercept/r of log(freq)
+    vs log(rank). Natural text ~ -1; far-off slopes flag degenerate
+    corpora before training. One token-key shuffle + a bounded top-N
+    rank + ONE 1-row regression aggregate; logs rounded+scaled to exact
+    BIGINT micro-units before summation, composites in DECIMAL(38,0) /
+    HUGEINT — slope and r hash-match unrounded."""
+    from db_loganalyzer_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=10_000)
+
+
+T16_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1 ORDER BY n DESC, token LIMIT 10000
+), ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM counts
+), pts AS (
+  SELECT CAST(FLOOR(ROUND(ln(CAST(rank AS DOUBLE)), 6) * 1000000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(FLOOR(ROUND(ln(CAST(n AS DOUBLE)), 6) * 1000000 + 0.5)
+              AS BIGINT) AS y
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+)
+SELECT k AS n_terms,
+       CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE) / 1000000.0 / k)
+         - (CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / 1000000.0 / k) AS intercept,
+       CASE WHEN CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+                 AND CAST(k * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0
+            THEN (CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / sqrt(CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+                 / sqrt(CAST(k * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+       END AS r
+FROM s
+"""
+
+
 def d16_seasonal_anomalies(spark, sf_dir):
     """D16 — anomalies against the CYCLIC hour-of-day profile
     (detectors.seasonal_anomalies): values z-scored per (type, hod)
@@ -5452,6 +5507,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
     "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
     "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
+    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

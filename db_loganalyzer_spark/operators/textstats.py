@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -445,4 +445,67 @@ def length_histogram(
             F.min("__n").cast("bigint").alias("min_tokens"),
             F.max("__n").cast("bigint").alias("max_tokens"),
         )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10_000,
+) -> DataFrame:
+    """T16 — Zipf power-law fit of the vocabulary: least-squares slope of
+    log(freq) vs log(rank) over the top-``top_n`` terms. Natural text
+    sits near slope -1; a slope far off (or a tiny r^2) flags degenerate
+    corpora — template floods, synthetic token soup, OCR noise — before
+    any model sees them.
+
+    Plan: one explode + one token-key partial-agg shuffle (the same
+    lineage as vocab_stats), a bounded top-N rank (single window over
+    <= top_n rows after TakeOrdered), then ONE 1-row aggregate of the
+    regression sums. Determinism: log(freq) and log(rank) are rounded
+    to 6 decimals and scaled to exact BIGINT micro-units BEFORE any
+    sum; the normal-equation composites run in DECIMAL(38,0) (they
+    exceed signed-64 — the d13/d16 overflow class); slope/intercept/r^2
+    are divisions of exact integers cast to double, hash-exact.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    x = F.floor(F.round(F.log(F.col("rank").cast("double")), 6) * 1_000_000 + F.lit(0.5)).cast("long")
+    y = F.floor(F.round(F.log(F.col("n").cast("double")), 6) * 1_000_000 + F.lit(0.5)).cast("long")
+    pts = ranked.select(
+        x.alias("x"),
+        y.alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    num = (d("k") * F.col("sxy") - d("sx") * F.col("sy")).cast("double")
+    denx = (d("k") * F.col("sxx") - d("sx") * F.col("sx")).cast("double")
+    deny = (d("k") * F.col("syy") - d("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    mean_x = F.col("sx").cast("double") / 1_000_000.0 / F.col("k")
+    mean_y = F.col("sy").cast("double") / 1_000_000.0 / F.col("k")
+    return s.select(
+        F.col("k").alias("n_terms"),
+        slope.alias("slope"),
+        (mean_y - slope * mean_x).alias("intercept"),
+        F.when(
+            (denx > 0) & (deny > 0), (num / F.sqrt(denx)) / F.sqrt(deny)
+        ).alias("r"),
     )

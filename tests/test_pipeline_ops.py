@@ -1165,3 +1165,28 @@ def test_hll_overlap_inclusion_exclusion(spark):
     # inclusion-exclusion compounds the three errors — loose bound
     assert abs(r["est_intersection"] - 2000) / 2000 < 0.35
     assert 0.1 < r["jaccard_est"] < 0.45  # truth 0.25
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    # corpus where term i appears ~C/i times: slope must come out ~ -1
+    # and r strongly negative; a flat (uniform) corpus must not
+    rows = []
+    for i in range(1, 201):
+        word = f"w{i}"
+        rows.extend((j, word) for j in range(max(1, 2000 // i)))
+    zipf = spark.createDataFrame(
+        [(i, " ".join(w for _, w in grp)) for i, grp in
+         ((k, [r for r in rows if r[0] % 50 == k]) for k in range(50))],
+        "doc_id long, text string",
+    )
+    out = TS.zipf_fit(zipf, top_n=200).collect()[0]
+    assert out["n_terms"] == 200
+    assert -1.15 < out["slope"] < -0.85, out["slope"]
+    assert out["r"] < -0.97
+    uniform = spark.createDataFrame(
+        [(i, " ".join(f"u{j}" for j in range(100))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    flat = TS.zipf_fit(uniform, top_n=100).collect()[0]
+    # all frequencies equal -> zero variance in y -> r is NULL, slope 0
+    assert flat["slope"] == 0.0 and flat["r"] is None
