@@ -4874,6 +4874,62 @@ FROM base b JOIN profile p USING (event_type, hod)
 """
 
 
+def m15_incremental_dedup(spark, sf_dir):
+    """M15 — incremental batch-vs-corpus dedup (dedup.
+    ngram_jaccard_against): each ingest batch (doc_id % 10 = 0 here)
+    probes the standing corpus shingle index instead of re-running the
+    corpus self-join per ingest. Stop-shingle cap computed corpus-side
+    only, applied to both sides before set sizes — exact Jaccard over
+    the corpus's discriminative vocabulary (m02c semantics)."""
+    from db_loganalyzer_spark.operators.dedup import ngram_jaccard_against
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_jaccard_against(
+        batch, corpus, threshold=0.12, n=2, max_doc_freq=200
+    )
+
+
+def _m15_shingles(where: str) -> str:
+    return f"""
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - 1, 0)),
+           i -> array_to_string(words[i:i+1], ' ')))) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS words
+    FROM documents WHERE {where}
+  )"""
+
+
+M15_SQL = f"""
+WITH nsh0 AS ({_m15_shingles("doc_id % 10 = 0")}
+), csh0 AS ({_m15_shingles("doc_id % 10 <> 0")}
+), hot AS (
+  SELECT shingle FROM csh0 GROUP BY 1 HAVING COUNT(*) > 200
+), nsh AS (
+  SELECT id AS new_id, shingle FROM nsh0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+), csh AS (
+  SELECT id AS corpus_id, shingle FROM csh0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+), nn AS (
+  SELECT new_id, COUNT(*) AS n_new FROM nsh GROUP BY 1
+), nc AS (
+  SELECT corpus_id, COUNT(*) AS n_corpus FROM csh GROUP BY 1
+), inter AS (
+  SELECT new_id, corpus_id, COUNT(*) AS n_inter
+  FROM nsh JOIN csh USING (shingle) GROUP BY 1, 2
+)
+SELECT new_id, corpus_id, n_inter, nn.n_new, nc.n_corpus,
+       n_inter / (nn.n_new + nc.n_corpus - n_inter) AS jaccard
+FROM inter JOIN nn USING (new_id) JOIN nc USING (corpus_id)
+WHERE n_inter / (nn.n_new + nc.n_corpus - n_inter) >= 0.12
+"""
+
+
 def t16_zipf_fit(spark, sf_dir):
     """T16 — Zipf power-law fit of the corpus vocabulary
     (textstats.zipf_fit): least-squares slope/intercept/r of log(freq)
@@ -5508,6 +5564,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
     "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
     "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
+    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
     # ---- latest driver row: r2 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

@@ -785,3 +785,68 @@ def leakage_safe_split(
         .withColumn("split", assign_split("component_id", splits, salt))
         .select(id_col, "component_id", "split")
     )
+
+
+def ngram_jaccard_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """M15 — INCREMENTAL dedup: Jaccard of each new-batch document
+    against the EXISTING corpus, without the corpus-side self-join. The
+    continuously-ingested pipeline shape — each ingest batch probes the
+    standing shingle index and drops (or groups) what it already has;
+    re-running :func:`ngram_jaccard_pairs` over corpus+batch per ingest
+    re-pays the whole corpus every time.
+
+    The stop-shingle cap (``max_doc_freq``) is computed on the CORPUS
+    side only — the index you own; a batch can't know corpus-wide
+    boilerplate — and the capped vocabulary is applied to BOTH sides
+    before set sizes, so scores are exact Jaccard over the corpus's
+    discriminative vocabulary (same semantics as the m02c twin).
+
+    Output: ``(new_id, corpus_id, n_inter, n_new, n_corpus, jaccard)``
+    — one row per (new doc, matched corpus doc) at/above threshold.
+    """
+    nsh = _spread(new_docs).select(
+        F.col(id_col).alias("new_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    csh = _spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            csh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("shingle")
+        )
+        csh = csh.join(F.broadcast(hot), "shingle", "left_anti")
+        nsh = nsh.join(F.broadcast(hot), "shingle", "left_anti")
+    n_new = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    n_corp = csh.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    inter = (
+        nsh.join(csh, "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_new") + F.col("n_corpus") - F.col("n_inter")
+    )
+    return (
+        inter.join(n_new, "new_id")
+        .join(n_corp, "corpus_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_id", "corpus_id", "n_inter", "n_new", "n_corpus", "jaccard"
+        )
+    )

@@ -1190,3 +1190,27 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     flat = TS.zipf_fit(uniform, top_n=100).collect()[0]
     # all frequencies equal -> zero variance in y -> r is NULL, slope 0
     assert flat["slope"] == 0.0 and flat["r"] is None
+
+
+def test_ngram_jaccard_against_matches_batch_probe(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four"),
+         (3, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 10: near-clone of corpus doc 1; 11: novel
+        [(10, "alpha beta gamma delta extra"), (11, "wholly new words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 4)
+        for r in DD.ngram_jaccard_against(
+            batch, corpus, threshold=0.3, n=2
+        ).collect()
+    }
+    # bigrams of 10: ab, bg, gd, de(x) -> inter with doc1 {ab,bg,gd}=3,
+    # n_new=4, n_corpus=3 -> j = 3/4; with doc3 {ab,bg}=2 -> 2/5
+    assert out[(10, 1)] == 0.75
+    assert out[(10, 3)] == 0.4
+    assert not any(k[0] == 11 for k in out)
