@@ -5543,10 +5543,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ordered by staleness of their latest driver row — brand-new round-6
     # entries first, then every r2/r3-checked entry (34), then r4-checked
     # oldest-first, then r5-checked. New entries are inserted at the TOP.
-    # End of round 6: 18 new + 32 of the 34 r2/r3-stale entries fill the
-    # window; the stale block's last two (cl01_embed_docs,
-    # cl02_cluster_reps, positions 51-52) are displaced to round 7 —
-    # both re-verified green by scripts/check_oracle.py this round.
+    # End of round 6: 21 new + 29 of the 35 stale entries fill the
+    # window (last in-window: s07_processes at position 50); displaced
+    # to round 7: a05, a06, a10, c01, cl01, cl02 — all green in this
+    # round's FULL 144/144 local gate at sf0.01 AND sf0.1.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
     # ---- new in r6 (first driver row) ----
     "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
