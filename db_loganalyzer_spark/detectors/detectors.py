@@ -963,9 +963,12 @@ def lag_correlation(
     )
     # The composite terms exceed signed-64 at scale (the variance
     # product is ~(buckets * c^2)^2 — observed ARITHMETIC_OVERFLOW at
-    # sf10). DECIMAL(38,0) keeps them exact (mirroring DuckDB's silent
-    # HUGEINT promotion of BIGINT products), and the single cast of the
-    # exact integer product to double is engine-identical.
+    # sf10). DECIMAL(38,0) keeps them exact (the oracle's SUM promotes
+    # to HUGEINT), and the single cast of the exact integer product to
+    # double is engine-identical. Past 38 digits (variance terms beyond
+    # ~1e19 each) BOTH engines fail loudly — Spark's ANSI decimal
+    # overflow error, DuckDB's HUGEINT multiply error — never a silent
+    # divergence; at that magnitude pre-scale the bucket counts.
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
     den = F.sqrt(
@@ -1147,6 +1150,7 @@ def seasonal_anomalies(
     ts_col: str = "ts",
     z_threshold: float = 3.0,
     min_samples: int = 30,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """D16 — anomalies against a CYCLIC (hour-of-day) profile: each
     value is z-scored against its (type, hour-of-day) mean/std over the
@@ -1168,7 +1172,7 @@ def seasonal_anomalies(
     base = events.filter(
         F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
     ).select(
-        "event_id",
+        F.col(id_col).alias("event_id"),
         F.col(type_col).alias("event_type"),
         F.col(value_col).alias("value"),
         hour.alias("hod"),

@@ -78,8 +78,11 @@ class BPETokenizer:
     def train(cls, corpus: list[str], num_merges: int = 200) -> "BPETokenizer":
         """Sennrich-style merge learning: start from characters (+ the
         end-of-word marker), repeatedly merge the most frequent adjacent
-        pair. Deterministic: ties break on the lexicographically smallest
-        pair, never on dict order."""
+        pair. Deterministic: frequency ties break on the pair whose
+        REVERSED tuple is lexicographically greatest (max by
+        ``(count, (second, first))``) — an arbitrary but fixed total
+        order, never dict order. Any re-implementation must use this
+        exact rule or its merge table (and all token counts) diverge."""
         vocab: dict[tuple[str, ...], int] = Counter()
         for text in corpus:
             for tok in pretokenize(text):

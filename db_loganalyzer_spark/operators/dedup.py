@@ -183,6 +183,21 @@ def shingle_hashes(c: Column | str, n: int) -> Column:
     return shingle_hashes_from_tp(_token_hash_pows(toks), n)
 
 
+def _hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
+    """The stop-shingle blacklist: shingles appearing in more than
+    ``cap`` documents (shingle arrays are distinct per doc, so a row
+    count IS the document frequency). One definition on purpose — the
+    capped-Jaccard semantics ("exact over the discriminative
+    vocabulary") depend on every call site filtering identically.
+    Hot shingles are by definition few: broadcast the blacklist."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > cap)
+        .select("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -211,13 +226,7 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
-        # hot shingles are by definition few: broadcast the blacklist
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") > max_doc_freq)
-            .select("shingle")
-        )
+        hot = _hot_shingles(sh, max_doc_freq)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -263,12 +272,7 @@ def shingle_containment_pairs(
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") > max_doc_freq)
-            .select("shingle")
-        )
+        hot = _hot_shingles(sh, max_doc_freq)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -821,12 +825,7 @@ def ngram_jaccard_against(
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
-        hot = (
-            csh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") > max_doc_freq)
-            .select("shingle")
-        )
+        hot = _hot_shingles(csh, max_doc_freq)
         csh = csh.join(F.broadcast(hot), "shingle", "left_anti")
         nsh = nsh.join(F.broadcast(hot), "shingle", "left_anti")
     n_new = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))

@@ -304,6 +304,26 @@ def hll_cumulative(
     return hll_finish(dense, p, ["bkt"])
 
 
+def _cm_depth_buckets(hash_col: str, depth: int, width: int):
+    """The (d, bucket) assignment both the sketch BUILD and the probe
+    side must share bit-for-bit: row d uses the lowbias32 mixer with
+    salt ``d*10007+1``. Single definition on purpose — a build/probe
+    drift here produces silently wrong frequencies, not an error."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (mix32(F.col(hash_col), salt=d * 10007 + 1) % width)
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def countmin_sketch(
     df: DataFrame, hash_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
@@ -320,21 +340,7 @@ def countmin_sketch(
     (structure + data, no RNG), so they hash-match a SQL restatement:
     a verified approximation, same doctrine as the HLL entry.
     """
-    rows = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (mix32(F.col(hash_col), salt=d * 10007 + 1) % width)
-                        .cast("int")
-                        .alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    rows = df.select(_cm_depth_buckets(hash_col, depth, width).alias("c"))
     return (
         rows.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -356,20 +362,7 @@ def countmin_estimates(
     the classic eps = e/width bound per row of depth."""
     sketch = countmin_sketch(df, hash_col, depth, width)
     probe = keys.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (mix32(F.col(hash_col), salt=d * 10007 + 1) % width)
-                        .cast("int")
-                        .alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c"),
+        "*", _cm_depth_buckets(hash_col, depth, width).alias("c")
     ).select("*", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     key_cols = [c for c in keys.columns]
     return (
@@ -515,12 +508,19 @@ def hll_overlap(
     )
     est_u = hll_finish(
         per_label.groupBy("bucket").agg(F.max("rho").alias("rho")), p
-    ).select(F.col("estimate").alias("est_union"))
-    ea = est_ab.filter(F.col("__l") == label_a).select(
-        F.col("estimate").alias("est_a")
+    ).agg(
+        # global aggs guarantee ONE row even when a label (or both) has
+        # zero input rows — an absent set is estimate 0, not zero rows
+        # (a silent no-output would read as "no overlap data")
+        F.coalesce(F.first("estimate"), F.lit(0.0)).alias("est_union")
     )
-    eb = est_ab.filter(F.col("__l") == label_b).select(
-        F.col("estimate").alias("est_b")
+    ea = (
+        est_ab.filter(F.col("__l") == label_a)
+        .agg(F.coalesce(F.first("estimate"), F.lit(0.0)).alias("est_a"))
+    )
+    eb = (
+        est_ab.filter(F.col("__l") == label_b)
+        .agg(F.coalesce(F.first("estimate"), F.lit(0.0)).alias("est_b"))
     )
     out = ea.crossJoin(eb).crossJoin(est_u)
     inter = F.greatest(

@@ -532,7 +532,11 @@ def _gapfill_fn_factory(bucket_seconds: int):
         # every consecutive unique-bucket pair (u_i, u_{i+1}) emits
         # exactly (u_{i+1}-u_i)/bs rows: the real u_i row plus its holes.
         pdf = pdf[pdf["value"].notna()]
-        b = ((pdf["ts"].astype("int64") // (bs * 1_000_000_000)) * bs).to_numpy()
+        # normalize to us first — Arrow may deliver ns- OR us-resolution
+        # pandas timestamps depending on pyarrow/pandas versions, and a
+        # raw int64 view of a us series would shift buckets by 1000x
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b = (ts_us // (bs * 1_000_000)) * bs
         v = pdf["value"].astype("float64").to_numpy()
         if last_b is not None:
             keep = b >= last_b

@@ -41,11 +41,17 @@ def main():
     resume = "--resume" in args
     if resume:
         args.remove("--resume")
+    skip = DEFAULT_SKIP
+    if "--skip" in args:
+        i = args.index("--skip")
+        if i + 1 >= len(args):
+            sys.exit("--skip requires a value (use --skip \"\" for none)")
+        skip = {s for s in args[i + 1].split(",") if s}
+        del args[i : i + 2]
+    if any(a.startswith("--") for a in args):
+        sys.exit(f"unknown flag(s): {[a for a in args if a.startswith('--')]}")
     sf_dir = args[0]
     out_path = args[1]
-    skip = DEFAULT_SKIP
-    if len(args) > 3 and args[2] == "--skip":
-        skip = {s for s in args[3].split(",") if s}
 
     done: set[str] = set()
     if resume and os.path.exists(out_path):

@@ -297,3 +297,15 @@ def test_hll_cumulative_monotone_and_matches_prefix_estimates(spark):
         )
         want = hll_estimate(prefix, "user_id", p=12).collect()[0]["estimate"]
         assert out[b] == want, (b, out[b], want)
+
+
+def test_hll_overlap_absent_label_yields_zero_not_empty(spark):
+    from db_loganalyzer_spark.operators.sketches import hll_overlap
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], "user_id long, lab string"
+    )
+    r = hll_overlap(df, "user_id", "lab", "a", "b", p=10).collect()
+    assert len(r) == 1  # never zero rows
+    assert r[0]["est_b"] == 0.0 and r[0]["est_intersection"] == 0.0
+    assert r[0]["est_a"] > 50
