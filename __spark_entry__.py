@@ -5537,18 +5537,259 @@ GROUP BY 1, 2
 """
 
 
+def j12_bloom_prefilter(spark, sf_dir):
+    """J12 — bloom-filter semi-join pruning (joins.bloom_build /
+    bloom_prefilter): the filter over "customers in ASIA" is built as a
+    <= 128-row (word, bits) DataFrame with k=3 engine-portable mix32
+    hashes, broadcast onto the orders scan, and every order is flagged
+    possible-member BEFORE any wide join. Output is the evidence row the
+    100 TB story needs: false_negatives is structurally 0 (no member is
+    ever pruned) while bloom_pass tracks exact_match within the measured
+    false-positive margin — the fraction of the fact-table shuffle the
+    prefilter saves. The oracle recomputes the identical filter bit-for-
+    bit in DuckDB (same mix32, same words, same masks)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    build = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    bloom = J.bloom_build(build, "c_custkey", n_bits=4096, k=3)
+    orders = _t(spark, sf_dir, "orders")
+    probed = J.bloom_prefilter(orders, bloom, "o_custkey", n_bits=4096, k=3)
+    member = build.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "__m", F.lit(1)
+    )
+    flagged = probed.join(F.broadcast(member), "o_custkey", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("orders_total"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bloom_pass"),
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("__m").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("__m").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("false_negatives"),
+    )
+
+
+_J12_PROBE = _mix32_sql_select(
+    "o_custkey",
+    "(SELECT o_orderkey, o_custkey FROM orders)",
+    passthrough=["o_orderkey", "o_custkey"],
+    alias="ha",
+    salt=1,
+)
+_J12_PROBE = _mix32_sql_select(
+    "o_custkey",
+    _J12_PROBE,
+    passthrough=["o_orderkey", "o_custkey", "ha"],
+    alias="hb",
+    salt=2,
+)
+_J12_PROBE = _mix32_sql_select(
+    "o_custkey",
+    _J12_PROBE,
+    passthrough=["o_orderkey", "o_custkey", "ha", "hb"],
+    alias="hc",
+    salt=3,
+)
+
+J12_SQL = f"""
+WITH bk AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), pos AS (
+  SELECT h % 4096 AS pos
+  FROM {_mix32_sql_select('c_custkey', '(SELECT c_custkey FROM bk)', salt=1)} x1
+  UNION ALL
+  SELECT h % 4096
+  FROM {_mix32_sql_select('c_custkey', '(SELECT c_custkey FROM bk)', salt=2)} x2
+  UNION ALL
+  SELECT h % 4096
+  FROM {_mix32_sql_select('c_custkey', '(SELECT c_custkey FROM bk)', salt=3)} x3
+), words AS (
+  SELECT pos >> 5 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), flags AS (
+  SELECT p.o_orderkey,
+         (wa.bits IS NOT NULL
+          AND (wa.bits & (CAST(1 AS BIGINT) << CAST((p.ha % 4096) % 32 AS INT))) <> 0
+          AND wb.bits IS NOT NULL
+          AND (wb.bits & (CAST(1 AS BIGINT) << CAST((p.hb % 4096) % 32 AS INT))) <> 0
+          AND wc.bits IS NOT NULL
+          AND (wc.bits & (CAST(1 AS BIGINT) << CAST((p.hc % 4096) % 32 AS INT))) <> 0
+         ) AS hit,
+         (m.c_custkey IS NOT NULL) AS member
+  FROM {_J12_PROBE} p
+  LEFT JOIN words wa ON wa.word = (p.ha % 4096) >> 5
+  LEFT JOIN words wb ON wb.word = (p.hb % 4096) >> 5
+  LEFT JOIN words wc ON wc.word = (p.hc % 4096) >> 5
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM bk) m ON m.c_custkey = p.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS orders_total,
+       CAST(count_if(hit) AS BIGINT) AS bloom_pass,
+       CAST(count_if(member) AS BIGINT) AS exact_match,
+       CAST(count_if(hit AND NOT member) AS BIGINT) AS false_positives,
+       CAST(count_if(member AND NOT hit) AS BIGINT) AS false_negatives
+FROM flags
+"""
+
+
+def m16_domain_mixture(spark, sf_dir):
+    """M16 — data-driven temperature mixture (sampling.
+    temperature_mixture_rates / temperature_resample): flatten the
+    per-source document distribution toward sqrt(p_d) — the standard
+    multi-domain training-mix move — with acceptance thresholds computed
+    FROM the corpus (two tiny aggregates + a broadcast join) and
+    membership the same pure hash projection as m09. sqrt because it is
+    IEEE correctly-rounded (identical in every engine); pow(p, alpha)
+    drifts in the last ulp across libm implementations. Output: one row
+    per source with before/after counts and the micro-threshold."""
+    from db_loganalyzer_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(docs, "source")
+    sel = (
+        temperature_resample(docs, "source", "doc_id", salt=7)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    return rates.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        "threshold",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+    )
+
+
+M16_SQL = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n_docs) AS n_min FROM c
+), r AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+              AS BIGINT) AS threshold
+  FROM c, m
+), s AS (
+  SELECT d.source, count(*) AS n_sel
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE ((d.doc_id * 2654435761 + 7) % 4294967296) % 1000000 < r.threshold
+  GROUP BY 1
+)
+SELECT r.source, r.n_docs, r.threshold,
+       CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected
+FROM r LEFT JOIN s ON r.source = s.source
+"""
+
+
+def m17_block_dedup(spark, sf_dir):
+    """M17 — sub-document (paragraph-level) dedup with reassembly
+    (dedup.block_dedup): corpus-wide first-occurrence filter over
+    20-token blocks, then each document is rebuilt from its surviving
+    blocks in order — the CCNet/RefinedWeb-style boilerplate-removal
+    pass that runs BEFORE doc-level dedup. One explode, one hash shuffle
+    on block text, one reassembly groupBy; no self-join."""
+    from db_loganalyzer_spark.operators.dedup import block_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return block_dedup(docs, block_tokens=20)
+
+
+M17_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, g.i AS block_idx,
+         array_to_string(toks[(g.i * 20 + 1):(g.i * 20 + 20)], ' ')
+           AS block_text
+  FROM t,
+       unnest(generate_series(0, CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1))
+         AS g(i)
+), k AS (
+  SELECT doc_id, block_idx, block_text,
+         row_number() OVER (
+           PARTITION BY block_text ORDER BY doc_id, block_idx
+         ) = 1 AS first_seen
+  FROM b
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count_if(first_seen) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN first_seen THEN block_text END, ' '
+                           ORDER BY block_idx), '') AS dedup_text
+FROM k GROUP BY doc_id
+"""
+
+
+def a33_salted_skew_agg(spark, sf_dir):
+    """A33 — skew-defeating two-stage aggregation (aggregates.
+    salted_agg): events grouped by event_type (~10 heavy keys over the
+    whole table — exactly the shape where one reducer serializes a
+    single-stage agg at scale) through a (key, salt)-partial then
+    key-merge pipeline. The oracle is the UNSALTED GROUP BY: equality of
+    the hashes IS the associativity proof, and the micro-unit integer
+    sums make it exact under any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    return A.salted_agg(ev, ["event_type"], "value", n_salts=16)
+
+
+A33_SQL = """
+SELECT event_type,
+       CAST(SUM(q) AS DOUBLE) / 1000000.0 AS sum_value,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(MIN(q) AS DOUBLE) / 1000000.0 AS min_value,
+       CAST(MAX(q) AS DOUBLE) / 1000000.0 AS max_value,
+       CAST(SUM(q) AS DOUBLE) / 1000000.0 / count(*) AS avg_value
+FROM (SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events)
+GROUP BY event_type
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
     # ordered by staleness of their latest driver row — brand-new round-6
     # entries first, then every r2/r3-checked entry (34), then r4-checked
     # oldest-first, then r5-checked. New entries are inserted at the TOP.
-    # End of round 6: 21 new + 29 of the 35 stale entries fill the
-    # window (last in-window: s07_processes at position 50); displaced
-    # to round 7: a05, a06, a10, c01, cl01, cl02 — all green in this
-    # round's FULL 144/144 local gate at sf0.01 AND sf0.1.
+    # End of round 6: 24 new + 26 of the 35 stale entries fill the
+    # window (last in-window: w02_value_resets at position 50);
+    # displaced to round 7: w03, w06, w09, s07, a05, a06, a10, c01,
+    # cl01, cl02 — all green in this round's FULL local gate (148
+    # entries) at sf0.01 AND sf0.1.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
     # ---- new in r6 (first driver row) ----
+    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
+    "m17_block_dedup": (m17_block_dedup, M17_SQL),
+    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
     "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
     "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
     "t14_shingle_containment": (t14_shingle_containment, T14_SQL),

@@ -390,3 +390,57 @@ def summary_stats(
         F.unix_micros(F.min(ts_col)).alias("first_ts_us"),
         F.unix_micros(F.max(ts_col)).alias("last_ts_us"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_src: str | Column = "event_id",
+) -> DataFrame:
+    """A33 — skew-defeating two-stage aggregation: stage 1 groups by
+    (keys, salt) so a heavy key's rows land on ``n_salts`` reducers
+    instead of one; stage 2 merges the per-salt partials on the real
+    keys — a shuffle of at most ``n_groups * n_salts`` tiny rows.
+
+    sum/count/min/max are associative, so the result is IDENTICAL to the
+    direct groupBy (the oracle is the unsalted SQL — the equality is the
+    proof), and the micro-unit integer sums make it bit-identical under
+    any partitioning. Use when one key holds >~ a partition's worth of
+    rows (the local-mode analogue: one straggling reducer); AQE's skew
+    handling covers sort-merge JOINS, not hash aggregations, so the
+    salt is still the aggregation-side lever.
+
+    Trade-off: two exchanges instead of one, both tiny after map-side
+    partial aggregation — the win is parallelizing the REDUCE of the
+    heavy key, which a single-stage agg serializes on one task.
+    """
+    salt = (
+        F.pmod(F.col(salt_src) if isinstance(salt_src, str) else salt_src,
+               F.lit(n_salts))
+        .alias("__salt")
+    )
+    q = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    partial = (
+        df.select(*keys, salt, q.alias("__q"))
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.sum("__q").alias("__psum"),
+            F.count(F.lit(1)).alias("__pn"),
+            F.min("__q").alias("__pmin"),
+            F.max("__q").alias("__pmax"),
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            (F.sum("__psum").cast("double") / 1e6).alias("sum_value"),
+            F.sum("__pn").cast("bigint").alias("n"),
+            (F.min("__pmin").cast("double") / 1e6).alias("min_value"),
+            (F.max("__pmax").cast("double") / 1e6).alias("max_value"),
+        )
+        .withColumn(
+            "avg_value", F.col("sum_value") / F.col("n")
+        )
+    )

@@ -849,3 +849,67 @@ def ngram_jaccard_against(
             "new_id", "corpus_id", "n_inter", "n_new", "n_corpus", "jaccard"
         )
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    block_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """M17 — sub-document (paragraph-level) dedup: corpus-wide removal of
+    repeated text blocks with per-document reassembly. Real corpora split
+    on paragraph boundaries; this synthetic corpus has none, so the block
+    is a fixed ``block_tokens``-token span — the lineage (explode ->
+    first-occurrence window -> ordered re-agg) is the operator.
+
+    A block survives iff this (doc, position) is its first occurrence in
+    the corpus ordered by (doc_id, block_idx) — boilerplate repeated
+    across documents (headers, footers, licence text) is kept exactly
+    once, the shape CCNet/RefinedWeb-style pipelines run before
+    doc-level dedup.
+
+    Scale shape: one explode (docs -> ~docs * len/20 short rows), one
+    hash shuffle on block text for the window (each group is tiny:
+    occurrences of one distinct block), one groupBy doc_id to reassemble.
+    No driver state, no self-join; skew only from galactically-common
+    blocks, the same stop-shingle lever as m02c applies.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    nb = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * block_tokens + 1, block_tokens), " "
+        ),
+    )
+    b = df.select(
+        F.col(id_col), F.posexplode(blocks).alias("block_idx", "block_text")
+    )
+    w = Window.partitionBy("block_text").orderBy(id_col, "block_idx")
+    kept = b.withColumn("first_seen", F.row_number().over(w) == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("first_seen"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("first_seen"),
+                                F.struct(
+                                    F.col("block_idx"), F.col("block_text")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["block_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

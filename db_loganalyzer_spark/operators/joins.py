@@ -346,3 +346,107 @@ def asof_nearest(
         *[f"__b_{c}" for c in value_cols],
         *[f"__f_{c}" for c in value_cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 — bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_POW2 = None  # lazy: array<long> of 1<<0 .. 1<<31 for the bit masks
+
+
+def _pow2_array():
+    global _BLOOM_POW2
+    if _BLOOM_POW2 is None:
+        _BLOOM_POW2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return _BLOOM_POW2
+
+
+def bloom_build(
+    build: DataFrame, key_col: str, n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build side of the bloom prefilter: ``k`` engine-portable mix32
+    hashes per key -> bit positions in an ``n_bits``-wide filter, folded
+    into <= n_bits/32 ``(word, bits)`` rows via ``bit_or``. The filter is
+    a tiny DataFrame, not driver state — broadcast it to probe.
+
+    At 100 TB this is THE pre-shuffle pruning move: a fact scan keeps
+    only rows whose key *might* be in the dim subset (no false
+    negatives), cutting the join shuffle by the true selectivity before
+    any wide exchange. Spark's own runtime row-group bloom pruning
+    covers simple cases; this form makes the filter an explicit,
+    composable DataFrame with engine-exact hashes.
+    """
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+    pos = build.select(
+        F.explode(
+            F.array(
+                *[
+                    (mix32(F.col(key_col), salt=s + 1) % n_bits).alias("p")
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 5).alias("word"),
+            F.element_at(_pow2_array(), (F.col("pos") % 32 + 1).cast("int")).alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 4096,
+    k: int = 3,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Probe side: annotate each row with whether ALL ``k`` hash bits are
+    set (possible member — no false negatives by construction). ``k``
+    broadcast joins of the <= n_bits/32-row filter; everything stays
+    JVM-side (mix32 is column arithmetic).
+
+    Filter with ``.filter(F.col(flag_col))`` before the real join; keep
+    the exact join afterward to drop the false positives."""
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    out = probe
+    hits = []
+    for s in range(k):
+        pos = mix32(F.col(key_col), salt=s + 1) % n_bits
+        w = bloom.select(
+            F.col("word").alias(f"__w{s}"), F.col("bits").alias(f"__b{s}")
+        )
+        out = out.withColumn(f"__p{s}", pos).join(
+            F.broadcast(w),
+            F.shiftright(f"__p{s}", 5) == F.col(f"__w{s}"),
+            "left",
+        )
+        hits.append(
+            F.col(f"__b{s}").isNotNull()
+            & (
+                F.col(f"__b{s}").bitwiseAND(
+                    F.element_at(
+                        _pow2_array(), (F.col(f"__p{s}") % 32 + 1).cast("int")
+                    )
+                )
+                != 0
+            )
+        )
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    out = out.withColumn(flag_col, cond)
+    return out.drop(
+        *[c for s in range(k) for c in (f"__p{s}", f"__w{s}", f"__b{s}")]
+    )

@@ -214,3 +214,61 @@ def budget_select(
     return d.withColumn(
         "cum_tokens", F.sum("n_tokens").over(w).cast("long")
     ).filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """Data-driven domain-mixing rates: flatten the empirical domain
+    distribution toward ``p_d^0.5`` (temperature resampling, the
+    standard multi-domain/multilingual training-mix move). Acceptance
+    rate per domain is ``sqrt(n_min / n_d)`` — the smallest domain keeps
+    everything, a domain 100x larger keeps 10% — so the selected corpus
+    follows ``~ sqrt(n_d)`` without any per-row state.
+
+    alpha is fixed at 0.5 because sqrt is IEEE correctly-rounded (the
+    identical double in every engine); a pow(x, alpha) rate would drift
+    in the last ulp across libm implementations and flip boundary
+    documents. Rates are integer micro-thresholds for the same reason.
+
+    Returns one tiny row per domain: (strata, n_docs, threshold) —
+    broadcast it back onto the corpus (:func:`temperature_resample`).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("__n_min"))
+    # FLOOR(x + 0.5), the dsum idiom, not ROUND: floor of a double is
+    # exact and identical in every engine; ROUND half-up on the decimal
+    # string can split from a C engine's rint on .5 boundaries.
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("__n_min").cast("double") / F.col("n_docs"))
+            * denominator
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    denominator: int = 1_000_000,
+) -> DataFrame:
+    """M16 — deterministic temperature-flattened domain mixture: two tiny
+    aggregates compute the per-domain rate, a broadcast join attaches it,
+    and membership is the same pure hash-threshold projection as
+    :func:`stratified_sample` — scan-bound at 100 TB, no wide shuffle,
+    stable under re-partitioning and engine ports."""
+    rates = temperature_mixture_rates(df, strata_col, denominator)
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "threshold")), strata_col)
+        .filter(hash_bucket(id_col, denominator, salt) < F.col("threshold"))
+        .drop("threshold")
+    )

@@ -127,7 +127,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -145,7 +145,14 @@ def lsh_topk(
 
     At scale: the corpus bucket assignment is computed once (narrow) and
     the join is equi on bucket — a hash shuffle, never a cross join;
-    multi-probe only multiplies the (broadcast) query side."""
+    multi-probe only multiplies the (broadcast) query side.
+
+    ``n_planes=None`` (the default) computes the occupancy dial from the
+    corpus size (:func:`auto_n_planes`, one count job) so the default
+    call stays scale-safe as the corpus grows; deterministic pipelines
+    pin it explicitly."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus)
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bucket")
@@ -319,7 +326,7 @@ def auto_n_planes(
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -334,7 +341,16 @@ def embedding_near_dups(
     constant as the corpus grows (:func:`auto_n_planes`; measured
     395 s -> 33 s -> 10 s at 6 -> 10 -> 12 planes on a 500k-vector
     corpus). Narrower buckets trade recall, recovered by multi-probe
-    (:func:`lsh_topk`) or a second seeded table union."""
+    (:func:`lsh_topk`) or a second seeded table union.
+
+    ``n_planes=None`` (the default) computes the dial from the corpus
+    size (:func:`auto_n_planes`) so the default call holds bucket
+    occupancy ~constant as the corpus grows — the self-join is the one
+    place a fixed plane count turns quadratic (measured 6.5x super-linear
+    at 10x corpus, BASELINE.md round-6). Deterministic/oracle pipelines
+    pin it explicitly."""
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus)
     planes = _hyperplanes(dim, n_planes, seed)
     # _spread: a small corpus arrives as 1-2 parquet splits; the self-join
     # broadcasts one side, so pair generation runs on the PROBE side's scan

@@ -1127,6 +1127,23 @@ def test_auto_n_planes_tracks_corpus_growth(spark):
     )
 
 
+def test_lsh_defaults_are_auto_dialed(spark, vectors):
+    # n_planes=None (the default) must resolve via auto_n_planes so the
+    # default call is scale-safe; pinned calls stay deterministic.
+    q = vectors.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = SIM.lsh_topk(vectors, q, k=3, dim=8)
+    pinned = SIM.lsh_topk(vectors, q, k=3, n_planes=4, dim=8)
+    # tiny corpus -> auto floors at 4 planes, so both produce identical output
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
+    dup_auto = SIM.embedding_near_dups(vectors, threshold=0.95, dim=8)
+    dup_pin = SIM.embedding_near_dups(vectors, threshold=0.95, n_planes=4, dim=8)
+    assert sorted(map(tuple, dup_auto.collect())) == sorted(
+        map(tuple, dup_pin.collect())
+    )
+
+
 def test_leakage_safe_split_keeps_groups_together(spark):
     docs = spark.createDataFrame(
         [(i,) for i in range(200)], "doc_id long"
@@ -1214,3 +1231,117 @@ def test_ngram_jaccard_against_matches_batch_probe(spark):
     assert out[(10, 1)] == 0.75
     assert out[(10, 3)] == 0.4
     assert not any(k[0] == 11 for k in out)
+
+
+# ---------------------------------------------------------------------------
+# J12 bloom prefilter / M16 temperature mixture / M17 block dedup /
+# A33 salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from db_loganalyzer_spark.operators.joins import bloom_build, bloom_prefilter
+
+    build = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", n_bits=512, k=3)
+    out = bloom_prefilter(probe, bloom, "k", n_bits=512, k=3)
+    rows = {r["k"]: r["bloom_pass"] for r in out.collect()}
+    # every true member passes (structural: its bits were all set)
+    assert all(rows[i] for i in range(50))
+    # the filter actually prunes: most non-members are rejected
+    rejected = sum(1 for i in range(50, 1000) if not rows[i])
+    assert rejected > 800
+
+
+def test_bloom_build_is_compact(spark):
+    from db_loganalyzer_spark.operators.joins import bloom_build
+
+    build = spark.range(0, 100).select(F.col("id").alias("k"))
+    words = bloom_build(build, "k", n_bits=512, k=3).collect()
+    assert len(words) <= 512 // 32
+    assert all(0 <= r["word"] < 512 // 32 for r in words)
+
+
+def test_temperature_resample_flattens(spark):
+    from db_loganalyzer_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 6400 else "small") for i in range(6500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["source"]: r for r in temperature_mixture_rates(df, "source").collect()
+    }
+    # smallest domain keeps everything; 64x domain keeps ~1/8 (sqrt flattening)
+    assert rates["small"]["threshold"] == 1_000_000
+    assert rates["big"]["threshold"] == 125_000
+    sel = temperature_resample(df, "source", "doc_id").groupBy("source").count()
+    got = {r["source"]: r["count"] for r in sel.collect()}
+    assert got["small"] == 100
+    # hash-threshold acceptance is approximate per-domain (exact per doc)
+    assert 0.10 < got["big"] / 6400 < 0.15
+
+
+def test_block_dedup_keeps_first_occurrence(spark):
+    from db_loganalyzer_spark.operators.dedup import block_dedup
+
+    blk = " ".join(f"w{i}" for i in range(4))  # one 4-token block
+    other = " ".join(f"x{i}" for i in range(4))
+    rows = [
+        (0, blk + " " + other),  # both blocks first seen here
+        (1, blk + " " + blk),    # block repeated inside the doc AND across docs
+        (2, other),              # fully duplicate doc -> nothing kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in block_dedup(df, block_tokens=4).collect()
+    }
+    assert out[0] == (2, 2, blk + " " + other)
+    assert out[1] == (2, 0, "")
+    assert out[2] == (1, 0, "")
+
+
+def test_salted_agg_matches_direct(spark):
+    from db_loganalyzer_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i) / 7.0) for i in range(2000)],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r["event_type"]: r
+        for r in salted_agg(df, ["event_type"], "value", n_salts=8).collect()
+    }
+    exp = {
+        r["event_type"]: r
+        for r in df.groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for k in ("hot", "cold"):
+        assert got[k]["sum_value"] == exp[k]["sum_value"]
+        assert got[k]["n"] == exp[k]["n"]
+        assert got[k]["avg_value"] == exp[k]["sum_value"] / exp[k]["n"]
+
+
+def test_salted_agg_plan_has_two_stages(spark):
+    from db_loganalyzer_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double"
+    )
+    plan = salted_agg(df, ["event_type"], "value")._jdf.queryExecution().executedPlan().toString()
+    # stage 1 shuffles on (event_type, salt), stage 2 on event_type alone
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "__salt" in plan

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "t12_bm25_search",  # 1-row avgdl
     "a22_hll_distinct",  # 1-row estimate vs exact attach
     "a32_hll_overlap",  # three 1-row estimate frames
+    "m16_domain_mixture",  # 1-row n_min attach onto the per-source counts
     "a31_cumulative_hll",  # day-buckets x distinct-registers grid (sketch-bounded)
     # <=k-row centroid / query frames
     "cl02_cluster_reps",
