@@ -5773,19 +5773,142 @@ GROUP BY event_type
 """
 
 
+def w18_event_sequences(spark, sf_dir):
+    """W18 — sequential pattern mining (windows.event_sequences):
+    corpus-wide counts of every event-type trigram occurring as a
+    consecutive run inside a user's ordered stream, with distinct-user
+    support. One key shuffle (three leads share one window spec, single
+    pass), one partial-agg shuffle to O(|types|^3) pattern rows;
+    count(DISTINCT user) plans as a two-level aggregate."""
+    ev = _events(spark, sf_dir)
+    return W.event_sequences(ev, n=3, partition_by=["user_id"])
+
+
+W18_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS step_1,
+         lead(event_type, 1) OVER w AS step_2,
+         lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step_1, step_2, step_3,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def w19_interarrival_stats(spark, sf_dir):
+    """W19 — inter-arrival gap distribution (windows.interarrival_stats):
+    per event_type, n/mean/max/p50/p95 of the gap between consecutive
+    events of that type within each user's stream. Lag window on one key
+    shuffle, then one partial-agg shuffle; integer-micro gaps keep the
+    mean order-independent and the exact percentiles engine-identical
+    (percentile_approx is the documented 100 TB flip)."""
+    ev = _events(spark, sf_dir)
+    return W.interarrival_stats(
+        ev, partition_by=["user_id", "event_type"], group_by=["event_type"]
+    )
+
+
+W19_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / 1000000.0 / count(*) AS avg_gap_s,
+       MAX(gap_us / 1000000.0) AS max_gap_s,
+       quantile_cont(gap_us / 1000000.0, 0.5) AS p50_gap_s,
+       quantile_cont(gap_us / 1000000.0, 0.95) AS p95_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+def a34_retention_cohorts(spark, sf_dir):
+    """A34 — cohort retention matrix (aggregates.retention_cohorts):
+    users cohorted by first-seen epoch-day; each (cohort_day, day_offset)
+    cell counts the cohort's users active that many days later, plus the
+    retained fraction. Three strictly-shrinking shuffles (distinct
+    user-days -> per-user min + user-key join -> O(days^2) matrix); the
+    fraction is a window over the tiny matrix, not the events."""
+    ev = _events(spark, sf_dir)
+    return A.retention_cohorts(ev)
+
+
+A34_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx
+  FROM events
+), firstd AS (
+  SELECT user_id, MIN(day_idx) AS cohort_day FROM active GROUP BY 1
+), cells AS (
+  SELECT f.cohort_day, a.day_idx - f.cohort_day AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM active a JOIN firstd f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset, n_users,
+       CAST(first_value(n_users) OVER w AS BIGINT) AS cohort_size,
+       CAST(n_users AS DOUBLE) / first_value(n_users) OVER w AS retention
+FROM cells
+WINDOW w AS (PARTITION BY cohort_day ORDER BY day_offset)
+"""
+
+
+def m18_weighted_sample(spark, sf_dir):
+    """M18 — deterministic weight-proportional top-k sample (sampling.
+    weighted_priority_sample, priority sampling a la Duffield-Lund-
+    Thorup): priority = n_chars / hash-uniform(doc_id), keep the top
+    200. Selection is orderBy+limit -> TakeOrderedAndProject (per-
+    partition heaps, no global sort); membership is a pure function of
+    (id, salt) — reproducible across engines and re-partitions."""
+    from db_loganalyzer_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, k=200, weight_col="n_chars", id_col="doc_id", salt=0
+    )
+
+
+M18_SQL = """
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(n_chars AS DOUBLE) /
+         (((((doc_id * 2654435761) + 0) % 4294967296) + 1) / 4294967296.0)
+         AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT 200
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
     # ordered by staleness of their latest driver row — brand-new round-6
     # entries first, then every r2/r3-checked entry (34), then r4-checked
     # oldest-first, then r5-checked. New entries are inserted at the TOP.
-    # End of round 6: 24 new + 26 of the 35 stale entries fill the
-    # window (last in-window: w02_value_resets at position 50);
-    # displaced to round 7: w03, w06, w09, s07, a05, a06, a10, c01,
-    # cl01, cl02 — all green in this round's FULL local gate (148
-    # entries) at sf0.01 AND sf0.1.
+    # End of round 6: 28 new + 22 of the 35 stale entries fill the
+    # window (last in-window: f11_regex_corpus at position 50);
+    # displaced to round 7: j01, j02, j05, w02, w03, w06, w09, s07,
+    # a05, a06, a10, c01, cl01, cl02 — all green in this round's FULL
+    # local gate (152 entries) at sf0.01 AND sf0.1.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
     # ---- new in r6 (first driver row) ----
+    "w18_event_sequences": (w18_event_sequences, W18_SQL),
+    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
+    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
+    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
     "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
     "m17_block_dedup": (m17_block_dedup, M17_SQL),

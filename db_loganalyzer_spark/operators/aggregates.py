@@ -444,3 +444,54 @@ def salted_agg(
             "avg_value", F.col("sum_value") / F.col("n")
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A34 — cohort retention matrix: users are cohorted by the day of
+    their FIRST event; for every (cohort_day, day_offset) cell, how many
+    of that cohort's users were active ``day_offset`` days later, and
+    what fraction of the cohort that is. The canonical product-analytics
+    query over billions of events.
+
+    Three key shuffles, each strictly smaller than the last: (1) distinct
+    (user, day) — partial distinct per map task, so the exchange carries
+    at most users x days rows; (2) min(day) per user + the user-key join
+    back (both sides hash on ``user_col``, and the join output reuses
+    that partitioning); (3) partial-agg to the O(days^2) cohort matrix.
+    Because (user, day) is already distinct, the cell count is a plain
+    COUNT — no second count-distinct pass. The retention fraction is a
+    window over the matrix itself (bucket-level rows, not event rows).
+    Day index is an integer epoch-day — no date-type or timezone
+    semantics cross the engine boundary.
+    """
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    active = df.select(
+        F.col(user_col).alias("__user"), day.alias("day_idx")
+    ).distinct()
+    first = active.groupBy("__user").agg(F.min("day_idx").alias("cohort_day"))
+    joined = active.join(first, "__user")
+    cells = joined.groupBy(
+        "cohort_day",
+        (F.col("day_idx") - F.col("cohort_day")).cast("long").alias(
+            "day_offset"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cohort_size = F.first("n_users").over(wc)
+    return cells.select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        cohort_size.cast("long").alias("cohort_size"),
+        (F.col("n_users").cast("double") / cohort_size).alias("retention"),
+    )

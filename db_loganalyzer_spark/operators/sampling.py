@@ -272,3 +272,37 @@ def temperature_resample(
         .filter(hash_bucket(id_col, denominator, salt) < F.col("threshold"))
         .drop("threshold")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """M18 — deterministic weight-proportional top-k sample (priority
+    sampling, Duffield-Lund-Thorup): each row gets priority ``w / u``
+    with ``u`` a pure-hash uniform in (0, 1], and the k highest
+    priorities are kept — heavier documents proportionally more likely,
+    yet membership is a pure function of (id, salt) like every split in
+    this module: reproducible across runs, engines, and re-partitions,
+    unlike ``df.sample``'s seed+partitioning dependence.
+
+    Scale shape: the priority is a projection; the selection is
+    ``orderBy(...).limit(k)``, which Spark plans as
+    TakeOrderedAndProject — per-partition top-k heaps merged on one
+    reducer, never a global sort (pinned in tests/test_plans.py).
+    Cross-engine exactness: ``u = (hash+1) / 2^32`` and ``w / u`` are
+    single IEEE divisions (correctly rounded in every engine), and ties
+    break on the id, so the cut is bit-stable.
+    """
+    u = (hash_bucket(id_col, M32, salt) + 1).cast("double") / F.lit(
+        float(M32)
+    )
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )

@@ -785,3 +785,77 @@ def funnel_steps(
         completed_n.cast("long").alias("steps_completed"),
         F.col(f"step{len(steps)}_us").isNotNull().alias("completed"),
     )
+
+
+def event_sequences(
+    df: DataFrame,
+    n: int = 3,
+    partition_by: list[str] = ("user_id",),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W18 — sequential pattern mining: corpus-wide counts of every
+    length-``n`` run of CONSECUTIVE event types within a key's ordered
+    stream (the n-gram generalization of ``transition_matrix``), with
+    the number of distinct keys exhibiting each pattern as its support.
+    The "what sequence of events precedes a crash?" query.
+
+    One key shuffle orders each stream for the ``lead`` windows (all n-1
+    leads share ONE window spec, so Catalyst evaluates them in a single
+    pass); one partial-agg shuffle reduces to O(|types|^n) pattern rows.
+    ``n_keys`` uses count(DISTINCT key), which Spark plans as a two-level
+    aggregate (partial distinct per map task) — no row explosion. At
+    100 TB both shuffles carry only (key, type) pairs — project before
+    calling if the frame is wide.
+    """
+    keys = list(partition_by)
+    w = _w(keys, ts_col, tiebreak, False)
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(type_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, n)
+    ]
+    runs = df.select(*keys, *steps).filter(F.col(f"step_{n}").isNotNull())
+    support_key = F.concat_ws("", *[F.col(k) for k in keys])
+    return runs.groupBy(*[f"step_{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct(support_key).cast("long").alias("n_keys"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    partition_by: list[str] = ("user_id", "event_type"),
+    group_by: list[str] = ("event_type",),
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """W19 — inter-arrival gap distribution: per ``group_by``, the
+    count / mean / max / p50 / p95 of the time gap between CONSECUTIVE
+    events inside each ``partition_by`` stream. The latency-profile
+    query behind "how bursty is this event type per user?".
+
+    One key shuffle for the lag window, one partial-agg shuffle to the
+    group level. Gaps are computed on integer microseconds and divided
+    by 1e6 (one exact IEEE division per row); the mean goes through the
+    integer-micro sum (order-independent), and the exact interpolated
+    percentiles match DuckDB ``quantile_cont`` — flip to
+    ``percentile_approx`` at 100 TB for a single-pass mergeable sketch
+    (same trade documented at ``aggregates.windowed_rollup``).
+    """
+    w = _w(list(partition_by), ts_col, tiebreak, False)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = (us - F.lag(us).over(w)).alias("gap_us")
+    gaps = df.select(*group_by, gap_us).filter(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us") / F.lit(1000000.0)
+    return gaps.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.sum("gap_us").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1))
+        ).alias("avg_gap_s"),
+        F.max(gap_s).alias("max_gap_s"),
+        F.percentile(gap_s, 0.5).alias("p50_gap_s"),
+        F.percentile(gap_s, 0.95).alias("p95_gap_s"),
+    )

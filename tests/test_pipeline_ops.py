@@ -1345,3 +1345,113 @@ def test_salted_agg_plan_has_two_stages(spark):
     # stage 1 shuffles on (event_type, salt), stage 2 on event_type alone
     assert plan.count("Exchange hashpartitioning") == 2
     assert "__salt" in plan
+
+
+def _ev(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=s), u, t, 0.0)
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_event_sequences_counts_consecutive_runs(spark):
+    from db_loganalyzer_spark.operators.windows import event_sequences
+
+    df = _ev(
+        spark,
+        [
+            (1, "a", 0), (1, "b", 1), (1, "c", 2), (1, "b", 3), (1, "c", 4),
+            (2, "a", 0), (2, "b", 1), (2, "c", 2),
+        ],
+    )
+    got = {
+        (r["step_1"], r["step_2"], r["step_3"]): (r["n_occurrences"], r["n_keys"])
+        for r in event_sequences(df, n=3, partition_by=["user_id"]).collect()
+    }
+    # a,b,c occurs once in each user's stream; b,c,b and c,b,c only in user 1
+    assert got[("a", "b", "c")] == (2, 2)
+    assert got[("b", "c", "b")] == (1, 1)
+    assert got[("c", "b", "c")] == (1, 1)
+    assert len(got) == 3  # no cross-user phantom runs
+
+
+def test_retention_cohorts_matrix(spark):
+    from db_loganalyzer_spark.operators.aggregates import retention_cohorts
+
+    day = 86_400
+    df = _ev(
+        spark,
+        [
+            (1, "x", 0), (1, "x", day), (1, "x", 5 * day),
+            (2, "x", 10), (2, "x", day + 10),
+            (3, "x", 5 * day + 3),
+        ],
+    )
+    base_day = next(
+        r["cohort_day"]
+        for r in retention_cohorts(df).collect()
+        if r["day_offset"] == 0 and r["n_users"] == 2
+    )
+    got = {
+        (r["cohort_day"] - base_day, r["day_offset"]): (
+            r["n_users"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    assert got[(0, 0)] == (2, 2, 1.0)   # users 1+2 on day 0
+    assert got[(0, 1)] == (2, 2, 1.0)   # both back on day 1
+    assert got[(0, 5)] == (1, 2, 0.5)   # only user 1 on day 5
+    assert got[(5, 0)] == (1, 1, 1.0)   # user 3's own cohort
+    assert len(got) == 4
+
+
+def test_interarrival_stats_exact_gaps(spark):
+    from db_loganalyzer_spark.operators.windows import interarrival_stats
+
+    df = _ev(spark, [(1, "x", 0), (1, "x", 10), (1, "x", 30), (2, "y", 0)])
+    rows = {
+        r["event_type"]: r
+        for r in interarrival_stats(
+            df, partition_by=["user_id", "event_type"], group_by=["event_type"]
+        ).collect()
+    }
+    x = rows["x"]
+    assert x["n_gaps"] == 2
+    assert x["avg_gap_s"] == 15.0
+    assert x["max_gap_s"] == 20.0
+    assert x["p50_gap_s"] == 15.0
+    assert x["p95_gap_s"] == pytest.approx(19.5)
+    assert "y" not in rows  # a single event has no gap
+
+
+def test_weighted_priority_sample_deterministic_and_biased(spark):
+    from db_loganalyzer_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 if i < 50 else 1000) for i in range(100)],
+        "doc_id long, n_chars long",
+    )
+    a = weighted_priority_sample(df, k=20, salt=3).collect()
+    b = weighted_priority_sample(df, k=20, salt=3).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    heavy = sum(1 for r in a if r["n_chars"] == 1000)
+    assert heavy >= 18  # 1000x weights dominate the top-k
+    # scale shape: top-k heaps, never a global sort
+    plan = (
+        weighted_priority_sample(df, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
