@@ -5892,19 +5892,136 @@ LIMIT 200
 """
 
 
+def a35_rolling_active_users(spark, sf_dir):
+    """A35 — DAU + trailing-7-day rolling distinct actives (aggregates.
+    rolling_active_users): dedup to user-days, spread each over the 7
+    observation days it is visible in (x7 explode of the tiny user-day
+    frame, never the events), one two-level distinct aggregate. The HLL
+    register-merge form is the documented month-window flip."""
+    ev = _events(spark, sf_dir)
+    return A.rolling_active_users(ev, window_days=7)
+
+
+A35_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx
+  FROM events
+), sp AS (
+  SELECT user_id, day_idx, day_idx + g.i AS obs_day
+  FROM ud, unnest(generate_series(0, 6)) AS g(i)
+)
+SELECT obs_day,
+       CAST(count(DISTINCT CASE WHEN day_idx = obs_day THEN user_id END)
+            AS BIGINT) AS dau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_users
+FROM sp GROUP BY 1
+"""
+
+
+def a36_equidepth_bins(spark, sf_dir):
+    """A36 — equi-depth decile binning of event values per type
+    (aggregates.equidepth_bins): ntile(10) over one per-group sort with
+    (value, event_id) total order, reduced to per-bucket count and
+    [min, max] span. The approx-percentile boundary + range-lookup form
+    is the documented flip for groups that outgrow a task's sort."""
+    ev = _events(spark, sf_dir)
+    return A.equidepth_bins(ev, "value", ["event_type"], n_bins=10)
+
+
+A36_SQL = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(10) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS bin
+  FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM b GROUP BY 1, 2
+"""
+
+
+def w20_trending_topk(spark, sf_dir):
+    """W20 — per-day trending leaderboard (windows.trending_topk): top-3
+    event types by trailing-3-day count. Events reduce to the
+    O(days x types) daily frame in one partial-agg shuffle; the trailing
+    RANGE sum and per-day row_number both run on that bucket-level frame
+    with the type name as the deterministic tiebreak."""
+    ev = _events(spark, sf_dir)
+    return W.trending_topk(ev, k=3, trailing_days=3)
+
+
+W20_SQL = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day_idx,
+         event_type, CAST(count(*) AS BIGINT) AS n_day
+  FROM events GROUP BY 1, 2
+), trail AS (
+  SELECT day_idx, event_type, n_day,
+         CAST(SUM(n_day) OVER (
+           PARTITION BY event_type ORDER BY day_idx
+           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_trail
+  FROM daily
+), ranked AS (
+  SELECT day_idx, event_type, n_day, n_trail,
+         row_number() OVER (
+           PARTITION BY day_idx ORDER BY n_trail DESC, event_type
+         ) AS rnk
+  FROM trail
+)
+SELECT day_idx, CAST(rnk AS BIGINT) AS rnk, event_type, n_day, n_trail
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def t17_shingle_novelty(spark, sf_dir):
+    """T17 — corpus-order novelty scoring (dedup.shingle_novelty): per
+    document, the fraction of its distinct word bigrams first seen (by
+    smallest doc_id) in this document. Linear inverted-index lineage —
+    explode, min-id reduce, hash join back, per-doc reduce — the
+    derivation/contamination signal WITHOUT m02's pair self-join."""
+    from db_loganalyzer_spark.operators.dedup import shingle_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return shingle_novelty(docs, n=2)
+
+
+T17_SQL = f"""
+WITH sh AS ({_M02_SHINGLES}
+), f AS (
+  SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY 1
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count_if(first_id = id) AS BIGINT) AS n_novel,
+       CAST(count_if(first_id = id) AS DOUBLE) / count(*) AS novelty
+FROM sh JOIN f USING (shingle)
+GROUP BY 1
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
     # ordered by staleness of their latest driver row — brand-new round-6
     # entries first, then every r2/r3-checked entry (34), then r4-checked
     # oldest-first, then r5-checked. New entries are inserted at the TOP.
-    # End of round 6: 28 new + 22 of the 35 stale entries fill the
-    # window (last in-window: f11_regex_corpus at position 50);
-    # displaced to round 7: j01, j02, j05, w02, w03, w06, w09, s07,
-    # a05, a06, a10, c01, cl01, cl02 — all green in this round's FULL
-    # local gate (152 entries) at sf0.01 AND sf0.1.
+    # End of round 6: 32 new + 18 of the 35 stale entries fill the
+    # window (last in-window: f05_interesting_events at position 50);
+    # displaced to round 7: f06, f08, f10, f11, j01, j02, j05,
+    # w02, w03, w06, w09, s07, a05, a06, a10, c01, cl01, cl02 — all
+    # green in this round's FULL local gate (156 entries) at sf0.01
+    # AND sf0.1.
     # Displaced entries remain pinned by scripts/check_oracle.py + CI.
     # ---- new in r6 (first driver row) ----
+    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
+    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
+    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),

@@ -446,6 +446,17 @@ def salted_agg(
     )
 
 
+def _epoch_day(ts_col: str) -> Column:
+    """Integer epoch-day index: FLOOR of the microsecond timestamp over
+    a day — double division then floor, the identical IEEE path DuckDB
+    takes for ``FLOOR(epoch_us(ts) / 86400000000)``, so day bucketing
+    never crosses an engine-specific date/timezone semantic."""
+    return (
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000))
+        .cast("long")
+    )
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str = "user_id",
@@ -468,9 +479,7 @@ def retention_cohorts(
     Day index is an integer epoch-day — no date-type or timezone
     semantics cross the engine boundary.
     """
-    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
-        "long"
-    )
+    day = _epoch_day(ts_col)
     active = df.select(
         F.col(user_col).alias("__user"), day.alias("day_idx")
     ).distinct()
@@ -494,4 +503,87 @@ def retention_cohorts(
         "n_users",
         cohort_size.cast("long").alias("cohort_size"),
         (F.col("n_users").cast("double") / cohort_size).alias("retention"),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A35 — rolling distinct actives (DAU + trailing-N "WAU"): for each
+    observation day, how many distinct users were active that day and in
+    the trailing ``window_days``-day window ending on it. Exact sliding
+    count-distinct is not window-aggregable, so this uses the standard
+    spread trick: dedup to (user, day) FIRST (the only event-volume
+    shuffle), then each user-day sponsors the ``window_days`` observation
+    days it is visible in — a bounded x7 explode of the already-tiny
+    user-day frame, finished by one two-level distinct aggregate.
+
+    At 100 TB the x7 fan-out applies to |users| x |days| rows, not
+    events; for month+ windows flip the distinct to the HLL-register
+    form (``sketches.hll_estimate_grouped``) and merge registers across
+    the window instead of spreading rows. Observation days with no
+    sponsor (gaps in the data) are absent rather than zero-filled, and
+    the last ``window_days - 1`` days extend past the data's max day —
+    both engines agree on both edges.
+    """
+    day = _epoch_day(ts_col)
+    ud = df.select(
+        F.col(user_col).alias("__user"), day.alias("day_idx")
+    ).distinct()
+    spread = ud.select(
+        "__user",
+        "day_idx",
+        F.explode(
+            F.sequence(
+                F.col("day_idx"), F.col("day_idx") + (window_days - 1)
+            )
+        ).alias("obs_day"),
+    )
+    return spread.groupBy("obs_day").agg(
+        F.countDistinct(
+            F.when(F.col("day_idx") == F.col("obs_day"), F.col("__user"))
+        )
+        .cast("long")
+        .alias("dau"),
+        F.countDistinct("__user").cast("long").alias("rolling_users"),
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str],
+    n_bins: int = 10,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """A36 — equi-depth (equal-count) binning per group: each group's
+    values are split into ``n_bins`` rank buckets via ``ntile``, and
+    each bucket reports its count and [min, max] span — the
+    feature-engineering discretization that survives skew where
+    fixed-width histograms collapse into one hot bucket.
+
+    The ntile window sorts each group ONCE on (value, tiebreak) —
+    deterministic under duplicate values, so bucket membership is
+    bit-stable cross-engine. Scale: one key shuffle + the per-group
+    sort; a single pathological group that outgrows a task's sort
+    budget moves to the documented approximate path — compute bin
+    BOUNDARIES with ``percentile_approx(value, [i/n])`` and assign by
+    range lookup, which keeps equi-depth semantics within sketch error
+    at a scan-plus-broadcast cost.
+    """
+    w = Window.partitionBy(*group_by).orderBy(
+        F.col(value_col), F.col(tiebreak)
+    )
+    binned = df.select(
+        *group_by,
+        F.col(value_col),
+        F.ntile(n_bins).over(w).cast("long").alias("bin"),
+    )
+    return binned.groupBy(*group_by, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
     )

@@ -913,3 +913,38 @@ def block_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T17 — corpus-order novelty score: per document, the fraction of
+    its distinct word ``n``-gram shingles whose FIRST corpus occurrence
+    (smallest id) is this document. High novelty = fresh content; low
+    novelty = recombination of earlier material — the cheap
+    contamination/derivation signal that needs no pairwise comparison.
+
+    Linear, never quadratic: one shingle explode, one min-id reduce per
+    shingle (partial-agg shuffle), one hash join back, one per-doc
+    reduce — the same inverted-index frame as ``ngram_jaccard_pairs``
+    but WITHOUT the pair self-join, so boilerplate shingles cost their
+    document frequency, not its square. Documents with fewer than ``n``
+    words have no shingles and are absent from the output (both engines
+    agree).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first_id"))
+    joined = sh.join(first, "shingle")
+    novel = F.sum(
+        F.when(F.col("__first_id") == F.col(id_col), 1).otherwise(0)
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )

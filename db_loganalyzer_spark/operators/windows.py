@@ -859,3 +859,52 @@ def interarrival_stats(
         F.percentile(gap_s, 0.5).alias("p50_gap_s"),
         F.percentile(gap_s, 0.95).alias("p95_gap_s"),
     )
+
+
+def trending_topk(
+    df: DataFrame,
+    k: int = 3,
+    trailing_days: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W20 — trending items: for every day, the top-``k`` event types by
+    count over the trailing ``trailing_days``-day window, with their
+    daily and trailing counts and rank. The "what's hot right now"
+    leaderboard.
+
+    Aggregate FIRST, window SECOND: one partial-agg shuffle reduces
+    events to the O(days x types) daily frame, and both windows (the
+    trailing RANGE sum per type, the per-day row_number) run on that
+    bucket-level frame — the event volume never reaches a window sort.
+    row_number with the type name as tiebreak keeps the cut at rank k
+    bit-stable cross-engine.
+
+    The daily frame is SPARSE: a type with no events on the observation
+    day has no row there and is not ranked that day, even if its
+    trailing count is non-zero — "must be active today to trend today".
+    For the dense variant, cross the day spine with the type list and
+    coalesce n_day to 0 before the windows (still bucket-level cost).
+    """
+    day = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = df.groupBy(day.alias("day_idx"), F.col(type_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_day")
+    )
+    wt = (
+        Window.partitionBy(type_col)
+        .orderBy("day_idx")
+        .rangeBetween(-(trailing_days - 1), 0)
+    )
+    trail = daily.withColumn(
+        "n_trail", F.sum("n_day").over(wt).cast("long")
+    )
+    wr = Window.partitionBy("day_idx").orderBy(
+        F.desc("n_trail"), F.col(type_col)
+    )
+    return (
+        trail.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("day_idx", "rnk", type_col, "n_day", "n_trail")
+    )

@@ -1432,6 +1432,95 @@ def test_interarrival_stats_exact_gaps(spark):
     assert "y" not in rows  # a single event has no gap
 
 
+def test_rolling_active_users_window_edges(spark):
+    from db_loganalyzer_spark.operators.aggregates import (
+        rolling_active_users,
+    )
+
+    day = 86_400
+    df = _ev(
+        spark,
+        [(1, "x", 0), (2, "x", 5), (1, "x", 2 * day), (3, "x", 3 * day)],
+    )
+    got = {
+        r["obs_day"]: (r["dau"], r["rolling_users"])
+        for r in rolling_active_users(df, window_days=3).collect()
+    }
+    base = min(got)
+    rel = {k - base: v for k, v in got.items()}
+    assert rel[0] == (2, 2)   # users 1+2 on day 0
+    assert rel[1] == (0, 2)   # nobody active, both still in 3-day window
+    assert rel[2] == (1, 2)   # user 1 returns; day-0 pair still in window
+    assert rel[3] == (1, 2)   # users 1 (day 2) and 3 (day 3) in window
+    assert rel[4] == (0, 2)   # trailing visibility of days 2-3 actives
+    assert rel[5] == (0, 1)
+    assert len(rel) == 6
+
+
+def test_equidepth_bins_balanced_counts(spark):
+    from db_loganalyzer_spark.operators.aggregates import equidepth_bins
+
+    df = spark.createDataFrame(
+        [(i, "t", float(i % 7)) for i in range(40)],
+        "event_id long, event_type string, value double",
+    )
+    rows = equidepth_bins(df, "value", ["event_type"], n_bins=4).collect()
+    assert sorted(r["bin"] for r in rows) == [1, 2, 3, 4]
+    assert all(r["n"] == 10 for r in rows)  # 40 rows / 4 bins exactly
+    by_bin = {r["bin"]: r for r in rows}
+    # equi-depth: bucket spans are rank-contiguous and non-decreasing
+    for b in range(1, 4):
+        assert by_bin[b]["max_value"] <= by_bin[b + 1]["min_value"]
+
+
+def test_trending_topk_rank_and_trailing_sum(spark):
+    from db_loganalyzer_spark.operators.windows import trending_topk
+
+    day = 86_400
+    rows = []
+    # day 0: 3xa 1xb; day 1: 3xb; day 2: 1xc
+    rows += [(1, "a", 0)] * 3 + [(1, "b", 1)]
+    rows += [(1, "b", day)] * 3
+    rows += [(1, "c", 2 * day)]
+    df = _ev(spark, rows)
+    out = trending_topk(df, k=2, trailing_days=2).collect()
+    min_day = min(r["day_idx"] for r in out)
+    got = {
+        (r["day_idx"] - min_day, r["rnk"]): (r["event_type"], r["n_trail"])
+        for r in out
+    }
+    assert got[(0, 1)] == ("a", 3)
+    assert got[(0, 2)] == ("b", 1)
+    assert got[(1, 1)] == ("b", 4)   # 1 + 3 in the 2-day window
+    # sparse semantics: "a" has no day-1 events, so it is not ranked on
+    # day 1 despite a non-zero trailing count; same for "b" on day 2
+    assert (1, 2) not in got
+    assert got[(2, 1)] == ("c", 1)
+    assert (2, 2) not in got
+
+
+def test_shingle_novelty_first_occurrence(spark):
+    from db_loganalyzer_spark.operators.dedup import shingle_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta delta"),   # shares "alpha beta" with doc 0
+            (2, "alpha beta gamma"),   # full copy of doc 0
+            (3, "x"),                  # < n words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in shingle_novelty(df, n=2).collect()
+    }
+    assert got[0] == (2, 2, 1.0)       # everything first-seen
+    assert got[1] == (2, 1, 0.5)       # "beta delta" is new
+    assert got[2] == (2, 0, 0.0)       # pure copy
+    assert 3 not in got
+
+
 def test_weighted_priority_sample_deterministic_and_biased(spark):
     from db_loganalyzer_spark.operators.sampling import (
         weighted_priority_sample,
