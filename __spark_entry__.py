@@ -5990,8 +5990,26 @@ def t17_shingle_novelty(spark, sf_dir):
     return shingle_novelty(docs, n=2)
 
 
-T17_SQL = f"""
-WITH sh AS ({_M02_SHINGLES}
+T17_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                      i -> array_to_string(words[i:i+1], ' '))) AS gs
+  FROM base
+), gh AS (
+  SELECT doc_id, list_transform(gs, g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM grams WHERE len(gs) > 0
+), sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(hs)) AS shingle FROM gh
 ), f AS (
   SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY 1
 )
