@@ -2,7 +2,10 @@
 queries() entry at a given SF dir and record wall seconds per entry as
 JSONL (streamed, so partial progress survives a kill).
 
-Usage: python scripts/bench_registry.py SF_DIR OUT.jsonl [--skip a,b,c] [--resume]
+Usage: python scripts/bench_registry.py SF_DIR OUT.jsonl [--skip a,b,c] [--only a,b,c] [--resume]
+
+--only restricts the sweep to the named entries (targeted probes, e.g.
+the sf100 scale-shape subset) instead of the whole registry.
 
 --resume appends to OUT.jsonl and skips entries it already records
 (timed or errored), so a killed sweep continues where it stopped.
@@ -48,6 +51,13 @@ def main():
             sys.exit("--skip requires a value (use --skip \"\" for none)")
         skip = {s for s in args[i + 1].split(",") if s}
         del args[i : i + 2]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("--only requires a comma-separated entry list")
+        only = {s for s in args[i + 1].split(",") if s}
+        del args[i : i + 2]
     if any(a.startswith("--") for a in args):
         sys.exit(f"unknown flag(s): {[a for a in args if a.startswith('--')]}")
     sf_dir = args[0]
@@ -65,6 +75,8 @@ def main():
     qs = entry_mod.queries()
     with open(out_path, "a" if resume else "w") as out:
         for name, fn in qs.items():
+            if only is not None and name not in only:
+                continue
             if name in done:
                 continue
             if name in skip:

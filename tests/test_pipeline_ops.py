@@ -76,6 +76,29 @@ def test_ngram_jaccard_doc_freq_cap(spark, docs):
     assert (0, 1) in capped and capped[(0, 1)] == 1.0
 
 
+def test_clone_quadratic_warning(spark, docs, monkeypatch):
+    # Clone-heavy corpus: 8 copies of one sentence -> every shingle has
+    # doc_freq 8 > the (lowered) threshold; the uncapped path must warn.
+    import warnings as _w
+
+    monkeypatch.setattr(DD, "_CLONE_WARN_DOC_FREQ", 5)
+    clones = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated everywhere") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(DD.CloneQuadraticWarning, match="max_doc_freq"):
+        DD.ngram_jaccard_pairs(clones, threshold=0.3, n=2).collect()
+    # Varied corpus (the module fixture: max shingle doc_freq is 3) must
+    # NOT warn, and capped calls never run the guard at all.
+    with _w.catch_warnings():
+        _w.simplefilter("error", DD.CloneQuadraticWarning)
+        DD.ngram_jaccard_pairs(docs, threshold=0.3, n=2).collect()
+        DD.ngram_jaccard_pairs(clones, threshold=0.3, n=2, max_doc_freq=200).collect()
+    # Output is unchanged by the guard: all 28 clone pairs at jaccard 1.
+    pairs = DD.ngram_jaccard_pairs(clones, threshold=0.9, n=2).collect()
+    assert len(pairs) == 28 and all(r.jaccard == 1.0 for r in pairs)
+
+
 def _poly_ref(s: str, base: int = 131, init: int = 7, mod: int = 1_000_000_007) -> int:
     h = init
     for ch in s:
