@@ -4568,9 +4568,12 @@ def st09_streaming_gap_fill(spark, sf_dir):
     retract), holes going out with the carried value. Drained
     in-order the output equals batch w13 minus each key's final
     still-open bucket — which is exactly what the oracle states
-    (the grid stops one bucket short of each key's max)."""
+    (the grid stops one bucket short of each key's max). Runs the
+    key-BUCKETED batched-state form (n_buckets=32): packed frontier
+    arrays per bucket, segmented vectorized fold — same output, the
+    per-group constant amortized (pinned in tests/test_streaming)."""
     stream = ST.read_events_stream(spark, sf_dir)
-    out = ST.streaming_gap_fill(stream, 21600, "user_id")
+    out = ST.streaming_gap_fill(stream, 21600, "user_id", n_buckets=32)
     return _drain(out, "st09")
 
 
@@ -5235,9 +5238,14 @@ def st10_streaming_counter_rates(spark, sf_dir):
     key — two scalars whatever the volume — and every sample emits
     exactly once, its rate depending only on its predecessor, so the
     drained stream equals batch w17 row-for-row. Oracle: the identical
-    SQL as w17 (no closed-window subtlety)."""
+    SQL as w17 (no closed-window subtlety). Runs the key-BUCKETED
+    batched-state form (n_buckets=32, the executor-sizing dial): state
+    groups = pmod(hash(key), 32), each holding a packed array of
+    per-key scalars, so the applyInPandasWithState per-group
+    Python/Arrow constant amortizes over ~keys/32 keys per micro-batch;
+    per-key == bucketed equivalence is pinned in tests/test_streaming."""
     stream = ST.read_events_stream(spark, sf_dir)
-    out = ST.streaming_counter_rates(stream)
+    out = ST.streaming_counter_rates(stream, n_buckets=32)
     return _drain(out, "st10")
 
 
@@ -5249,9 +5257,12 @@ def st11_streaming_cusum(spark, sf_dir):
     Fixed reference (35.0 ~ the global value median) stands in for the
     batch form's per-key median — the realistic monitoring deployment
     seeds it from a batch baseline. Oracle: the batch closed form with
-    the same fixed ref."""
+    the same fixed ref. Runs the key-BUCKETED batched-state form
+    (n_buckets=32): packed (C, Cmin) arrays per bucket, segmented
+    vectorized fold — same exact integers, the per-group constant
+    amortized (per-key == bucketed pinned in tests/test_streaming)."""
     stream = ST.read_events_stream(spark, sf_dir)
-    out = ST.streaming_cusum(stream, ref=35.0, threshold=1000.0)
+    out = ST.streaming_cusum(stream, ref=35.0, threshold=1000.0, n_buckets=32)
     return _drain(out, "st11")
 
 

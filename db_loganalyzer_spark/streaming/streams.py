@@ -568,10 +568,168 @@ def _gapfill_fn_factory(bucket_seconds: int):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# _bucketed: key-bucketed batched state for the per-row stateful forms.
+#
+# Measured (scripts/bench_streaming.py, round 6): st09/st11 sustain only
+# 16-25k rows/s while their numpy folds take milliseconds — the cost is
+# the PER-GROUP constant of applyInPandasWithState (one Arrow round-trip
+# + one Python function call + one state get/update per key per
+# micro-batch). Fix: group by pmod(hash(key), n_buckets) instead of the
+# raw key, so each state group holds ~distinct_keys/n_buckets keys and
+# the constant amortizes across all of them. State becomes one PACKED
+# set of arrays per bucket (keys sorted ascending + one array per
+# scalar), and the fold is the same vectorized computation SEGMENTED by
+# key — pandas groupby cumsum/cummin and numpy boundary masks, still no
+# per-row Python.
+#
+# Per-key semantics are preserved exactly: rows are sorted (key, ts,
+# event_id) inside the bucket, every per-key recurrence reads only that
+# key's carried scalars (np.searchsorted lookup into the sorted state
+# arrays), and outputs are bit-identical to the per-key forms (pinned in
+# tests/test_streaming.py). n_buckets is the executor-sizing dial: it
+# bounds state-group count (and thus the Python/Arrow constants paid per
+# micro-batch) and should be ~a few x total executor cores — NOT grown
+# with key count; state per bucket is O(keys/n_buckets) scalars.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_BSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("last_buckets", T.ArrayType(T.LongType())),
+        T.StructField("last_values", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _sorted_lookup(sk, probe, *vals, defaults):
+    """Carried-state lookup: for each key in ``probe``, the matching
+    entry of each array in ``vals`` (state keys ``sk`` sorted asc), or
+    the corresponding default where absent. Returns (found_mask, *out)."""
+    import numpy as np
+
+    if len(sk) == 0:
+        has = np.zeros(len(probe), dtype=bool)
+        return (has,) + tuple(
+            np.full(len(probe), d, dtype=v.dtype) for v, d in zip(vals, defaults)
+        )
+    pos = np.clip(np.searchsorted(sk, probe), 0, len(sk) - 1)
+    has = sk[pos] == probe
+    return (has,) + tuple(
+        np.where(has, v[pos], d) for v, d in zip(vals, defaults)
+    )
+
+
+def _merge_state(sk, old_vals, nk, new_vals):
+    """Merge per-key scalars: batch keys ``nk`` (sorted, unique)
+    overwrite, carried keys absent from the batch persist. Returns
+    (all_keys, *merged) with all_keys sorted — the packed-state
+    invariant ``_sorted_lookup`` depends on."""
+    import numpy as np
+
+    allk = np.union1d(sk, nk)
+    out = []
+    for ov, nv in zip(old_vals, new_vals):
+        m = np.zeros(len(allk), dtype=nv.dtype)
+        if len(sk):
+            m[np.searchsorted(allk, sk)] = ov
+        m[np.searchsorted(allk, nk)] = nv
+        out.append(m)
+    return (allk,) + tuple(out)
+
+
+def _make_gapfill_bucket_fn(bucket_seconds: int, key_col: str):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """st09's fold over a KEY BUCKET: identical per-key recurrence
+        (open-bucket LOCF, late rows below the frontier dropped), run
+        segmented over every key in the bucket in one vectorized pass.
+        The carried frontier row of each present key is injected as a
+        synthetic row sorted before its batch rows — exactly the
+        per-key form's ``concatenate(([last_b], b))`` prepend."""
+        import numpy as np
+
+        bs = bucket_seconds
+        if state.exists:
+            g = state.get
+            sk = np.asarray(g[0], dtype=np.int64)
+            sb = np.asarray(g[1], dtype=np.int64)
+            sv = np.asarray(g[2], dtype=np.float64)
+        else:
+            sk = np.empty(0, dtype=np.int64)
+            sb = np.empty(0, dtype=np.int64)
+            sv = np.empty(0, dtype=np.float64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            yield _GAPFILL_EMPTY
+            return
+        pdf = pdf.sort_values([key_col, "ts", "event_id"], kind="mergesort")
+        uid = pdf[key_col].to_numpy(dtype=np.int64)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        b = (ts_us // (bs * 1_000_000)) * bs
+        v = pdf["value"].astype("float64").to_numpy()
+        # late filter against each row's carried frontier (sentinel MIN
+        # = no frontier, keeps everything)
+        _, carry_b = _sorted_lookup(
+            sk, uid, sb, defaults=[np.iinfo(np.int64).min]
+        )
+        keep = b >= carry_b
+        uid, b, v = uid[keep], b[keep], v[keep]
+        if len(uid) == 0:
+            yield _GAPFILL_EMPTY
+            return
+        # inject each present key's carried (bucket, value) frontier row
+        pres = np.unique(uid)
+        hasp, cb, cv = _sorted_lookup(sk, pres, sb, sv, defaults=[0, 0.0])
+        ck, cb, cv = pres[hasp], cb[hasp], cv[hasp]
+        seq = np.concatenate(
+            [np.full(len(ck), -1, np.int64), np.arange(len(uid), dtype=np.int64)]
+        )
+        uid = np.concatenate([ck, uid])
+        b = np.concatenate([cb, b])
+        v = np.concatenate([cv, v])
+        order = np.lexsort((seq, uid))
+        uid, b, v = uid[order], b[order], v[order]
+        # per-(key, bucket) winner = last row of each run
+        run_last = np.empty(len(uid), dtype=bool)
+        run_last[-1] = True
+        run_last[:-1] = (uid[1:] != uid[:-1]) | (b[1:] != b[:-1])
+        ku, u, w = uid[run_last], b[run_last], v[run_last]
+        # new frontier per batch key = its last unique bucket
+        key_last = np.empty(len(ku), dtype=bool)
+        key_last[-1] = True
+        key_last[:-1] = ku[1:] != ku[:-1]
+        allk, mb, mv = _merge_state(
+            sk, (sb, sv), ku[key_last], (u[key_last], w[key_last])
+        )
+        state.update((allk.tolist(), mb.tolist(), mv.tolist()))
+        # every consecutive same-key unique-bucket pair (u_i, u_{i+1})
+        # closes bucket u_i: emit it plus its holes
+        same = ku[1:] == ku[:-1]
+        if not same.any():
+            yield _GAPFILL_EMPTY
+            return
+        du = ((u[1:] - u[:-1]) // bs)[same]
+        tot = int(du.sum())
+        within = np.arange(tot) - np.repeat(np.cumsum(du) - du, du)
+        yield pd.DataFrame(
+            {
+                "user_id": np.repeat(ku[:-1][same], du),
+                "bucket": np.repeat(u[:-1][same], du) + within * bs,
+                "value": np.repeat(w[:-1][same], du),
+                "is_gap": within > 0,
+            }
+        )
+
+    return fn
+
+
 def streaming_gap_fill(
     events: DataFrame,
     bucket_seconds: int,
     key: str = "user_id",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """w13's streaming form: per-key LOCF resampling as a custom
     stateful operator (applyInPandasWithState) — emits one row per
@@ -580,9 +738,26 @@ def streaming_gap_fill(
     scalars whatever the volume. Drained in-order, the output equals
     batch w13 minus each key's final (still-open) bucket row — exact
     equivalence pinned in tests and the oracle gate.
+
+    ``n_buckets`` switches to key-bucketed batched state (see
+    ``_bucketed`` module note): same output, the per-group Python/Arrow
+    constant amortized over ~keys/n_buckets keys per state group.
     """
+    cols = events.select(key, "event_id", "ts", "value")
+    if n_buckets is not None:
+        return (
+            cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+            .groupBy("__kb")
+            .applyInPandasWithState(
+                _make_gapfill_bucket_fn(bucket_seconds, key),
+                outputStructType=_GAPFILL_SCHEMA,
+                stateStructType=_GAPFILL_BSTATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        events.select(key, "event_id", "ts", "value")
+        cols
         .groupBy(key)
         .applyInPandasWithState(
             _gapfill_fn_factory(bucket_seconds),
@@ -647,14 +822,114 @@ def _rate_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
     yield pd.DataFrame(out, columns=[f.name for f in _RATE_SCHEMA])
 
 
-def streaming_counter_rates(events: DataFrame, key: str = "user_id") -> DataFrame:
+_RATE_BSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("prev_ts", T.ArrayType(T.LongType())),
+        T.StructField("prev_vs", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_rate_bucket_fn(key_col: str):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """st10's fold over a key bucket, fully vectorized (the per-key
+        form's row loop replaced by a shift-within-segment): each row's
+        predecessor is the previous row of its key segment, seeded at
+        segment starts from the carried (t, v); NaN prev marks
+        'no predecessor' (values are NaN-filtered so a real prev is
+        never NaN)."""
+        import numpy as np
+
+        if state.exists:
+            g = state.get
+            sk = np.asarray(g[0], dtype=np.int64)
+            st_t = np.asarray(g[1], dtype=np.int64)
+            st_v = np.asarray(g[2], dtype=np.float64)
+        else:
+            sk = np.empty(0, dtype=np.int64)
+            st_t = np.empty(0, dtype=np.int64)
+            st_v = np.empty(0, dtype=np.float64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([key_col, "ts", "event_id"], kind="mergesort")
+        uid = pdf[key_col].to_numpy(dtype=np.int64)
+        t = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        v = pdf["value"].astype("float64").to_numpy()
+        eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        n = len(uid)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_keys = uid[seg_starts]
+        _, c_t, c_v = _sorted_lookup(
+            sk, seg_keys, st_t, st_v, defaults=[0, np.nan]
+        )
+        prev_t = np.empty(n, dtype=np.int64)
+        prev_v = np.empty(n, dtype=np.float64)
+        prev_t[1:] = t[:-1]
+        prev_v[1:] = v[:-1]
+        prev_t[seg_starts] = c_t
+        prev_v[seg_starts] = c_v
+        has_prev = ~np.isnan(prev_v)
+        reset = has_prev & (v < prev_v)
+        inc = np.where(v >= prev_v, v - prev_v, v)
+        dt_us = t - prev_t
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = np.where(
+                has_prev & (dt_us > 0), inc / (dt_us / 1_000_000.0), np.nan
+            )
+        seg_ends = np.append(seg_starts[1:] - 1, n - 1)
+        allk, mt, mv = _merge_state(
+            sk, (st_t, st_v), seg_keys, (t[seg_ends], v[seg_ends])
+        )
+        state.update((allk.tolist(), mt.tolist(), mv.tolist()))
+        yield pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": eid,
+                "ts_us": t,
+                "value": v,
+                "prev_value": prev_v,
+                "is_reset": reset,
+                "rate_per_s": rate,
+            }
+        )
+
+    return fn
+
+
+def streaming_counter_rates(
+    events: DataFrame, key: str = "user_id", n_buckets: int | None = None
+) -> DataFrame:
     """w17's streaming form (timeseries.counter_rates): per-sample
     counter rate as a custom stateful operator — state is the previous
     (t, v) per key, two scalars whatever the volume; each sample emits
     exactly once. Drained in-order the output equals the batch
-    operator exactly (oracle-checked)."""
+    operator exactly (oracle-checked).
+
+    ``n_buckets`` switches to key-bucketed batched state (see
+    ``_bucketed`` module note) — same output, vectorized fold, the
+    per-group constant amortized over ~keys/n_buckets keys."""
+    cols = events.select(key, "event_id", "ts", "value")
+    if n_buckets is not None:
+        return (
+            cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+            .groupBy("__kb")
+            .applyInPandasWithState(
+                _make_rate_bucket_fn(key),
+                outputStructType=_RATE_SCHEMA,
+                stateStructType=_RATE_BSTATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        events.select(key, "event_id", "ts", "value")
+        cols
         .groupBy(key)
         .applyInPandasWithState(
             _rate_fn,
@@ -725,24 +1000,116 @@ def _make_cusum_fn(ref_us: int, k_us: int, threshold: float):
     return _cusum_fn
 
 
+_CUSUM_BSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("cs", T.ArrayType(T.LongType())),
+        T.StructField("cmins", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_cusum_bucket_fn(ref_us: int, k_us: int, threshold: float, key_col: str):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """st11's fold over a key bucket: the same integer prefix-min
+        closed form, segmented by key — one global cumsum re-based at
+        segment starts plus a per-segment running min (pandas groupby
+        cummin, C-vectorized), seeded from the packed carried (C, Cmin)
+        scalars. Bit-identical to the per-key form."""
+        import numpy as np
+
+        if state.exists:
+            g = state.get
+            sk = np.asarray(g[0], dtype=np.int64)
+            sc = np.asarray(g[1], dtype=np.int64)
+            sm = np.asarray(g[2], dtype=np.int64)
+        else:
+            sk = np.empty(0, dtype=np.int64)
+            sc = np.empty(0, dtype=np.int64)
+            sm = np.empty(0, dtype=np.int64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([key_col, "ts", "event_id"], kind="mergesort")
+        uid = pdf[key_col].to_numpy(dtype=np.int64)
+        n = len(uid)
+        vus = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        dev = vus - ref_us - k_us
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_starts = np.flatnonzero(new_seg)
+        seg_keys = uid[seg_starts]
+        _, c0, m0 = _sorted_lookup(sk, seg_keys, sc, sm, defaults=[0, 0])
+        gcs = np.cumsum(dev)
+        base = (gcs - dev)[seg_starts]  # prefix sum BEFORE each segment
+        c_arr = gcs - base[seg_id] + c0[seg_id]
+        cmin_arr = np.minimum(
+            pd.Series(c_arr).groupby(seg_id).cummin().to_numpy(), m0[seg_id]
+        )
+        s_arr = c_arr - np.minimum(0, cmin_arr)
+        seg_ends = np.append(seg_starts[1:] - 1, n - 1)
+        allk, mc, mm = _merge_state(
+            sk, (sc, sm), seg_keys, (c_arr[seg_ends], cmin_arr[seg_ends])
+        )
+        state.update((allk.tolist(), mc.tolist(), mm.tolist()))
+        cus = s_arr.astype(np.float64) / 1e6
+        yield pd.DataFrame(
+            {
+                "user_id": uid,
+                "ts_us": pdf["ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "value": pdf["value"].to_numpy(dtype=np.float64),
+                "cusum": cus,
+                "is_drift": cus > threshold,
+            }
+        )
+
+    return fn
+
+
 def streaming_cusum(
     events: DataFrame,
     ref: float,
     threshold: float,
     key: str = "user_id",
     k: float = 0.0,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """d14's streaming form (detectors.cusum_drift with ``ref=``): the
     sequential drift score maintained live per key with O(1) state —
     two BIGINT scalars however many samples have streamed, vs the
     batch form's full-history window. A monitoring deployment seeds
     ``ref`` from a batch baseline (a06/a27) and gets the same exact
-    integer arithmetic the batch/oracle pair pins."""
-    fn = _make_cusum_fn(
-        int(round(ref * 1_000_000)), int(round(k * 1_000_000)), threshold
-    )
+    integer arithmetic the batch/oracle pair pins.
+
+    ``n_buckets`` switches to key-bucketed batched state (see
+    ``_bucketed`` module note) — same exact integers, the per-group
+    Python/Arrow constant amortized over ~keys/n_buckets keys."""
+    ref_us = int(round(ref * 1_000_000))
+    kk_us = int(round(k * 1_000_000))
+    cols = events.select(key, "event_id", "ts", "value")
+    if n_buckets is not None:
+        return (
+            cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+            .groupBy("__kb")
+            .applyInPandasWithState(
+                _make_cusum_bucket_fn(ref_us, kk_us, threshold, key),
+                outputStructType=_CUSUM_SCHEMA,
+                stateStructType=_CUSUM_BSTATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    fn = _make_cusum_fn(ref_us, kk_us, threshold)
     return (
-        events.select(key, "event_id", "ts", "value")
+        cols
         .groupBy(key)
         .applyInPandasWithState(
             fn,

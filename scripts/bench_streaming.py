@@ -151,6 +151,38 @@ def main():
             stream_from(spark, land, template), ref=35.0, threshold=1000.0
         )
         print(json.dumps(drain_with_progress(cus, "st11_cusum", workdir, n)))
+
+        # st10: per-sample counter rates — the remaining per-row form
+        rat = ST.streaming_counter_rates(stream_from(spark, land, template))
+        print(json.dumps(drain_with_progress(rat, "st10_rates", workdir, n)))
+
+        # Key-bucketed batched-state twins (VERDICT r6 item 4): same
+        # outputs (equivalence pinned in tests/test_streaming.py), the
+        # per-group Python/Arrow constant amortized over ~keys/n_buckets
+        # keys. n_buckets is the executor-sizing dial — a few x total
+        # cores, NOT grown with key count.
+        nb = int(os.environ.get("SPARK_GRAFT_STREAM_BUCKETS", "64"))
+        gap_b = ST.streaming_gap_fill(
+            stream_from(spark, land, template), bucket_seconds=300, n_buckets=nb
+        )
+        r = drain_with_progress(gap_b, "st09b_gap_fill_bucketed", workdir, n)
+        r["n_buckets"] = nb
+        print(json.dumps(r))
+        cus_b = ST.streaming_cusum(
+            stream_from(spark, land, template),
+            ref=35.0,
+            threshold=1000.0,
+            n_buckets=nb,
+        )
+        r = drain_with_progress(cus_b, "st11b_cusum_bucketed", workdir, n)
+        r["n_buckets"] = nb
+        print(json.dumps(r))
+        rat_b = ST.streaming_counter_rates(
+            stream_from(spark, land, template), n_buckets=nb
+        )
+        r = drain_with_progress(rat_b, "st10b_rates_bucketed", workdir, n)
+        r["n_buckets"] = nb
+        print(json.dumps(r))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
