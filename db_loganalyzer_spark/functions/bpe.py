@@ -146,6 +146,52 @@ _SEED_CORPUS = [
 ] * 4
 
 
+class RanksEncoder:
+    """Wheel-less implementation of the tiktoken *mergeable-ranks*
+    contract: a byte-level BPE encoder driven by a ``bytes -> rank``
+    table, where each token's id IS its rank — the exact data format
+    ``tiktoken.Encoding`` ships (public; the greedy lowest-rank merge
+    loop below is the canonical algorithm tiktoken's educational
+    implementation documents). Deployments with the wheel pass
+    ``tiktoken.get_encoding(name)._mergeable_ranks`` straight in and
+    get identical ids from either engine; the sandbox pins the contract
+    against a recorded fixture table instead
+    (tests/test_integrations.py).
+
+    ``pattern`` is the pre-tokenization regex (tiktoken encodings each
+    ship theirs); merges never cross pre-token boundaries.
+    """
+
+    def __init__(self, mergeable_ranks: dict[bytes, int], pattern: str = r"\S+|\s+"):
+        self.ranks = dict(mergeable_ranks)
+        self.pattern = re.compile(pattern)
+
+    def _merge_piece(self, piece: bytes) -> list[bytes]:
+        parts = [piece[i : i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = self.ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    def encode(self, text: str) -> list[int]:
+        """Token ids (= ranks). A part absent from the table (possible
+        only with an incomplete fixture table, never with a real
+        encoding's full 256-byte base) gets id -1 rather than raising,
+        so token COUNTS stay usable."""
+        ids: list[int] = []
+        for m in self.pattern.finditer(text or ""):
+            for part in self._merge_piece(m.group().encode("utf-8")):
+                ids.append(self.ranks.get(part, -1))
+        return ids
+
+
 _default: BPETokenizer | None = None
 
 
