@@ -6035,69 +6035,20 @@ GROUP BY 1
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
-    # after every edit). Round-6 policy (VERDICT r5 task 3): entries are
-    # ordered by staleness of their latest driver row — brand-new round-6
-    # entries first, then every r2/r3-checked entry (34), then r4-checked
-    # oldest-first, then r5-checked. New entries are inserted at the TOP.
-    # End of round 6: 32 new + 18 of the 35 stale entries fill the
-    # window (last in-window: f05_interesting_events at position 50);
-    # displaced to round 7: f06, f08, f10, f11, j01, j02, j05,
-    # w02, w03, w06, w09, s07, a05, a06, a10, c01, cl01, cl02 — all
-    # green in this round's FULL local gate (156 entries) at sf0.01
-    # AND sf0.1.
-    # Displaced entries remain pinned by scripts/check_oracle.py + CI.
-    # ---- new in r6 (first driver row) ----
-    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
-    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
-    "w20_trending_topk": (w20_trending_topk, W20_SQL),
-    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
-    "w18_event_sequences": (w18_event_sequences, W18_SQL),
-    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
-    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
-    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
-    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
-    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
-    "m17_block_dedup": (m17_block_dedup, M17_SQL),
-    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
-    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
-    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
-    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
-    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
-    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
-    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
-    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
-    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
-    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
-    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
+    # after every edit). Policy since r5: ordered by staleness of each
+    # entry's latest driver row — entries whose IMPLEMENTATION changed
+    # this round first, then the stalest rows, oldest first. Round-7
+    # window = 3 changed (st09/st10/st11 switched to the key-bucketed
+    # batched-state form) + the 12 r2/r3-stale rows the r6 verdict named
+    # (f06, f08, f10, f11, j01, j02, j05, w02, w03, w06, w09, s07) + the
+    # 35 oldest r4-checked entries (a05 .. st03). Displaced to r8: the
+    # remaining 9 r4 entries (t01..w10) — all green in the FULL local
+    # gate at sf0.01 AND sf0.1 and pinned by scripts/check_oracle.py.
+    # ---- changed in r7 (bucketed packed-array state; same oracles) ----
+    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
+    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
-    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
-    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
-    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
-    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
-    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
-    # ---- latest driver row: r2 ----
-    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
-    "a02_event_histogram": (a02_event_histogram, A02_SQL),
-    "a03_time_span": (a03_time_span, A03_SQL),
-    "a04_global_max": (a04_global_max, A04_SQL),
-    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
-    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
-    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
-    "a14_summary_stats": (a14_summary_stats, A14_SQL),
-    "a16_count": (a16_count, A16_SQL),
-    "a17_role_distribution": (a17_role_distribution, A17_SQL),
-    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
-    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
-    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
-    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
-    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
-    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
-    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
-    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
-    "f02_event_pattern": (f02_event_pattern, F02_SQL),
-    "f03_severity_floor": (f03_severity_floor, F03_SQL),
-    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
-    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    # ---- latest driver row: r2/r3 (the 12 stale rotations) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),
     "f10_exclusion": (f10_exclusion, F10_SQL),
@@ -6190,8 +6141,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
-    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
-    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
     "t07_quality_gate": (t07_quality_gate, T07_SQL),
@@ -6207,6 +6156,56 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w15_trailing_window": (w15_trailing_window, W15_SQL),
     "w16_level_shifts": (w16_level_shifts, W16_SQL),
     "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    # ---- latest driver row: r6 ----
+    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
+    "a02_event_histogram": (a02_event_histogram, A02_SQL),
+    "a03_time_span": (a03_time_span, A03_SQL),
+    "a04_global_max": (a04_global_max, A04_SQL),
+    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
+    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
+    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
+    "a14_summary_stats": (a14_summary_stats, A14_SQL),
+    "a16_count": (a16_count, A16_SQL),
+    "a17_role_distribution": (a17_role_distribution, A17_SQL),
+    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
+    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
+    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
+    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
+    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
+    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
+    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
+    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    "f02_event_pattern": (f02_event_pattern, F02_SQL),
+    "f03_severity_floor": (f03_severity_floor, F03_SQL),
+    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
+    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
+    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
+    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
+    "w18_event_sequences": (w18_event_sequences, W18_SQL),
+    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
+    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
+    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
+    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
+    "m17_block_dedup": (m17_block_dedup, M17_SQL),
+    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
+    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
+    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
+    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
+    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
+    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
+    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
+    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
+    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
+    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
+    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
+    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
+    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
+    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
+    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
+    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
 }
 
 
