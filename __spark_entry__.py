@@ -819,17 +819,9 @@ SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS INT) AS rk FROM (
 # ---------------------------------------------------------------------------
 
 
-def _fact_join_side(spark, sf_dir, name: str, df):
-    """Size-gated join strategy for a fact⋈fact edge: below the session's
-    broadcast threshold the side is left unhinted (Catalyst broadcasts it
-    — the right plan for a small input), above it a ``shuffle_hash`` hint
-    pins the scale-safe plan so size-statistic drift can never trigger a
-    driver-side collect of a fact table at 100×. The gate reads the actual
-    parquet footprint, not an estimate."""
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        size = None
+def _broadcast_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (unit suffixes
+    parsed; malformed values fall back to the 10 MB default)."""
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     s, mult = raw.strip().lower(), 1
     for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
@@ -838,12 +830,51 @@ def _fact_join_side(spark, sf_dir, name: str, df):
             s, mult = s[: -len(suf)], m
             break
     try:
-        thresh = int(float(s)) * mult
+        return int(float(s)) * mult
     except ValueError:
-        thresh = 10 << 20
-    if size is not None and 0 <= size < max(thresh, 0):
+        return 10 << 20
+
+
+def _under_threshold(spark, sf_dir, name: str) -> bool:
+    """True iff the backing parquet footprint of table ``name`` is known
+    and below the session broadcast threshold. Unknown size => False
+    (never force a broadcast of a frame whose size can't be bounded)."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return False
+    return 0 <= size < max(_broadcast_threshold(spark), 0)
+
+
+def _fact_join_side(spark, sf_dir, name: str, df):
+    """Size-gated join strategy for a fact⋈fact edge: below the session's
+    broadcast threshold the side is left unhinted (Catalyst broadcasts it
+    — the right plan for a small input), above it the side is pinned to
+    ``merge`` (sort-merge): the only join build that spills gracefully
+    when one grouping key's build side outgrows executor memory. A
+    ``shuffle_hash`` pin here failed reproducibly at sf100 ("Can't
+    acquire ... bytes memory to build hash relation" — shuffled-hash
+    builds cannot spill the relation the way sort-merge sorts can); AQE
+    may still downgrade the merge to a broadcast if runtime stats allow.
+    The gate reads the actual parquet footprint, not an estimate."""
+    if _under_threshold(spark, sf_dir, name):
         return df
-    return df.hint("shuffle_hash")
+    return df.hint("merge")
+
+
+def _gated_broadcast(spark, sf_dir, name: str, df):
+    """``F.broadcast(df)`` only while the backing table's parquet
+    footprint is below the session broadcast threshold; past the gate
+    the frame is returned unhinted so Catalyst/AQE pick a shuffle join.
+    An unconditional ``F.broadcast`` of a frame whose cardinality grows
+    with a fact table (customers, derived geo dims) is the canonical
+    100 TB OOM: the hint overrides size statistics, so the build side
+    keeps being collected to every task long after it stops fitting
+    (observed: q03's segment broadcast dying at sf100 with a
+    hash-relation memory error)."""
+    if _under_threshold(spark, sf_dir, name):
+        return F.broadcast(df)
+    return df
 
 
 def q03_shipping_priority(spark, sf_dir):
@@ -865,7 +896,12 @@ def q03_shipping_priority(spark, sf_dir):
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        # seg's cardinality scales with customer (~3M keys at sf100):
+        # broadcast only below the gate, shuffle past it.
+        .join(
+            _gated_broadcast(spark, sf_dir, "customer", seg),
+            orders.o_custkey == seg.c_custkey,
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
         .select(
@@ -895,18 +931,25 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 def q05_nation_revenue(spark, sf_dir):
     """Multi-way star join: lineitem⋈orders⋈(customer⋈nation⋈region) with
-    the snowflaked geo dims collapsed into ONE materialized broadcast dim
-    (SURVEY §2.3 J1 generalized; tables.load_customer_geo). One broadcast
-    build instead of three. The unfiltered fact⋈fact edge is left to
-    Catalyst: at bench SF orders fits the broadcast threshold; at scale its
-    size statistics push the join to shuffle automatically."""
+    the snowflaked geo dims collapsed into ONE materialized dim
+    (SURVEY §2.3 J1 generalized; tables.load_customer_geo) — one build
+    instead of three. The geo dim's cardinality is the CUSTOMER table's,
+    so its broadcast is size-gated on the customer parquet footprint:
+    broadcast at bench SF, shuffle join past the gate (at sf100 the dim
+    is ~3M rows — forcing the broadcast there is the canonical scale
+    OOM). The unfiltered fact⋈fact edge is left to Catalyst: at bench SF
+    orders fits the broadcast threshold; at scale its size statistics
+    push the join to shuffle automatically."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     geo = tables.load_customer_geo(spark, sf_dir)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(geo), orders.o_custkey == geo.c_custkey)
+        .join(
+            _gated_broadcast(spark, sf_dir, "customer", geo),
+            orders.o_custkey == geo.c_custkey,
+        )
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
@@ -6037,67 +6080,24 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
-    # this round first, then the stalest rows, oldest first. Round-7
-    # window = 3 changed (st09/st10/st11 switched to the key-bucketed
-    # batched-state form) + the 12 r2/r3-stale rows the r6 verdict named
-    # (f06, f08, f10, f11, j01, j02, j05, w02, w03, w06, w09, s07) + the
-    # 35 oldest r4-checked entries (a05 .. st03). Displaced to r8: the
-    # remaining 9 r4 entries (t01..w10) — all green in the FULL local
-    # gate at sf0.01 AND sf0.1 and pinned by scripts/check_oracle.py.
-    # ---- changed in r7 (bucketed packed-array state; same oracles) ----
+    # this round first, then the stalest rows, oldest first. Round-8
+    # window = 8 changed (q03/q05 size-gated join hints, m03 LSH-verify
+    # semi-join prune, m02/m08 uncapped-guard persist, st09/st10/st11
+    # driver-side key validation) + the 9 r4-stale rows the r7 verdict
+    # named (t01..w10) + the 33 oldest r5-checked entries (a18..t05).
+    # Displaced to r9: the remaining 14 r5 entries (t06..w17) — all
+    # green in the FULL local gate at sf0.01 AND sf0.1 and pinned by
+    # scripts/check_oracle.py.
+    # ---- changed in r8 (same oracles; hashes re-verified both SFs) ----
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "m08_dedup_components": (m08_dedup_components, M08_SQL),
     "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
     "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
-    # ---- latest driver row: r2/r3 (the 12 stale rotations) ----
-    "f06_event_class": (f06_event_class, F06_SQL),
-    "f08_json_field": (f08_json_field, F08_SQL),
-    "f10_exclusion": (f10_exclusion, F10_SQL),
-    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
-    "j01_equi_join": (j01_equi_join, J01_SQL),
-    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
-    "w02_value_resets": (w02_value_resets, W02_SQL),
-    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
-    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
-    # ---- latest driver row: r3 ----
-    "s07_processes": (s07_processes, S07_SQL),
-    # ---- latest driver row: r4 ----
-    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
-    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
-    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
-    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
-    "f07_field_probe": (f07_field_probe, F07_SQL),
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
-    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
+    # ---- latest driver row: r4 (displaced from the r7 window) ----
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "t03_language_id": (t03_language_id, T03_SQL),
@@ -6128,7 +6128,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
     "m05_hash_split": (m05_hash_split, M05_SQL),
     "m06_decontaminate": (m06_decontaminate, M06_SQL),
-    "m08_dedup_components": (m08_dedup_components, M08_SQL),
     "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
     "m10_group_sample": (m10_group_sample, M10_SQL),
     "m12_budget_select": (m12_budget_select, M12_SQL),
@@ -6142,6 +6141,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    # ================= end of the 50-entry driver window =================
+    # ---- latest driver row: r5, displaced to the r9 window ----
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
     "t07_quality_gate": (t07_quality_gate, T07_SQL),
     "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
@@ -6156,6 +6157,50 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w15_trailing_window": (w15_trailing_window, W15_SQL),
     "w16_level_shifts": (w16_level_shifts, W16_SQL),
     "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    # ---- latest driver row: r7 (the rest of the r7 window) ----
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    "s07_processes": (s07_processes, S07_SQL),
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     # ---- latest driver row: r6 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),

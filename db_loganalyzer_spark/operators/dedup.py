@@ -225,6 +225,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    check_skew: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a shingle inverted index:
     explode distinct shingles, self-join on shingle (only co-occurring
@@ -239,7 +240,15 @@ def ngram_jaccard_pairs(
     sizes are both computed on the filtered vocabulary, so the result is
     exact Jaccard over that vocabulary (discriminative shingles), not an
     estimate of the uncapped value. Default None keeps the exact
-    semantics the DuckDB oracle checks."""
+    semantics the DuckDB oracle checks.
+
+    On the uncapped path with ``check_skew`` (the default) this call is
+    EAGER: the clone-skew guard runs one Spark job (max shingle
+    doc-freq) at plan-construction time. The shingle index is persisted
+    first, so the guard job doubles as a cache warm for the returned
+    plan rather than double work; pass ``check_skew=False`` to build a
+    fully lazy, persist-free plan (callers composing plans they may
+    never execute)."""
     df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -248,11 +257,15 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         hot = _hot_shingles(sh, max_doc_freq)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
+    elif check_skew:
         # Runtime guard (VERDICT r6 item 5): one map-side-combinable agg
         # over the index the pipeline builds anyway — cheap next to the
         # self-join it is protecting, and it only runs on the uncapped
-        # exact-oracle path that should never see clone-heavy data.
+        # exact-oracle path that should never see clone-heavy data. The
+        # persist makes the guard's job materialize the index once for
+        # both the guard AND the returned plan (left to LRU eviction —
+        # eager unpersist would undo exactly that reuse).
+        sh = sh.persist()
         row = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -423,7 +436,10 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, hash_family: str = "portable"
+    signatures: DataFrame,
+    bands: int = 8,
+    hash_family: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` rows of
     (band_id, band_hash); docs sharing any band bucket become candidate
@@ -433,7 +449,18 @@ def minhash_lsh_candidates(
     ``portable`` folds the band's values with the same rolling combine
     the t04 fingerprint uses (``(acc*31 + v) mod p``) so the bucket ids
     are reproducible in the oracle SQL; ``xxhash64`` hashes the band
-    slice's string form."""
+    slice's string form.
+
+    ``max_bucket_size``: the within-bucket pair join is quadratic in
+    bucket population, so one degenerate bucket (boilerplate/near-empty
+    docs collapsing to one signature band) owns a single join task with
+    |bucket|² pairs — the LSH analogue of the clone-skew hazard the
+    capped-Jaccard family guards (see ``CloneQuadraticWarning``). When
+    set, (band, bucket) groups holding more than this many docs are
+    dropped before the self-join: an explicit recall trade (pairs whose
+    EVERY shared band is degenerate are missed; anything sharing one
+    normal band survives). None (default) keeps exact-LSH semantics for
+    the oracle contract."""
 
     def band_bucket(band_slice: Column) -> Column:
         if hash_family == "xxhash64":
@@ -463,6 +490,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        w_bucket = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bucket")
+        )
+        banded = (
+            banded.withColumn("__bsz", w_bucket)
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -485,6 +521,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> verify candidates with EXACT n-gram Jaccard (join back to the
@@ -496,9 +533,36 @@ def minhash_lsh_dedup(
     equals string-set Jaccard except under a 31-bit hash collision inside
     one candidate pair (~|shingles|^2 / 2e9 per doc — negligible, and
     both engines agree even then). Skipping string materialization
-    (slice + array_join per shingle) halves the verify stage's cost."""
+    (slice + array_join per shingle) halves the verify stage's cost.
+
+    Scale shape of the verify stage: the candidate PAIRS are persisted
+    (small — two ids per row; reused three times below, which without the
+    persist would recompute the whole signature+banding pipeline per
+    use), and the shingle-set table is SEMI-JOIN PRUNED to candidate ids
+    before the verify join. Semantically a no-op (the verify equi-join
+    already restricts to candidate ids) but the plan difference is the
+    whole ballgame at corpus scale: without the prune, sort-merge
+    shuffles and sorts EVERY document's shingle array on both join
+    sides — at sf100 (5M docs) that sort spilled the disk to death
+    ("SPILL_OUT_OF_MEMORY ... No space left on device", stage 202,
+    /root reg100 probe). With it, only candidate docs' arrays — bounded
+    by the LSH collision count, orders of magnitude smaller than the
+    corpus — ever reach a shuffle; AQE broadcast-converts the pruned
+    sides when they are small enough. The persist is intentionally left
+    to Spark's LRU eviction (the frame is tiny; unpersisting eagerly
+    would re-trigger the pipeline if the caller re-executes the plan).
+
+    ``max_bucket_size`` forwards to ``minhash_lsh_candidates`` — the
+    degenerate-bucket recall trade documented there."""
     sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_family)
-    cands = minhash_lsh_candidates(sigs, bands, hash_family)
+    cands = minhash_lsh_candidates(
+        sigs, bands, hash_family, max_bucket_size=max_bucket_size
+    ).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     if hash_family == "portable":
         toks = F.split(normalize_text(text_col), " ")
         tp_df = _spread(df.filter(F.size(toks) >= n)).select(
@@ -512,6 +576,7 @@ def minhash_lsh_dedup(
         sh = _spread(df).select(
             F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
         )
+    sh = sh.join(cand_ids, "id", "left_semi")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

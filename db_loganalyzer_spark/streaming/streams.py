@@ -593,6 +593,24 @@ def _gapfill_fn_factory(bucket_seconds: int):
 # with key count; state per bucket is O(keys/n_buckets) scalars.
 # ---------------------------------------------------------------------------
 
+def _require_int_key(df: DataFrame, key: str, fn_name: str) -> None:
+    """The stateful per-key operators pack keys as int64 numpy arrays
+    (and, bucketed, as ArrayType(LongType) state), so a non-integral key
+    column would only fail deep inside an executor with an opaque Arrow
+    cast error. Validate on the driver instead, where the schema is
+    known. Null keys are likewise unsupported (they would NaN-poison the
+    packed arrays) — that is a data contract documented per-function,
+    not checkable from the schema alone."""
+    field = df.schema[key]
+    if not isinstance(
+        field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"{fn_name}: key column {key!r} must be an integral type "
+            f"(state is packed as int64), got {field.dataType.simpleString()}"
+        )
+
+
 _GAPFILL_BSTATE_SCHEMA = T.StructType(
     [
         T.StructField("keys", T.ArrayType(T.LongType())),
@@ -744,6 +762,7 @@ def streaming_gap_fill(
     constant amortized over ~keys/n_buckets keys per state group.
     """
     cols = events.select(key, "event_id", "ts", "value")
+    _require_int_key(cols, key, "streaming_gap_fill")
     if n_buckets is not None:
         return (
             cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
@@ -916,6 +935,7 @@ def streaming_counter_rates(
     ``_bucketed`` module note) — same output, vectorized fold, the
     per-group constant amortized over ~keys/n_buckets keys."""
     cols = events.select(key, "event_id", "ts", "value")
+    _require_int_key(cols, key, "streaming_counter_rates")
     if n_buckets is not None:
         return (
             cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
@@ -1095,6 +1115,7 @@ def streaming_cusum(
     ref_us = int(round(ref * 1_000_000))
     kk_us = int(round(k * 1_000_000))
     cols = events.select(key, "event_id", "ts", "value")
+    _require_int_key(cols, key, "streaming_cusum")
     if n_buckets is not None:
         return (
             cols.withColumn("__kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))

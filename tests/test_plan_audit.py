@@ -119,6 +119,154 @@ def test_global_windows_only_where_declared_bounded(audit):
     assert not bad, f"undeclared global-order window in: {bad}"
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint (round 8, VERDICT r7 item 5).
+#
+# An unconditional F.broadcast() whose argument's cardinality grows with a
+# fact table is the canonical 100 TB OOM: the hint OVERRIDES Catalyst's size
+# statistics, so the build side keeps being hash-built on every task long
+# after it stops fitting (observed twice at sf100: q03's segment broadcast
+# and the pre-fix q05 geo broadcast, both "Can't acquire ... memory to build
+# hash relation"). Plans can't tell a bounded dim from an unbounded one, so
+# this lint works at the SOURCE level: every `*.broadcast(...)` call site in
+# the package + entry module must appear in the allowlist below, keyed by
+# (file, enclosing function) with the boundedness argument and the expected
+# call-site count. A NEW broadcast call site fails until a human writes down
+# why its build side is bounded (or routes it through a size gate like
+# `_gated_broadcast`); a REMOVED one fails the staleness check so the list
+# can't rot.
+# ---------------------------------------------------------------------------
+
+BROADCAST_OK = {
+    # (file, enclosing function): (expected call sites, boundedness argument)
+    ("__spark_entry__.py", "_gated_broadcast"): (
+        1, "IS the size gate: broadcasts only below the parquet-footprint threshold"),
+    ("__spark_entry__.py", "a32_hll_overlap"): (
+        1, "1-row HLL estimate frames"),
+    ("__spark_entry__.py", "a22_hll_distinct"): (
+        1, "1-row estimate-vs-exact attach"),
+    ("__spark_entry__.py", "a27_diurnal_baseline"): (
+        1, "profile frame: one row per (event_type, hour-of-day) <= |types|*24"),
+    ("__spark_entry__.py", "j12_bloom_prefilter"): (
+        1, "membership dim pre-bounded by the bloom prefilter's eval-set size"),
+    ("db_loganalyzer_spark/agentic/retrieval.py", "retrieve"): (
+        1, "single broadcast query vector"),
+    ("db_loganalyzer_spark/operators/sampling.py", "temperature_mixture_rates"): (
+        1, "1-row n_min attach"),
+    ("db_loganalyzer_spark/operators/sampling.py", "temperature_resample"): (
+        1, "per-stratum rate frame, bounded by |domains|"),
+    ("db_loganalyzer_spark/operators/windows.py", "relative_timeline"): (
+        1, "1-row t0 frame"),
+    ("db_loganalyzer_spark/operators/aggregates.py", "per_group_zscores"): (
+        1, "stats frame: one row per metric-name group (bounded vocabulary)"),
+    ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_pairs"): (
+        1, "hot-shingle stop list: <= shingle_instances/cap rows by definition"),
+    ("db_loganalyzer_spark/operators/dedup.py", "shingle_containment_pairs"): (
+        1, "hot-shingle stop list (same bound)"),
+    ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_against"): (
+        2, "hot-shingle stop lists on both sides (same bound)"),
+    ("db_loganalyzer_spark/operators/clustering.py", "seed_centroid_assign"): (
+        1, "k-row centroid frame"),
+    ("db_loganalyzer_spark/operators/clustering.py", "cluster_representatives"): (
+        2, "k-row centroid + k-row size frames"),
+    ("db_loganalyzer_spark/operators/joins.py", "equi_join"): (
+        1, "explicit caller opt-in flag (broadcast_right), documented contract"),
+    ("db_loganalyzer_spark/operators/joins.py", "attach_global_stats"): (
+        1, "1-row global stats frame"),
+    ("db_loganalyzer_spark/operators/joins.py", "lookup_with_fallback"): (
+        2, "baseline lookup frames, bounded by metric vocabulary"),
+    ("db_loganalyzer_spark/operators/joins.py", "bloom_prefilter"): (
+        1, "aggregated bloom bitmap, <= m bits regardless of build rows"),
+    ("db_loganalyzer_spark/operators/ranking.py", "tfidf_top_terms"): (
+        1, "1-row corpus-N frame"),
+    ("db_loganalyzer_spark/operators/ranking.py", "bm25_search"): (
+        1, "1-row avgdl frame"),
+    ("db_loganalyzer_spark/operators/similarity.py", "brute_force_topk"): (
+        1, "query-set frame (|Q| << corpus by contract)"),
+    ("db_loganalyzer_spark/operators/similarity.py", "lsh_topk"): (
+        1, "bucketed query-set frame"),
+    ("db_loganalyzer_spark/operators/similarity.py", "ivf_topk"): (
+        1, "cell-probed query-set frame"),
+    ("db_loganalyzer_spark/operators/sketches.py", "hll_cumulative"): (
+        1, "register grid, <= 2^p rows per day bucket"),
+    ("db_loganalyzer_spark/operators/sketches.py", "countmin_estimates"): (
+        1, "count-min sketch, <= d*w counters"),
+    ("db_loganalyzer_spark/operators/sketches.py", "histogram_quantiles"): (
+        1, "per-group stat frame over bounded group keys"),
+    ("db_loganalyzer_spark/detectors/detectors.py", "_with_baseline"): (
+        2, "baseline + ALL-fallback frames, bounded by metric vocabulary"),
+    ("db_loganalyzer_spark/detectors/detectors.py", "metric_anomalies"): (
+        1, "per-metric stats frame (bounded vocabulary)"),
+    ("db_loganalyzer_spark/detectors/detectors.py", "robust_outliers"): (
+        2, "per-group median + MAD frames over bounded group keys"),
+    ("db_loganalyzer_spark/detectors/detectors.py", "seasonal_anomalies"): (
+        1, "per-(metric, season-slot) profile frame, bounded grid"),
+    ("db_loganalyzer_spark/sources/trace_logs.py", "read_trace_events"): (
+        1, "per-input-file id-offset frame, one row per file"),
+    ("db_loganalyzer_spark/sources/tables.py", "load_customer_geo"): (
+        2, "nation (25 rows) and region (5 rows) — genuinely fixed dims"),
+}
+
+
+def _broadcast_callsites():
+    import ast
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = [os.path.join(repo, "__spark_entry__.py")]
+    for dirpath, _, fnames in os.walk(
+        os.path.join(repo, "db_loganalyzer_spark")
+    ):
+        for fn in sorted(fnames):
+            if fn.endswith(".py"):
+                files.append(os.path.join(dirpath, fn))
+    sites: dict[tuple[str, str], int] = {}
+    for path in files:
+        with open(path) as f:
+            tree = ast.parse(f.read(), path)
+        rel = os.path.relpath(path, repo)
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                fn = node.func
+                hit = (
+                    isinstance(fn, ast.Attribute) and fn.attr == "broadcast"
+                ) or (isinstance(fn, ast.Name) and fn.id == "broadcast")
+                if hit:
+                    key = (rel, stack[-1] if stack else "<module>")
+                    sites[key] = sites.get(key, 0) + 1
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return sites
+
+
+def test_broadcast_callsites_all_justified():
+    sites = _broadcast_callsites()
+    new = {
+        k: n for k, n in sites.items()
+        if k not in BROADCAST_OK or BROADCAST_OK[k][0] != n
+    }
+    assert not new, (
+        "broadcast call sites not on (or drifted from) the boundedness "
+        f"allowlist — add a justification or size-gate them: {new}"
+    )
+
+
+def test_broadcast_allowlist_not_stale():
+    sites = _broadcast_callsites()
+    gone = [k for k in BROADCAST_OK if k not in sites]
+    assert not gone, f"allowlisted broadcast call sites no longer exist: {gone}"
+
+
 def test_allowlists_not_stale(audit):
     # every allowlisted entry must still exhibit the pattern it excuses —
     # otherwise the allowlist rots and stops meaning anything

@@ -626,4 +626,14 @@ def test_bucketed_counter_rates_equals_per_key(
             for r in rows
         ]
 
+    # The equivalence above relies on the sink masking float NaN to SQL
+    # NULL; pin that masking itself so a future Arrow/sink change that
+    # starts preserving NaN (making the two forms genuinely diverge)
+    # fails here instead of slipping through the canon() fold.
+    import math
+
+    for rows in (per_key, bucketed):
+        assert not any(
+            isinstance(v, float) and math.isnan(v) for r in rows for v in r
+        ), "sink leaked a float NaN — NULL-masking contract broken"
     assert canon(bucketed) == canon(per_key) and len(per_key) > 20
