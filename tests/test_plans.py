@@ -107,19 +107,20 @@ def test_q03_fact_join_gate_small_broadcasts(spark, sf_dir, qs, cold_cache):
     assert "BroadcastHashJoin" in p
 
 
-def test_q03_fact_join_gate_large_pins_shuffle(spark, sf_dir, qs, cold_cache):
+def test_q03_fact_join_gate_large_pins_sort_merge(spark, sf_dir, qs, cold_cache):
     # with the threshold below the file size (the 100 TB regime in
-    # miniature) the gate must pin shuffle_hash: no broadcast of a fact
-    # table, ever
+    # miniature) the gate must degrade every edge to a SPILLABLE join:
+    # sort-merge on the fact edge (a shuffle_hash pin died at sf100 —
+    # hash relations can't spill), and no broadcast of any side whose
+    # footprint is past the gate
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
     try:
         p = plan_str(spark, qs["q03_shipping_priority"](spark, sf_dir), "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-    # the explicit-broadcast dim side (BUILDING customers) is unaffected;
-    # the orders edge must be the pinned shuffle
-    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
 
 
 def test_m03_lsh_band_join_is_equi(spark, sf_dir, qs, cold_cache):
