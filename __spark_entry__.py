@@ -5330,6 +5330,100 @@ FROM s
 """
 
 
+def st12_streaming_static_enrich(spark, sf_dir):
+    """ST12 — the stream-STATIC dimension join (streams.streaming_
+    enrich): live events enriched with per-event_type batch baselines
+    (mean/std -> z-score), a12's per-group z-scores made live. The dim
+    is one row per event type, computed from the batch table and
+    BROADCAST per micro-batch: the stream side never shuffles and the
+    join holds ZERO state (Spark re-plans the static side each
+    trigger, so a refreshed baseline table is picked up for free). At
+    100 TB this is the shape of every enrichment pass: fact stream x
+    bounded dim = broadcast, no state store."""
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    stream = ST.read_events_stream(spark, sf_dir)
+    j = ST.streaming_enrich(stream, dim, on=["event_type"])
+    z = F.round(
+        F.when(F.col("sd") != 0, (F.col("value") - F.col("m")) / F.col("sd")),
+        4,
+    )
+    out = (
+        j.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 1.3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+    return _drain(out, "st12")
+
+
+ST12_SQL = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(CASE WHEN s.sd <> 0 THEN (e.value - s.m) / s.sd END, 4) AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE ABS(ROUND(CASE WHEN s.sd <> 0 THEN (e.value - s.m) / s.sd END, 4)) > 1.3
+"""
+
+
+def st13_streaming_interval_join(spark, sf_dir):
+    """ST13 — the stream-STREAM interval join (streams.streaming_
+    interval_join): clicks within 3600 s after each error by the same
+    user, matched live as both feeds arrive — j08's interval-join
+    family made incremental. Both sides carry watermarks and the range
+    condition bounds buffering, so state per user is O(rate x window),
+    GC'd as the watermark advances; the join shuffles both streams to
+    the same user_id tasks (equi-shuffle, no broadcast, no cross
+    product). availableNow over a finite landing dir = the exact batch
+    interval join, which is what the oracle states."""
+    errs = (
+        ST.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    clicks = (
+        ST.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+    )
+    out = ST.streaming_interval_join(
+        errs,
+        clicks,
+        [("err_user", "clk_user")],
+        3600,
+        left_ts="err_ts",
+        right_ts="clk_ts",
+    )
+    return _drain(
+        out.select(
+            "err_id", "clk_id", F.col("err_user").alias("user_id")
+        ),
+        "st13",
+    )
+
+
+ST13_SQL = """
+SELECT a.event_id AS err_id, b.event_id AS clk_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'click'
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+"""
+
+
 def t13_bigram_lm(spark, sf_dir):
     """T13 — corpus bigram LM counts + conditional P(w2|w1)
     (operators/ranking.bigram_lm_counts): the n-gram statistics behind
@@ -6089,6 +6183,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # green in the FULL local gate at sf0.01 AND sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- changed in r8 (same oracles; hashes re-verified both SFs) ----
+    # ---- new in r8 (must hold a window slot in the round they land) ----
+    "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
+    "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),

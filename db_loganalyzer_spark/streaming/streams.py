@@ -1140,3 +1140,79 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the stateless join every
+    monitoring/ingest pipeline runs (attach baselines, lookup tables,
+    model thresholds to a live feed).
+
+    Spark's stream-static join keeps NO state: each micro-batch of the
+    stream is joined against the batch ``dim`` plan, which is
+    re-evaluated per trigger (a file-backed dim picks up updates
+    between triggers for free). ``broadcast_dim`` (default) pins the
+    dim to a broadcast so the STREAM side never shuffles — the right
+    plan whenever the dim is a genuine dimension (bounded: baselines,
+    type stats, config). Pass ``broadcast_dim=False`` for a fact-scale
+    static side; Spark then shuffles each micro-batch (state is still
+    zero — only the per-trigger shuffle cost grows).
+
+    ``how`` supports "inner" and "left" (stream side preserved); right/
+    full joins against a static side are not streamable by definition.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"streaming_enrich: how={how!r} — stream-static joins "
+            "support 'inner' and 'left' (stream side) only"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: list[tuple[str, str]],
+    window_seconds: int,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM inner join: right rows within ``window_seconds``
+    AFTER each left row, equi-keyed — the live form of j08's interval
+    join (error -> follow-up correlation as events arrive, not in a
+    nightly batch).
+
+    Both sides carry a watermark and the join condition bounds the
+    time skew, which is what lets Spark garbage-collect buffered rows:
+    state per key is O(input rate x (window + watermark delay)), not
+    O(history). The join itself is an equi-shuffle on ``equi_keys``
+    (both streams hash-partition to the same tasks; no broadcast, no
+    cross product) with the range predicate applied post-match — the
+    same shape the batch operator pins, made incremental. Matches emit
+    as soon as both sides have arrived; with availableNow draining a
+    finite landing directory the output is the exact batch interval
+    join, which is what the oracle states.
+
+    Column names must be DISTINCT across the two sides (alias before
+    calling — the entry-level convention for every self-join in the
+    repo); ``equi_keys`` is a list of (left_col, right_col) pairs.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    on = None
+    for lk, rk in equi_keys:
+        c = F.col(lk) == F.col(rk)
+        on = c if on is None else (on & c)
+    rng = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts)
+        <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+    )
+    on = rng if on is None else (on & rng)
+    return lw.join(rw, on, "inner")

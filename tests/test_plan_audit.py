@@ -171,6 +171,9 @@ BROADCAST_OK = {
         2, "k-row centroid + k-row size frames"),
     ("db_loganalyzer_spark/operators/joins.py", "equi_join"): (
         1, "explicit caller opt-in flag (broadcast_right), documented contract"),
+    ("db_loganalyzer_spark/streaming/streams.py", "streaming_enrich"): (
+        1, "explicit caller opt-in flag (broadcast_dim, the dimension-table "
+           "contract); pass False for a fact-scale static side"),
     ("db_loganalyzer_spark/operators/joins.py", "attach_global_stats"): (
         1, "1-row global stats frame"),
     ("db_loganalyzer_spark/operators/joins.py", "lookup_with_fallback"): (

@@ -637,3 +637,84 @@ def test_bucketed_counter_rates_equals_per_key(
             isinstance(v, float) and math.isnan(v) for r in rows for v in r
         ), "sink leaked a float NaN — NULL-masking contract broken"
     assert canon(bucketed) == canon(per_key) and len(per_key) > 20
+
+
+def test_streaming_enrich_matches_batch(
+    spark, sf_dir, events_stream, events_batch, tmp_path_factory
+):
+    """Stream-static join: the drained stream enriched with a batch dim
+    must equal the batch join — the join is stateless, so availableNow
+    over the full file is exactly the batch plan."""
+    from db_loganalyzer_spark.streaming import streaming_enrich
+
+    dim = events_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n")
+    )
+    ck = str(tmp_path_factory.mktemp("ck_enrich"))
+    got = run_available_now(
+        streaming_enrich(events_stream, dim, on=["event_type"]).select(
+            "event_id", "event_type", "type_n"
+        ),
+        "st_enrich_t",
+        ck,
+    )
+    want = events_batch.join(dim, "event_type").select(
+        "event_id", "event_type", "type_n"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == events_batch.count()  # inner join, dim covers all
+
+
+def test_streaming_enrich_rejects_unstreamable_how(spark, events_stream):
+    from db_loganalyzer_spark.streaming import streaming_enrich
+
+    dim = spark.range(3).select(F.col("id").alias("event_type"))
+    with pytest.raises(ValueError, match="stream-static"):
+        streaming_enrich(events_stream, dim, on=["event_type"], how="right")
+
+
+def test_streaming_interval_join_matches_batch(
+    spark, sf_dir, events_batch, tmp_path_factory
+):
+    """Stream-stream interval join drained with availableNow must equal
+    the batch interval join with the same equi+range condition."""
+    from db_loganalyzer_spark.streaming import (
+        read_events_stream,
+        streaming_interval_join,
+    )
+
+    def sides(df):
+        a = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        b = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("clk_id"),
+            F.col("user_id").alias("clk_user"),
+            F.col("ts").alias("clk_ts"),
+        )
+        return a, b
+
+    sa, sb = sides(read_events_stream(spark, sf_dir))
+    ck = str(tmp_path_factory.mktemp("ck_sij"))
+    got = run_available_now(
+        streaming_interval_join(
+            sa, sb, [("err_user", "clk_user")], 3600,
+            left_ts="err_ts", right_ts="clk_ts",
+        ).select("err_id", "clk_id"),
+        "st_sij_t",
+        ck,
+    )
+    ba, bb = sides(events_batch)
+    want = ba.join(
+        bb,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") <= F.col("err_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    ).select("err_id", "clk_id")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(w) > 0
