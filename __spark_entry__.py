@@ -6236,9 +6236,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
+    # ================= end of the 50-entry driver window =================
+    # st08/t05 displaced by the two new r8 entries (st12/st13 above);
+    # both stay green in the full local gate — rotate into the r9 window.
     "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
     "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
-    # ================= end of the 50-entry driver window =================
     # ---- latest driver row: r5, displaced to the r9 window ----
     "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
     "t07_quality_gate": (t07_quality_gate, T07_SQL),

@@ -30,6 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from db_loganalyzer_spark.session import get_spark
 from db_loganalyzer_spark.streaming import streams as ST
 
@@ -155,6 +157,46 @@ def main():
         # st10: per-sample counter rates — the remaining per-row form
         rat = ST.streaming_counter_rates(stream_from(spark, land, template))
         print(json.dumps(drain_with_progress(rat, "st10_rates", workdir, n)))
+
+        # st12: stream-static enrich — ZERO state by construction; the
+        # number is the stateless broadcast-join cost per micro-batch
+        dim = template.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("type_n")
+        )
+        enr = ST.streaming_enrich(
+            stream_from(spark, land, template), dim, on=["event_type"]
+        )
+        print(json.dumps(drain_with_progress(enr, "st12_enrich", workdir, n)))
+
+        # st13: stream-stream interval join — state is both sides'
+        # watermark-bounded buffers, GC'd as the watermark advances
+        sa = (
+            stream_from(spark, land, template)
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("err_id"),
+                F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"),
+            )
+        )
+        sb = (
+            stream_from(spark, land, template)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("clk_id"),
+                F.col("user_id").alias("clk_user"),
+                F.col("ts").alias("clk_ts"),
+            )
+        )
+        sij = ST.streaming_interval_join(
+            sa, sb, [("err_user", "clk_user")], 3600,
+            left_ts="err_ts", right_ts="clk_ts",
+        )
+        print(
+            json.dumps(
+                drain_with_progress(sij, "st13_interval_join", workdir, n)
+            )
+        )
 
         # Key-bucketed batched-state twins (VERDICT r6 item 4): same
         # outputs (equivalence pinned in tests/test_streaming.py), the
