@@ -71,7 +71,16 @@ def stream_from(spark, land_dir: str, template_df):
     return reader.parquet(land_dir)
 
 
+# Optional subset selection: SPARK_GRAFT_STREAM_ONLY="st12_enrich,..."
+# skips the drain (and its cost) for every query not named.
+_ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_STREAM_ONLY", "").split(",") if s
+}
+
+
 def drain_with_progress(df, name: str, workdir: str, n_rows: int) -> dict:
+    if _ONLY and name not in _ONLY:
+        return {"query": name, "skipped": "not in SPARK_GRAFT_STREAM_ONLY"}
     q = (
         df.writeStream.format("noop")
         .queryName(name)
