@@ -1202,8 +1202,17 @@ def streaming_interval_join(
 
     Column names must be DISTINCT across the two sides (alias before
     calling — the entry-level convention for every self-join in the
-    repo); ``equi_keys`` is a list of (left_col, right_col) pairs.
+    repo); ``equi_keys`` is a list of (left_col, right_col) pairs and
+    must be non-empty: with no equi key the join would shuffle every
+    row of both streams to ONE comparison space (a time-range-only
+    theta join), which is the unbounded-state shape this operator
+    exists to avoid.
     """
+    if not equi_keys:
+        raise ValueError(
+            "streaming_interval_join: equi_keys must be non-empty — a "
+            "range-only join buffers both streams against every row"
+        )
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
     on = None

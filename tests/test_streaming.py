@@ -675,6 +675,16 @@ def test_streaming_enrich_rejects_unstreamable_how(spark, events_stream):
         streaming_enrich(events_stream, dim, on=["event_type"], how="right")
 
 
+def test_streaming_interval_join_rejects_empty_keys(spark, events_stream):
+    from db_loganalyzer_spark.streaming import streaming_interval_join
+
+    with pytest.raises(ValueError, match="equi_keys"):
+        streaming_interval_join(
+            events_stream, events_stream, [], 600,
+            left_ts="ts", right_ts="ts",
+        )
+
+
 def test_streaming_interval_join_matches_batch(
     spark, sf_dir, events_batch, tmp_path_factory
 ):
