@@ -839,8 +839,23 @@ def _under_threshold(spark, sf_dir, name: str) -> bool:
     """True iff the backing parquet footprint of table ``name`` is known
     and below the session broadcast threshold. Unknown size => False
     (never force a broadcast of a frame whose size can't be bounded)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        elif os.path.isdir(path):
+            # A directory-materialized table: sum the data files. Bare
+            # getsize() on a directory returns the inode size (~4 KB),
+            # which would pass the gate and force a broadcast of a
+            # fact-scale frame — the exact OOM this gate prevents.
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            return False
     except OSError:
         return False
     return 0 <= size < max(_broadcast_threshold(spark), 0)
@@ -854,9 +869,11 @@ def _fact_join_side(spark, sf_dir, name: str, df):
     when one grouping key's build side outgrows executor memory. A
     ``shuffle_hash`` pin here failed reproducibly at sf100 ("Can't
     acquire ... bytes memory to build hash relation" — shuffled-hash
-    builds cannot spill the relation the way sort-merge sorts can); AQE
-    may still downgrade the merge to a broadcast if runtime stats allow.
-    The gate reads the actual parquet footprint, not an estimate."""
+    builds cannot spill the relation the way sort-merge sorts can). The
+    explicit merge hint is respected by AQE replanning (no broadcast
+    conversion) — intentional: past the gate the side is by definition
+    too big to broadcast. The gate reads the actual parquet footprint,
+    not an estimate."""
     if _under_threshold(spark, sf_dir, name):
         return df
     return df.hint("merge")
@@ -887,8 +904,8 @@ def q03_shipping_priority(spark, sf_dir):
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         # fact ⋈ fact: size-gated — broadcast while orders is genuinely
-        # small, shuffle-hash (never an auto-broadcast driver collect)
-        # once it grows past the threshold.
+        # small, sort-merge (the only spill-graceful build; see
+        # _fact_join_side) once it grows past the threshold.
         .join(
             _fact_join_side(
                 spark, sf_dir, "orders",

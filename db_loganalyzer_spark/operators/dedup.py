@@ -522,10 +522,51 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     hash_family: str = "portable",
     max_bucket_size: int | None = None,
+    verify: str = "exact",
+    estimate_margin: float | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> verify candidates with EXACT n-gram Jaccard (join back to the
     shingle sets only for candidates). Returns verified pairs >= threshold.
+
+    ``verify`` picks the verification stage:
+
+    * ``"exact"`` (default, the oracle contract): join candidate pairs
+      back to the pruned distinct-shingle sets and compute true Jaccard.
+      Per-pair cost is O(|shingles_a| + |shingles_b|) and the verify
+      shuffle carries the candidate docs' shingle ARRAYS (~800 B/doc on
+      the bench corpus) — linear in candidates, but at 5M docs / 278M
+      LSH candidates the shuffled array bytes exceed a single host's
+      spill disk (measured, sf100 probe r8).
+    * ``"estimate"``: never touches a shingle array. Estimated Jaccard
+      = the fraction of matching MinHash components between the two
+      signatures the pipeline has ALREADY computed for banding (the
+      standard unbiased MinHash estimator; std err sqrt(J(1-J)/k), so
+      k=num_hashes=32 gives +-0.088 at J=0.5 — raise num_hashes to
+      tighten). Per-pair cost O(num_hashes); the verify shuffle carries
+      only k longs per doc (~10x smaller than the arrays), making the
+      uncapped pipeline complete where exact verify is disk-bound. This
+      is the 100 TB mode: LSH banding bounds candidates, signatures
+      bound verify — no stage ever shuffles raw document content.
+      Deterministic given the hash family (no RNG): the estimate for a
+      pair is a pure function of the two texts, so results are stable
+      across runs and partitionings. Caveat (measured, sf0.001): the
+      estimator is unbiased UNCONDITIONALLY, but LSH candidates are
+      selected BECAUSE a band matched, so for truly-dissimilar pairs
+      (J < 0.05) the conditional estimate is inflated (observed up to
+      ~0.55) — estimate mode trades some precision at the threshold;
+      for genuinely similar pairs (J >= 0.3) observed |err| mean 0.018
+      / max 0.12 at k=32.
+    * ``"hybrid"``: the production 100 TB mode — estimate first, then
+      EXACT-verify only the pairs whose estimate clears
+      ``threshold - estimate_margin``. Precision is exact (every
+      returned jaccard is true Jaccard); recall differs from "exact"
+      only for pairs the estimator places ``estimate_margin`` or more
+      below their true Jaccard (P < ~1e-4 at margin = 4*sigma). The
+      shingle arrays are shuffled ONLY for estimated positives, a set
+      on the order of the final OUTPUT, not the candidate count — the
+      verify stage cost collapses from O(candidates * array_bytes) to
+      O(output * array_bytes).
 
     The portable family verifies over the DISTINCT SHINGLE-HASH sets
     rather than the shingle strings: the hash family is shared with the
@@ -554,10 +595,53 @@ def minhash_lsh_dedup(
 
     ``max_bucket_size`` forwards to ``minhash_lsh_candidates`` — the
     degenerate-bucket recall trade documented there."""
+    if verify not in ("exact", "estimate", "hybrid"):
+        raise ValueError(
+            f"minhash_lsh_dedup: verify={verify!r} "
+            "(want 'exact', 'estimate' or 'hybrid')"
+        )
     sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, hash_family)
+    if verify != "exact":
+        # signatures feed BOTH the banding pipeline and both verify join
+        # sides; persist so the (shingle -> minhash) work runs once.
+        sigs = sigs.persist()
     cands = minhash_lsh_candidates(
         sigs, bands, hash_family, max_bucket_size=max_bucket_size
     ).persist()
+    if verify != "exact":
+        est_ids = (
+            cands.select(F.col("id_a").alias("id"))
+            .union(cands.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        s = sigs.join(est_ids, "id", "left_semi")
+        a = s.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+        b = s.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        est = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", matches / F.size("sig_a"))
+        )
+        if verify == "estimate":
+            return est.filter(F.col("jaccard") >= threshold).select(
+                "id_a", "id_b", "jaccard"
+            )
+        # hybrid: estimated positives (minus the recall margin, default
+        # 4 sigma of the k-sample estimator) become the ONLY pairs whose
+        # shingle arrays are ever shuffled for exact verification.
+        if estimate_margin is None:
+            estimate_margin = 4.0 * (0.25 / num_hashes) ** 0.5
+        cands = (
+            est.filter(F.col("jaccard") >= threshold - estimate_margin)
+            .select("id_a", "id_b")
+            .persist()
+        )
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))

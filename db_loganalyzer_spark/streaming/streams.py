@@ -1196,9 +1196,14 @@ def streaming_interval_join(
     (both streams hash-partition to the same tasks; no broadcast, no
     cross product) with the range predicate applied post-match — the
     same shape the batch operator pins, made incremental. Matches emit
-    as soon as both sides have arrived; with availableNow draining a
-    finite landing directory the output is the exact batch interval
-    join, which is what the oracle states.
+    as soon as both sides have arrived. PRECONDITION for exact batch
+    equality under an availableNow drain: the drain must be a SINGLE
+    micro-batch, or the landing files must arrive time-ordered within
+    ``watermark_delay`` — across multiple micro-batches, rows older
+    than the already-advanced watermark are dropped by design, so an
+    out-of-order multi-file drain undercounts vs the batch join. (The
+    registry entry reads one file = one batch; the bench lands
+    time-ordered slices — both satisfy the precondition.)
 
     Column names must be DISTINCT across the two sides (alias before
     calling — the entry-level convention for every self-join in the

@@ -157,6 +157,84 @@ def test_minhash_lsh_finds_near_dups(spark, docs, family):
 
 
 @pytest.mark.parametrize("family", ["portable", "xxhash64"])
+def test_minhash_estimate_verify_invariants(spark, docs, family):
+    """verify='estimate' replaces the exact-Jaccard verify join with the
+    MinHash component-match estimator (never shuffles shingle arrays —
+    the 100 TB mode). Invariants: exact dups (identical signatures)
+    estimate 1.0; estimate pairs are a subset of the LSH candidates
+    (same banding); the whole pipeline is deterministic (no RNG)."""
+    est = {(r.id_a, r.id_b): r.jaccard for r in
+           DD.minhash_lsh_dedup(docs, threshold=0.3, num_hashes=16,
+                                bands=8, n=2, hash_family=family,
+                                verify="estimate").collect()}
+    assert est[(0, 1)] == 1.0
+    cands = {(r.id_a, r.id_b) for r in DD.minhash_lsh_candidates(
+        DD.minhash_signatures(docs, 16, 2, hash_family=family),
+        bands=8, hash_family=family).collect()}
+    assert set(est) <= cands
+    again = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.minhash_lsh_dedup(docs, threshold=0.3, num_hashes=16,
+                                  bands=8, n=2, hash_family=family,
+                                  verify="estimate").collect()}
+    assert est == again
+
+
+def test_minhash_estimate_error_bound(spark, sf_dir):
+    """Estimator quality on the real sf0.001 documents corpus, pinned:
+    with threshold=0 both verify modes return every LSH candidate pair,
+    so joining them gives per-pair (exact, estimate). For genuinely
+    similar pairs (exact J >= 0.3) the k=32 estimator is tight
+    (measured mean |err| 0.018, max 0.116 — inside the sqrt(J(1-J)/k)
+    std err). For dissimilar pairs the CONDITIONED-ON-COLLISION bias
+    inflates the estimate (they are candidates because a band matched;
+    measured up to ~0.55 on J~0.01 pairs) — pinned as an upward-only
+    effect: the estimate never undershoots exact J by more than ~4
+    sigma. Threshold classification at 0.5 vs exact ground truth:
+    recall pinned high (misses need a 4-sigma undershoot), precision
+    bounded by the collision bias."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(num_hashes=32, bands=8, n=3)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.minhash_lsh_dedup(docs, threshold=0.0, **kw).collect()}
+    est = {(r.id_a, r.id_b): r.jaccard for r in
+           DD.minhash_lsh_dedup(docs, threshold=0.0, verify="estimate",
+                                **kw).collect()}
+    assert set(exact) == set(est)  # same candidates, threshold 0
+    assert len(exact) > 0
+    hi = [p for p, j in exact.items() if j >= 0.3]
+    hi_errs = [abs(est[p] - exact[p]) for p in hi]
+    assert hi and sum(hi_errs) / len(hi_errs) < 0.05, hi_errs
+    assert max(hi_errs) < 0.2, max(hi_errs)
+    # bias is upward-only: no pair's estimate undershoots by > 4 sigma
+    assert all(est[p] >= exact[p] - 0.2 for p in exact)
+    truth = {p for p, j in exact.items() if j >= 0.5}
+    got = {p for p, j in est.items() if j >= 0.5}
+    assert truth and len(truth & got) / len(truth) >= 0.9
+    assert got and len(truth & got) / len(got) >= 0.8
+
+
+def test_minhash_hybrid_verify(spark, sf_dir):
+    """verify='hybrid' = estimate-filter then exact-verify the survivors
+    only. Every returned jaccard is TRUE Jaccard (precision exact), and
+    on this corpus the default 4-sigma margin loses no pairs: hybrid ==
+    exact, while the arrays-shuffling verify join only ever saw the
+    estimated-positive pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(threshold=0.5, num_hashes=32, bands=8, n=3)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.minhash_lsh_dedup(docs, **kw).collect()}
+    hyb = {(r.id_a, r.id_b): r.jaccard for r in
+           DD.minhash_lsh_dedup(docs, verify="hybrid", **kw).collect()}
+    assert hyb == exact
+    for p, j in hyb.items():
+        assert abs(j - exact[p]) < 1e-12  # true Jaccard, not an estimate
+
+
+@pytest.mark.parametrize("family", ["portable", "xxhash64"])
 def test_simhash_invariants(spark, docs, family):
     fps = {r.id: r.simhash for r in
            DD.simhash(docs, hash_family=family).collect()}
