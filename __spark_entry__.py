@@ -6191,27 +6191,78 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
-    # this round first, then the stalest rows, oldest first. Round-8
-    # window = 8 changed (q03/q05 size-gated join hints, m03 LSH-verify
-    # semi-join prune, m02/m08 uncapped-guard persist, st09/st10/st11
-    # driver-side key validation) + the 9 r4-stale rows the r7 verdict
-    # named (t01..w10) + the 33 oldest r5-checked entries (a18..t05).
-    # Displaced to r9: the remaining 14 r5 entries (t06..w17) — all
-    # green in the FULL local gate at sf0.01 AND sf0.1 and pinned by
-    # scripts/check_oracle.py.
-    # ---- changed in r8 (same oracles; hashes re-verified both SFs) ----
-    # ---- new in r8 (must hold a window slot in the round they land) ----
-    "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
-    "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
+    # this round first, then the stalest rows, oldest first. Round-9
+    # window = 3 changed (m03 gained verify='estimate'/'hybrid' modes —
+    # default exact path and oracle unchanged; q03/q05's _under_threshold
+    # size gate now sums data files for directory-materialized tables)
+    # + the 16 rows the r8 verdict named (the 14 r5-stale t06..w17 and
+    # st08/t05, displaced by st12/st13 in r8) + the 31 oldest r6-checked
+    # entries (a01..j12). Displaced to the r10 window: the remaining 18
+    # r6-checked entries (m16..m15, at the bottom) — all green in the
+    # FULL local gate at sf0.01 and pinned by scripts/check_oracle.py.
+    # ---- changed in r9 (same oracles; hashes re-verified) ----
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    # ---- latest driver row: r5 (the 14 the r8 verdict named) ----
+    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
+    "t07_quality_gate": (t07_quality_gate, T07_SQL),
+    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
+    "t10_length_histogram": (t10_length_histogram, T10_SQL),
+    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
+    "t12_bm25_search": (t12_bm25_search, T12_SQL),
+    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
+    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
+    "w15_trailing_window": (w15_trailing_window, W15_SQL),
+    "w16_level_shifts": (w16_level_shifts, W16_SQL),
+    "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    # ---- latest driver row: r7, displaced from the r8 window by st12/st13 ----
+    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
+    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    # ---- latest driver row: r6 (31 oldest; closes the r6 backlog bar 18) ----
+    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
+    "a02_event_histogram": (a02_event_histogram, A02_SQL),
+    "a03_time_span": (a03_time_span, A03_SQL),
+    "a04_global_max": (a04_global_max, A04_SQL),
+    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
+    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
+    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
+    "a14_summary_stats": (a14_summary_stats, A14_SQL),
+    "a16_count": (a16_count, A16_SQL),
+    "a17_role_distribution": (a17_role_distribution, A17_SQL),
+    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
+    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
+    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
+    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
+    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
+    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
+    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
+    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    "f02_event_pattern": (f02_event_pattern, F02_SQL),
+    "f03_severity_floor": (f03_severity_floor, F03_SQL),
+    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
+    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
+    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
+    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
+    "w18_event_sequences": (w18_event_sequences, W18_SQL),
+    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
+    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
+    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
+    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r8 ----
+    "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
+    "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "m08_dedup_components": (m08_dedup_components, M08_SQL),
     "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
     "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
     "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
-    # ---- latest driver row: r4 (displaced from the r7 window) ----
     "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
     "t02_text_stats": (t02_text_stats, T02_SQL),
     "t03_language_id": (t03_language_id, T03_SQL),
@@ -6221,7 +6272,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w05_sessionization": (w05_sessionization, W05_SQL),
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
-    # ---- latest driver row: r5 ----
     "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
     "a19_stats_report_grouping_sets": (a19_stats_report_grouping_sets, A19_SQL),
     "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
@@ -6253,27 +6303,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
-    # ================= end of the 50-entry driver window =================
-    # st08/t05 displaced by the two new r8 entries (st12/st13 above);
-    # both stay green in the full local gate — rotate into the r9 window.
-    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
-    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
-    # ---- latest driver row: r5, displaced to the r9 window ----
-    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
-    "t07_quality_gate": (t07_quality_gate, T07_SQL),
-    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
-    "t10_length_histogram": (t10_length_histogram, T10_SQL),
-    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
-    "t12_bm25_search": (t12_bm25_search, T12_SQL),
-    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
-    "w11_ewma": (w11_ewma, W11_SQL),
-    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
-    "w13_gap_fill": (w13_gap_fill, W13_SQL),
-    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
-    "w15_trailing_window": (w15_trailing_window, W15_SQL),
-    "w16_level_shifts": (w16_level_shifts, W16_SQL),
-    "w17_counter_rates": (w17_counter_rates, W17_SQL),
-    # ---- latest driver row: r7 (the rest of the r7 window) ----
+    # ---- latest driver row: r7 ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),
     "f10_exclusion": (f10_exclusion, F10_SQL),
@@ -6317,38 +6347,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    # ---- latest driver row: r6 ----
-    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
-    "a02_event_histogram": (a02_event_histogram, A02_SQL),
-    "a03_time_span": (a03_time_span, A03_SQL),
-    "a04_global_max": (a04_global_max, A04_SQL),
-    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
-    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
-    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
-    "a14_summary_stats": (a14_summary_stats, A14_SQL),
-    "a16_count": (a16_count, A16_SQL),
-    "a17_role_distribution": (a17_role_distribution, A17_SQL),
-    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
-    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
-    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
-    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
-    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
-    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
-    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
-    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
-    "f02_event_pattern": (f02_event_pattern, F02_SQL),
-    "f03_severity_floor": (f03_severity_floor, F03_SQL),
-    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
-    "f05_interesting_events": (f05_interesting_events, F05_SQL),
-    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
-    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
-    "w20_trending_topk": (w20_trending_topk, W20_SQL),
-    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
-    "w18_event_sequences": (w18_event_sequences, W18_SQL),
-    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
-    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
-    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
-    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    # ---- latest driver row: r6 — the r10 rotation queue ----
     "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
     "m17_block_dedup": (m17_block_dedup, M17_SQL),
     "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
