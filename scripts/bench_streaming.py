@@ -78,13 +78,15 @@ _ONLY = {
 }
 
 
-def drain_with_progress(df, name: str, workdir: str, n_rows: int) -> dict:
+def drain_with_progress(
+    df, name: str, workdir: str, n_rows: int, output_mode: str = "append"
+) -> dict:
     if _ONLY and name not in _ONLY:
         return {"query": name, "skipped": "not in SPARK_GRAFT_STREAM_ONLY"}
     q = (
         df.writeStream.format("noop")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option(
             "checkpointLocation", os.path.join(workdir, "ckpt", name)
         )
@@ -233,6 +235,33 @@ def main():
         )
         r = drain_with_progress(rat_b, "st10b_rates_bucketed", workdir, n)
         r["n_buckets"] = nb
+        print(json.dumps(r))
+
+        # st04: streaming exact dedup over the DOCUMENTS feed — state is
+        # one row per distinct content hash (32 B key + min-id + count;
+        # hashes only, never text). Unlike every windowed operator above
+        # the state is NOT watermark-GC'd: it grows with distinct
+        # content forever, which is the point of measuring it — the
+        # growth curve (state_rows vs input docs) is the evidence behind
+        # the RocksDB-state-store production note in BASELINE.md.
+        doc_df = load_table(spark, SF_DIR, "documents").orderBy("doc_id")
+        n_docs = doc_df.count()
+        dland = os.path.join(workdir, "documents")
+        os.makedirs(dland, exist_ok=True)
+        dtmp = os.path.join(workdir, "__documents_parts")
+        doc_df.repartitionByRange(N_SLICES, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(dtmp)
+        dparts = sorted(f for f in os.listdir(dtmp) if f.endswith(".parquet"))
+        for i, f in enumerate(dparts):
+            shutil.move(
+                os.path.join(dtmp, f),
+                os.path.join(dland, f"documents-{i:05d}.parquet"),
+            )
+        ddp = ST.streaming_exact_dedup(stream_from(spark, dland, doc_df))
+        r = drain_with_progress(
+            ddp, "st04_dedup", workdir, n_docs, output_mode="update"
+        )
         print(json.dumps(r))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

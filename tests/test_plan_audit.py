@@ -211,8 +211,48 @@ BROADCAST_OK = {
 }
 
 
-def _broadcast_callsites():
+def _broadcast_sites_in_source(src: str, rel: str, sites: dict) -> None:
+    """Collect broadcast call sites in one module's source into `sites`.
+
+    Catches `<anything>.broadcast(...)` (attribute form), bare
+    `broadcast(...)`, AND bare-name calls through an import alias
+    (`from pyspark.sql.functions import broadcast as bc; bc(df)`) —
+    the aliasing hole the r8 verdict named. Alias resolution is a
+    module-level pre-pass: any name bound by `from ... import
+    broadcast [as X]` counts as the function."""
     import ast
+
+    tree = ast.parse(src, rel)
+    aliases = {"broadcast"}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                if a.name == "broadcast":
+                    aliases.add(a.asname or a.name)
+    stack: list[str] = []
+
+    class V(ast.NodeVisitor):
+        def visit_FunctionDef(self, node):
+            stack.append(node.name)
+            self.generic_visit(node)
+            stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, node):
+            fn = node.func
+            hit = (
+                isinstance(fn, ast.Attribute) and fn.attr == "broadcast"
+            ) or (isinstance(fn, ast.Name) and fn.id in aliases)
+            if hit:
+                key = (rel, stack[-1] if stack else "<module>")
+                sites[key] = sites.get(key, 0) + 1
+            self.generic_visit(node)
+
+    V().visit(tree)
+
+
+def _broadcast_callsites():
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -226,30 +266,30 @@ def _broadcast_callsites():
     sites: dict[tuple[str, str], int] = {}
     for path in files:
         with open(path) as f:
-            tree = ast.parse(f.read(), path)
-        rel = os.path.relpath(path, repo)
-        stack: list[str] = []
-
-        class V(ast.NodeVisitor):
-            def visit_FunctionDef(self, node):
-                stack.append(node.name)
-                self.generic_visit(node)
-                stack.pop()
-
-            visit_AsyncFunctionDef = visit_FunctionDef
-
-            def visit_Call(self, node):
-                fn = node.func
-                hit = (
-                    isinstance(fn, ast.Attribute) and fn.attr == "broadcast"
-                ) or (isinstance(fn, ast.Name) and fn.id == "broadcast")
-                if hit:
-                    key = (rel, stack[-1] if stack else "<module>")
-                    sites[key] = sites.get(key, 0) + 1
-                self.generic_visit(node)
-
-        V().visit(tree)
+            src = f.read()
+        _broadcast_sites_in_source(src, os.path.relpath(path, repo), sites)
     return sites
+
+
+def test_broadcast_lint_catches_import_alias():
+    """Fixture proof for the aliasing hole: a bare-name call through
+    `from pyspark.sql.functions import broadcast as bc` must be counted
+    as a broadcast call site (it compiles to ast.Name('bc'), which the
+    pre-r9 lint ignored)."""
+    fixture = (
+        "from pyspark.sql.functions import broadcast as bc\n"
+        "from pyspark.sql.functions import broadcast\n"
+        "def sneaky(df):\n"
+        "    return bc(df)\n"
+        "def obvious(df):\n"
+        "    return broadcast(df)\n"
+    )
+    sites: dict = {}
+    _broadcast_sites_in_source(fixture, "fixture.py", sites)
+    assert sites == {
+        ("fixture.py", "sneaky"): 1,
+        ("fixture.py", "obvious"): 1,
+    }, sites
 
 
 def test_broadcast_callsites_all_justified():
