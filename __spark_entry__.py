@@ -1952,6 +1952,70 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
 """
 
 
+def m03e_minhash_lsh_estimate(spark, sf_dir):
+    """m03's UNCAPPED-scale verify mode as a first-class oracle-paired
+    entry: estimated Jaccard = matching-minhash fraction over the
+    banding signatures (verify='estimate', round-9). The verify stage
+    never touches a shingle array — per-pair cost O(num_hashes), the
+    shape that completes uncapped at sf100 where exact verify is
+    single-host-disk-bound. Same portable hash family as m03, so the
+    estimator itself (signatures, banding, candidate recall loss,
+    component-match fraction) is exact integer arithmetic both engines
+    restate — the ESTIMATE is hash-checked, not just the pipeline.
+    matches/16 is an exact binary fraction, so the >= threshold
+    comparison is float-deterministic in both engines."""
+    from db_loganalyzer_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, threshold=0.12, num_hashes=16, bands=8, n=2, verify="estimate"
+    )
+
+
+# Same CTE chain as M03_SQL through `cand`, then the verify joins hit
+# the 16-component SIGNATURES instead of the shingle sets: estimated
+# jaccard = |{k : sig_a[k] = sig_b[k]}| / 16.
+M03E_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                      i -> array_to_string(words[i:i+1], ' '))) AS gs
+  FROM base
+), gh AS (
+  SELECT doc_id, list_transform(gs, g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM grams WHERE len(gs) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(hs, h -> ((2*k + 1) * h + (10007*k + 12345)) % 1000000007))) AS sig
+  FROM gh
+), bands AS (
+  SELECT doc_id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[2*b+1:2*b+2]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b
+WHERE CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.12
+"""
+
+
 def m04_simhash_near_dups(spark, sf_dir):
     """SimHash Hamming near-dups, portable hash family: 62-bit token
     hashes (two 31-bit polynomial halves), per-bit +1/-1 sums, 16-bit
@@ -6192,14 +6256,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-9
-    # window = 3 changed (m03 gained verify='estimate'/'hybrid' modes —
-    # default exact path and oracle unchanged; q03/q05's _under_threshold
-    # size gate now sums data files for directory-materialized tables)
-    # + the 16 rows the r8 verdict named (the 14 r5-stale t06..w17 and
-    # st08/t05, displaced by st12/st13 in r8) + the 31 oldest r6-checked
-    # entries (a01..j12). Displaced to the r10 window: the remaining 18
-    # r6-checked entries (m16..m15, at the bottom) — all green in the
-    # FULL local gate at sf0.01 and pinned by scripts/check_oracle.py.
+    # window = 1 new (m03e, the estimate-verify scale mode as its own
+    # oracle-paired entry) + 3 changed (m03 gained verify='estimate'/
+    # 'hybrid' modes — default exact path and oracle unchanged; q03/q05's
+    # _under_threshold size gate now sums data files for directory-
+    # materialized tables) + the 16 rows the r8 verdict named (the 14
+    # r5-stale t06..w17 and st08/t05, displaced by st12/st13 in r8) +
+    # the 30 oldest r6-checked entries (a01..m18). Displaced to the r10
+    # window: j12 + the remaining 18 r6-checked entries (m16..m15, at
+    # the bottom) — all green in the FULL local gate at sf0.01 and
+    # pinned by scripts/check_oracle.py.
+    # ---- new in r9 (must hold a window slot in the round they land) ----
+    "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     # ---- changed in r9 (same oracles; hashes re-verified) ----
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -6253,8 +6321,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
-    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
+    # j12 displaced to the r10 queue by the new m03e entry (window cap)
+    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
     # ---- latest driver row: r8 ----
     "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
     "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
