@@ -728,3 +728,59 @@ def test_streaming_interval_join_matches_batch(
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(w) > 0
+
+
+def test_st04_rocksdb_state_store_provider(spark, tmp_path_factory):
+    """The production state-store config from BASELINE.md's round-9
+    note, proven runnable in THIS Spark build: streaming_exact_dedup
+    drained under RocksDBStateStoreProvider (state off-heap/on-disk,
+    changelog checkpointing) must produce exactly the default-provider
+    result. This is the config the 100 TB deployment sets so dedup
+    state (one row per distinct content hash) stops living on-heap."""
+    from db_loganalyzer_spark.streaming import run_available_now
+    from db_loganalyzer_spark.streaming.streams import streaming_exact_dedup
+
+    src = str(tmp_path_factory.mktemp("st04_docs") / "landing")
+    rows = [
+        (i, text)
+        for i, text in enumerate(
+            ["alpha beta gamma", "alpha  BETA gamma", "delta epsilon",
+             "zeta", "alpha beta gamma", "eta theta iota kappa"] * 5
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.parquet(src)
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ck = str(tmp_path_factory.mktemp(f"ck_{name}"))
+        out = run_available_now(
+            streaming_exact_dedup(stream), name, ck, output_mode="complete"
+        )
+        return sorted(map(tuple, out.collect()))
+
+    base = drain("st04_default_provider")
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    old = spark.conf.get(prov, None)
+    try:
+        spark.conf.set(
+            prov,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(chg, "true")
+        rocks = drain("st04_rocksdb_provider")
+    finally:
+        spark.conf.unset(chg)
+        if old is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, old)
+    # 4 distinct contents: the two "alpha beta gamma" variants collapse
+    # under normalize_text with the verbatim repeat
+    assert rocks == base and len(base) == 4
