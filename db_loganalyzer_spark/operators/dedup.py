@@ -556,7 +556,18 @@ def minhash_lsh_dedup(
       (J < 0.05) the conditional estimate is inflated (observed up to
       ~0.55) — estimate mode trades some precision at the threshold;
       for genuinely similar pairs (J >= 0.3) observed |err| mean 0.018
-      / max 0.12 at k=32.
+      / max 0.12 at k=32. REGIME CHECK before choosing this mode: when
+      ceil(threshold*num_hashes) <= num_hashes/bands (the per-band row
+      count), a single band collision ALREADY clears the threshold, so
+      the estimate filter accepts every candidate — recall 1.0 but
+      precision vs exact collapses to candidate precision (measured at
+      the loose registry config threshold=0.12/k=16/2-row bands: 2.6-
+      2.9% at sf0.01-sf1). Estimate mode earns its keep only when
+      threshold*num_hashes comfortably exceeds the band size (e.g.
+      0.5*32 = 16 matches required vs 4-row bands); otherwise use
+      "hybrid", whose exact re-verify restores precision at any
+      threshold (measured: hybrid == exact, pair-for-pair, at sf0.01
+      AND sf1 in both regimes).
     * ``"hybrid"``: the production 100 TB mode — estimate first, then
       EXACT-verify only the pairs whose estimate clears
       ``threshold - estimate_margin``. Precision is exact (every

@@ -215,6 +215,24 @@ def test_minhash_estimate_error_bound(spark, sf_dir):
     assert got and len(truth & got) / len(got) >= 0.8
 
 
+def test_minhash_estimate_loose_regime_equals_candidates(spark, sf_dir):
+    """The regime check documented on minhash_lsh_dedup: when
+    ceil(threshold*k) <= per-band rows, one band collision already
+    clears the threshold, so verify='estimate' accepts EVERY candidate
+    — the filter is vacuous and the caller should use 'hybrid'. Pinned
+    at the loose registry config (threshold=0.12, k=16, 2-row bands:
+    need >=2 matches, a band collision supplies exactly 2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    est = {(r.id_a, r.id_b) for r in DD.minhash_lsh_dedup(
+        docs, threshold=0.12, num_hashes=16, bands=8, n=2,
+        verify="estimate").collect()}
+    cands = {(r.id_a, r.id_b) for r in DD.minhash_lsh_candidates(
+        DD.minhash_signatures(docs, 16, 2), bands=8).collect()}
+    assert est == cands and len(cands) > 0
+
+
 def test_minhash_hybrid_verify(spark, sf_dir):
     """verify='hybrid' = estimate-filter then exact-verify the survivors
     only. Every returned jaccard is TRUE Jaccard (precision exact), and
