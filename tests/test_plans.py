@@ -123,6 +123,33 @@ def test_q03_fact_join_gate_large_pins_sort_merge(spark, sf_dir, qs, cold_cache)
     assert "BroadcastHashJoin" not in p
 
 
+def test_under_threshold_directory_table(spark, sf_dir, tmp_path):
+    """The r8-advice hole: a table materialized as a parquet DIRECTORY
+    must be sized by summing its data files — bare getsize() returns
+    the inode size (~4 KB), which would pass the gate and force a
+    broadcast of a fact-scale frame. Also pins: missing table => False
+    (unknown size never broadcasts)."""
+    import __spark_entry__ as entry
+
+    d = tmp_path / "big.parquet"
+    spark.range(0, 200_000).selectExpr(
+        "id", "sha2(string(id), 256) AS pad"  # incompressible payload
+    ).write.parquet(str(d))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+    try:
+        # the directory's data files sum to >> 1 MB: must NOT pass
+        assert entry._under_threshold(spark, str(tmp_path), "big") is False
+        # a small directory table passes via the file-sum path
+        s = tmp_path / "small.parquet"
+        spark.range(0, 10).write.parquet(str(s))
+        assert entry._under_threshold(spark, str(tmp_path), "small") is True
+        # missing table: unknown size => never broadcast
+        assert entry._under_threshold(spark, str(tmp_path), "absent") is False
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_m03_lsh_band_join_is_equi(spark, sf_dir, qs, cold_cache):
     # the MinHash-LSH candidate join must be an equi join on (band, bucket)
     p = plan_str(spark, qs["m03_minhash_lsh_dedup"](spark, sf_dir), "simple")
