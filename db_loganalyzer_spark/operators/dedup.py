@@ -78,7 +78,12 @@ def _spread(df: DataFrame) -> DataFrame:
     yields fewer partitions — a small corpus arrives as one parquet split
     and would otherwise run every CPU-bound hashing projection on one
     core. At real scale the scan already has >= parallelism partitions
-    and this is a no-op (no shuffle added)."""
+    and this is a no-op (no shuffle added). Streaming inputs pass
+    through untouched: micro-batch partitioning belongs to the source
+    (maxFilesPerTrigger etc.), and the .rdd probe below is illegal on
+    an unstarted stream."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -433,6 +438,60 @@ def minhash_signatures(
     # CollapseProject from inlining the shingle-hash expression into the
     # per-seed lambda (num_hashes re-evaluations per row otherwise)
     return hs_df.select("id", F.when(F.size("hs") > 0, sig).alias("signature"))
+
+
+def _band_bucket_expr(band_slice: Column, hash_family: str) -> Column:
+    """One band's bucket id from its signature slice — the rolling
+    ``(acc*31 + v) mod p`` fold (portable, oracle-restatable) or
+    xxhash64 of the slice's string form. Shared by the batch LSH
+    banding and the streaming probe's minimal-band filter."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(band_slice.cast("string"))
+    return F.aggregate(
+        band_slice,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % _PMOD,
+    )
+
+
+def _band_slice(sig: Column, b: Column, bands: int) -> Column:
+    """The 1-based F.slice of signature ``sig`` belonging to band ``b``
+    (0-based), for a `bands`-way split."""
+    rows = (F.size(sig) / bands).cast("int")
+    return F.slice(sig, b * rows + 1, rows)
+
+
+def minhash_lsh_index(
+    signatures: DataFrame,
+    bands: int = 8,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """The STANDING LSH index over a corpus: one row per (band, bucket)
+    membership — columns (id, signature, band, bucket). Build it once
+    over the ingested corpus (persist, or write bucketed by (band,
+    bucket) for a shuffle-free probe join), then probe each arriving
+    batch/stream against it (``streaming/streams.streaming_neardup_
+    probe``) instead of re-running the corpus self-join per ingest —
+    the standing-index shape of m15, minhashed. The signature column is
+    carried so probes can estimate-verify without a second join."""
+    return signatures.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    _band_bucket_expr(
+                        _band_slice(F.col("signature"), b, bands), hash_family
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "signature",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
 
 
 def minhash_lsh_candidates(

@@ -1230,3 +1230,106 @@ def streaming_interval_join(
     )
     on = rng if on is None else (on & rng)
     return lw.join(rw, on, "inner")
+
+
+def streaming_neardup_probe(
+    docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "portable",
+) -> DataFrame:
+    """ST14 — ingest-time NEAR-dup detection: each arriving document is
+    probed against a STANDING MinHash-LSH index of the already-ingested
+    corpus (``operators.dedup.minhash_lsh_index``), emitting
+    (new_id, corpus_id, jaccard) for estimated Jaccard >= threshold.
+    The streaming twin of m15's batch-vs-corpus probe, minhashed — and
+    the near-dup complement of st04's exact streaming dedup.
+
+    COMPLETELY STATELESS by construction, which is what makes it a
+    plain stream-static join Spark already knows how to run: the
+    stream side computes signatures (pure column expressions), explodes
+    its bands, and equi-joins the static index on (band, bucket); pair
+    uniqueness — a pair colliding in several bands would otherwise emit
+    once per band — is restored by the MINIMAL-MATCHING-BAND filter, a
+    pure expression over the two carried signatures (keep the join row
+    only where its band is the first band whose slices agree), instead
+    of a stateful distinct. Verification is the signature-estimate
+    (matching-minhash fraction, the m03e estimator): O(num_hashes) per
+    collision, no shingle arrays, no state store.
+
+    Scale notes (100 TB): the static index is corpus-sized — persist it
+    (or store it bucketed by (band, bucket)) so each micro-batch pays
+    only the batch-side shuffle; the join itself is hash-partitioned on
+    (band, bucket), never a cross product. State is ZERO regardless of
+    corpus size (the index lives in table storage, not the state
+    store) — the unbounded-state concern st04 carries does not exist
+    here. Mind the estimate-mode regime check documented on
+    ``minhash_lsh_dedup``: pick threshold*num_hashes comfortably above
+    num_hashes/bands, or re-verify emitted pairs exactly downstream.
+
+    ``index`` must carry (id, signature, band, bucket) as built by
+    ``minhash_lsh_index`` with the SAME (num_hashes, bands, n,
+    hash_family).
+    """
+    from ..operators.dedup import (
+        _band_bucket_expr,
+        _band_slice,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        docs, num_hashes, n, id_col, text_col, hash_family
+    )
+    probe = sigs.select(
+        F.col("id").alias("new_id"),
+        F.col("signature").alias("new_sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    _band_bucket_expr(
+                        _band_slice(F.col("signature"), b, bands), hash_family
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "new_id", "new_sig",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    idx = index.select(
+        F.col("id").alias("corpus_id"),
+        F.col("signature").alias("corpus_sig"),
+        "band", "bucket",
+    )
+    joined = probe.join(idx, ["band", "bucket"])
+    # minimal-matching-band filter: this row survives only if its band
+    # is the FIRST band where the two signatures' slices agree — every
+    # colliding pair emits exactly once, with zero streaming state.
+    first_match = F.filter(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: _band_bucket_expr(
+            _band_slice(F.col("new_sig"), b, bands), hash_family
+        )
+        == _band_bucket_expr(
+            _band_slice(F.col("corpus_sig"), b, bands), hash_family
+        ),
+    )[0]
+    matches = F.size(
+        F.filter(
+            F.zip_with("new_sig", "corpus_sig", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        joined.filter(F.col("band") == first_match)
+        .withColumn("jaccard", matches / F.size("new_sig"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -784,3 +784,53 @@ def test_st04_rocksdb_state_store_provider(spark, tmp_path_factory):
     # 4 distinct contents: the two "alpha beta gamma" variants collapse
     # under normalize_text with the verbatim repeat
     assert rocks == base and len(base) == 4
+
+
+def test_st14_streaming_neardup_probe(spark, sf_dir, tmp_path_factory):
+    """ST14 equivalence vs an independent code path: the batch
+    self-join estimate pipeline (minhash_lsh_dedup verify='estimate')
+    restricted to pairs crossing the new/corpus split must equal the
+    streaming probe's drained output — same banding, same estimator,
+    but self-join vs standing-index probe. Also pins pair UNIQUENESS:
+    exact dups collide in all 8 bands, and the minimal-matching-band
+    filter must still emit each pair exactly once, with zero state."""
+    import db_loganalyzer_spark.operators.dedup as DD
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_neardup_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(threshold=0.2, num_hashes=16, bands=8, n=2)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    index = DD.minhash_lsh_index(
+        DD.minhash_signatures(corpus, kw["num_hashes"], kw["n"]),
+        bands=kw["bands"],
+    ).persist()
+
+    land = str(tmp_path_factory.mktemp("st14") / "landing")
+    new.repartitionByRange(3, "doc_id").write.parquet(land)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_st14"))
+    got = run_available_now(
+        streaming_neardup_probe(stream, index, **kw), "st14_t", ck
+    ).collect()
+
+    pairs = [(r.new_id, r.corpus_id) for r in got]
+    assert len(pairs) == len(set(pairs))  # exactly-once per pair
+    got_n = {(min(a, b), max(a, b)): round(j, 9)
+             for (a, b), j in (((r.new_id, r.corpus_id), r.jaccard)
+                               for r in got)}
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in DD.minhash_lsh_dedup(docs, verify="estimate", **kw).collect()
+        if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+    }
+    assert got_n == want and len(want) > 0
