@@ -5505,6 +5505,83 @@ FROM events a JOIN events b
 """
 
 
+def st14_streaming_neardup_probe(spark, sf_dir):
+    """ST14 — ingest-time NEAR-dup detection (streams.streaming_
+    neardup_probe, round-9): arriving documents (doc_id % 10 = 0 here)
+    probe a STANDING MinHash-LSH index of the already-ingested corpus
+    (% 10 != 0; dedup.minhash_lsh_index) via a STATELESS stream-static
+    equi-join on (band, bucket) — signatures are pure column
+    expressions, pair uniqueness comes from the minimal-matching-band
+    filter over the carried signatures instead of a stateful distinct,
+    and verification is the m03e signature estimate. Zero state-store
+    rows regardless of corpus size: the index lives in table storage.
+    The streaming twin of m15's batch-vs-corpus probe; threshold 0.2
+    at k=16 (need >= 4 matching components) sits above the 2-row band
+    size, the regime check documented on minhash_lsh_dedup."""
+    from db_loganalyzer_spark.operators.dedup import (
+        minhash_lsh_index,
+        minhash_signatures,
+    )
+    from db_loganalyzer_spark.streaming import streaming_neardup_probe
+
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    index = minhash_lsh_index(
+        minhash_signatures(corpus, 16, 2), bands=8
+    )
+    stream = ST.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return _drain(
+        streaming_neardup_probe(
+            stream, index, threshold=0.2, num_hashes=16, bands=8, n=2
+        ),
+        "st14",
+    )
+
+
+# Batch restatement: M03E's signature/banding CTEs computed over BOTH
+# split sides; candidates = DISTINCT (new, corpus) pairs sharing any
+# (band, bucket); estimate = matching-component fraction >= 0.2. The
+# minimal-matching-band trick is exactly DISTINCT here.
+ST14_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), gh AS (
+  SELECT doc_id, list_transform(
+           list_distinct(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                                        i -> array_to_string(words[i:i+1], ' '))), g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM base WHERE len(words) >= 2
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           list_min(list_transform(hs, h -> ((2*k + 1) * h + (10007*k + 12345)) % 1000000007))) AS sig
+  FROM gh WHERE len(hs) > 0
+), bands AS (
+  SELECT doc_id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[2*b+1:2*b+2]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.b = c.b AND n.bucket = c.bucket
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+)
+SELECT cand.new_id, cand.corpus_id,
+       CAST(len(list_filter(generate_series(1, 16), i -> sn.sig[i] = sc.sig[i])) AS DOUBLE) / 16 AS jaccard
+FROM cand
+JOIN sig sn ON sn.doc_id = cand.new_id
+JOIN sig sc ON sc.doc_id = cand.corpus_id
+WHERE CAST(len(list_filter(generate_series(1, 16), i -> sn.sig[i] = sc.sig[i])) AS DOUBLE) / 16 >= 0.2
+"""
+
+
 def t13_bigram_lm(spark, sf_dir):
     """T13 — corpus bigram LM counts + conditional P(w2|w1)
     (operators/ranking.bigram_lm_counts): the n-gram statistics behind
@@ -6268,6 +6345,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # pinned by scripts/check_oracle.py.
     # ---- new in r9 (must hold a window slot in the round they land) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
+    "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
     # ---- changed in r9 (same oracles; hashes re-verified) ----
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -6320,9 +6398,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
-    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # j12 displaced to the r10 queue by the new m03e entry (window cap)
+    # m18/j12 displaced to the r10 queue by the new m03e/st14 entries
+    # (window cap)
+    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
     # ---- latest driver row: r8 ----
     "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
