@@ -263,6 +263,27 @@ def main():
             ddp, "st04_dedup", workdir, n_docs, output_mode="update"
         )
         print(json.dumps(r))
+
+        # st14: streaming near-dup probe against a standing LSH index —
+        # ZERO state (stream-static join); the per-batch cost is stream-
+        # side signatures + the (band, bucket) equi-join. Index = the
+        # full corpus, persisted once, the production shape.
+        from db_loganalyzer_spark.operators.dedup import (
+            minhash_lsh_index,
+            minhash_signatures,
+        )
+
+        idx = minhash_lsh_index(
+            minhash_signatures(doc_df, 32, 3), bands=8
+        ).persist()
+        idx.count()  # materialize outside the drain timing
+        ndp = ST.streaming_neardup_probe(
+            stream_from(spark, dland, doc_df), idx,
+            threshold=0.5, num_hashes=32, bands=8, n=3,
+        )
+        r = drain_with_progress(ndp, "st14_neardup_probe", workdir, n_docs)
+        print(json.dumps(r))
+        idx.unpersist()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
