@@ -1265,7 +1265,11 @@ def streaming_neardup_probe(
     Scale notes (100 TB): the static index is corpus-sized — persist it
     (or store it bucketed by (band, bucket)) so each micro-batch pays
     only the batch-side shuffle; the join itself is hash-partitioned on
-    (band, bucket), never a cross product. State is ZERO regardless of
+    (band, bucket), never a cross product. Measured dial (sf1, 20
+    micro-batches): ``index.repartition(N, "band", "bucket").persist()``
+    removes the static side's per-trigger Exchange — 86.7 s -> 60.1 s
+    for the same drain (1.44x); a bucketed table write is the durable
+    form of the same layout. State is ZERO regardless of
     corpus size (the index lives in table storage, not the state
     store) — the unbounded-state concern st04 carries does not exist
     here. Mind the estimate-mode regime check documented on
