@@ -465,6 +465,7 @@ def minhash_lsh_index(
     signatures: DataFrame,
     bands: int = 8,
     hash_family: str = "portable",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The STANDING LSH index over a corpus: one row per (band, bucket)
     membership — columns (id, signature, band, bucket). Build it once
@@ -473,8 +474,16 @@ def minhash_lsh_index(
     batch/stream against it (``streaming/streams.streaming_neardup_
     probe``) instead of re-running the corpus self-join per ingest —
     the standing-index shape of m15, minhashed. The signature column is
-    carried so probes can estimate-verify without a second join."""
-    return signatures.select(
+    carried so probes can estimate-verify without a second join.
+
+    ``max_bucket_size``: a degenerate (band, bucket) group (boilerplate
+    docs collapsing to one band hash) makes EVERY probe that hits it
+    emit |bucket| join rows — the probe-side analogue of the capped
+    candidates' quadratic hazard. When set, index rows in groups larger
+    than the cap are dropped at build time (same documented recall
+    trade as ``minhash_lsh_candidates``: a pair is missed only if its
+    every shared band is degenerate). None keeps the exact index."""
+    out = signatures.select(
         "id",
         "signature",
         F.explode(
@@ -492,6 +501,14 @@ def minhash_lsh_index(
         "id", "signature",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
+    if max_bucket_size is not None:
+        w_bucket = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        out = (
+            out.withColumn("__bsz", w_bucket)
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    return out
 
 
 def minhash_lsh_candidates(

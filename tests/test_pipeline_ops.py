@@ -233,6 +233,23 @@ def test_minhash_estimate_loose_regime_equals_candidates(spark, sf_dir):
     assert est == cands and len(cands) > 0
 
 
+def test_minhash_lsh_index_bucket_cap(spark, docs):
+    """The standing index's degenerate-bucket guard: docs 0/1 are exact
+    dups (identical signatures => co-located in every band bucket), so
+    max_bucket_size=1 must drop all their index rows while singleton
+    buckets survive untouched."""
+    sigs = DD.minhash_signatures(docs, 16, 2)
+    full = DD.minhash_lsh_index(sigs, bands=8)
+    capped = DD.minhash_lsh_index(sigs, bands=8, max_bucket_size=1)
+    fr = [(r.id, r.band, r.bucket) for r in full.collect()]
+    cr = [(r.id, r.band, r.bucket) for r in capped.collect()]
+    assert set(cr) < set(fr)
+    from collections import Counter
+
+    pop = Counter((b, k) for _, b, k in fr)
+    assert set(cr) == {t for t in fr if pop[(t[1], t[2])] <= 1}
+
+
 def test_minhash_hybrid_verify(spark, sf_dir):
     """verify='hybrid' = estimate-filter then exact-verify the survivors
     only. Every returned jaccard is TRUE Jaccard (precision exact), and
