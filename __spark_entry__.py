@@ -5959,6 +5959,43 @@ FROM flags
 """
 
 
+def j13_salted_skew_join(spark, sf_dir):
+    """J13 — salted repartition join (joins.salted_join): the skew lever
+    the brief names for joins, as a first-class operator. The fact side
+    (orders) carries salt = pmod(xxhash64(o_orderkey), 16) — derived
+    from the row id, NOT the join key, so a hot custkey's rows spread
+    over 16 (key, salt) shuffle groups; customer is replicated 16× by
+    one explode and the join runs on (custkey, salt). Row-for-row equal
+    to the plain join by construction, so the oracle is the unsalted
+    SQL. Complements AQE skew handling: works under streaming (AQE
+    off), hash joins, and many-medium-hot-keys below AQE's skewed-
+    partition threshold. a33 is the aggregation face of this layout;
+    this is the join face."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    j = J.salted_join(
+        orders, cust, "o_custkey", "c_custkey", salt_from=["o_orderkey"],
+        salt_parts=16,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_custs"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+J13_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def m16_domain_mixture(spark, sf_dir):
     """M16 — data-driven temperature mixture (sampling.
     temperature_mixture_rates / temperature_resample): flatten the
@@ -6333,19 +6370,21 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-9
-    # window = 1 new (m03e, the estimate-verify scale mode as its own
-    # oracle-paired entry) + 3 changed (m03 gained verify='estimate'/
-    # 'hybrid' modes — default exact path and oracle unchanged; q03/q05's
-    # _under_threshold size gate now sums data files for directory-
-    # materialized tables) + the 16 rows the r8 verdict named (the 14
-    # r5-stale t06..w17 and st08/t05, displaced by st12/st13 in r8) +
-    # the 30 oldest r6-checked entries (a01..m18). Displaced to the r10
-    # window: j12 + the remaining 18 r6-checked entries (m16..m15, at
-    # the bottom) — all green in the FULL local gate at sf0.01 and
-    # pinned by scripts/check_oracle.py.
+    # window = 3 new (m03e the estimate-verify scale mode, st14 the
+    # streaming near-dup probe, j13 the salted skew join) + 3 changed
+    # (m03 gained verify='estimate'/'hybrid' modes — default exact path
+    # and oracle unchanged; q03/q05's _under_threshold size gate now
+    # sums data files for directory-materialized tables) + the 16 rows
+    # the r8 verdict named (the 14 r5-stale t06..w17 and st08/t05,
+    # displaced by st12/st13 in r8) + the 28 oldest r6-checked entries
+    # (a01..w19). Displaced to the r10 window: a34/m18/j12 + the
+    # remaining 18 r6-checked entries (m16..m15, at the bottom) — all
+    # green in the FULL local gate at sf0.01 and pinned by
+    # scripts/check_oracle.py.
     # ---- new in r9 (must hold a window slot in the round they land) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
+    "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
     # ---- changed in r9 (same oracles; hashes re-verified) ----
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -6397,10 +6436,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
-    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # m18/j12 displaced to the r10 queue by the new m03e/st14 entries
-    # (window cap)
+    # a34/m18/j12 displaced to the r10 queue by the new m03e/st14/j13
+    # entries (window cap)
+    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
     # ---- latest driver row: r8 ----

@@ -450,3 +450,57 @@ def bloom_prefilter(
     return out.drop(
         *[c for s in range(k) for c in (f"__p{s}", f"__w{s}", f"__b{s}")]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: list[str],
+    salt_parts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """J13 — manually salted repartition join for skewed fact keys.
+
+    A plain shuffle join hashes both sides on the key, so one hot key
+    (a customer with 10^8 orders at 100 TB) lands its entire fact slice
+    in ONE shuffle partition — the task that never finishes. Salting
+    bounds it: the fact side gets ``salt = pmod(xxhash64(salt_from),
+    salt_parts)`` from a column set that VARIES WITHIN a key (a row id,
+    never the key itself), the dim side is replicated ``salt_parts``
+    times via one explode, and the join key becomes (key, salt). Every
+    (key, salt) group holds ~1/salt_parts of the hot key's rows; each
+    fact row still meets exactly one replica of its dim row, so the
+    result is ROW-FOR-ROW the plain join (inner and left supported) —
+    which is also why the oracle is simply the unsalted SQL.
+
+    The trade, stated: the dim side shuffles salt_parts× its size, so
+    this pays off when fact >> dim but dim is past broadcast range.
+    Pick salt_parts ≈ (hottest key's rows) / (rows a task should own).
+    Complements AQE skew-join (OptimizeSkewedJoin) rather than
+    duplicating it: AQE only splits sort-merge/shuffle-hash partitions
+    past skewedPartitionThresholdInBytes on BATCH plans — salting also
+    covers streaming micro-batches (AQE is disabled under streaming),
+    many-medium-hot-keys below AQE's threshold, and aggregations piggy-
+    backed on the salted layout (the a33 pattern).
+
+    Reference anchor: the reference joins are single-process DuckDB
+    (log_analysis/log_loader.py-style SQL) where skew is invisible;
+    this is the distributed restatement of the same equi-join contract.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(salt_parts)
+    ).cast("int")
+    f = fact.withColumn("__fsalt", salt)
+    d = dim.withColumn(
+        "__dsalt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+    )
+    joined = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__fsalt"] == d["__dsalt"]),
+        how,
+    )
+    return joined.drop("__fsalt", "__dsalt")

@@ -108,7 +108,22 @@ def main():
                 }
             out.write(json.dumps(rec) + "\n")
             out.flush()
+            _release_persisted(spark)
     spark.stop()
+
+
+def _release_persisted(spark):
+    """Sweep hygiene: several dedup/LSH operators persist intermediate
+    frames and deliberately leave eviction to LRU (correct for a caller
+    reusing the plan — see ngram_jaccard_pairs). A 160-entry sweep
+    session is the one place those caches accumulate with no reuse, so
+    drop them between entries instead of leaning on storage-memory
+    pressure."""
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+    except Exception:
+        pass  # cosmetic only — LRU eviction remains the fallback
 
 
 if __name__ == "__main__":

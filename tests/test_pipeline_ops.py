@@ -1680,3 +1680,49 @@ def test_weighted_priority_sample_deterministic_and_biased(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """J13 equivalence contract: salted (key, salt) join is row-for-row
+    the plain join — inner drops dim-less fact keys, left keeps them as
+    nulls — and the hot key's fact rows genuinely spread across salts."""
+    from db_loganalyzer_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, 1 if i < 40 else (2 + i % 3), float(i)) for i in range(60)]
+        + [(100, 99, 1.0)],  # key 99 absent from dim
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "c")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(
+            fact, dim, "k", "k", salt_from=["row_id"], salt_parts=4, how=how
+        )
+        got_rows = sorted(
+            (r["row_id"], r["v"], r["tag"])
+            for r in got.select("row_id", "v", "tag").collect()
+        )
+        want_rows = sorted(
+            (r["row_id"], r["v"], r["tag"])
+            for r in fact.join(dim, "k", how)
+            .select("row_id", "v", "tag")
+            .collect()
+        )
+        assert got_rows == want_rows, how
+    # the hot key (40 fact rows) must occupy more than one salt bucket
+    n_salts = (
+        fact.filter("k = 1")
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_join_rejects_unsupported_how():
+    from db_loganalyzer_spark.operators.joins import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(None, None, "k", "k", salt_from=["x"], how="full")
