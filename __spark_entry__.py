@@ -6321,6 +6321,58 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def w21_interval_coalesce(spark, sf_dir):
+    """W21 — interval coalescing (windows.coalesce_intervals): merge
+    each user's overlapping-or-touching [ts, ts + value seconds]
+    activity intervals into maximal covered windows — the variable-
+    length-interval generalization of w05's fixed-gap sessionization
+    (an 11-hour window and a 2-second probe reach differently, which
+    no single gap constant expresses). Interval ends are exact integer
+    micros (epoch_us + micro-rounded value) so the running-max island
+    logic is engine-identical; one key shuffle, two window passes over
+    the same sort, one groupBy."""
+    ev = _events(spark, sf_dir)
+    end_us = (
+        F.unix_micros("ts")
+        + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+    ).alias("end_us")
+    iv = ev.select(
+        "user_id", F.unix_micros("ts").alias("start_us"), end_us
+    )
+    return W.coalesce_intervals(iv, ["user_id"], "start_us", "end_us")
+
+
+W21_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS end_us
+  FROM events
+), marked AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN max(end_us) OVER w IS NULL
+                OR start_us > max(end_us) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY start_us, end_us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+), grp AS (
+  SELECT user_id, start_us, end_us,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY start_us, end_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS island_id
+  FROM marked
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       MIN(start_us) AS window_start, MAX(end_us) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM grp GROUP BY 1, 2
+"""
+
+
 def t17_shingle_novelty(spark, sf_dir):
     """T17 — corpus-order novelty scoring (dedup.shingle_novelty): per
     document, the fraction of its distinct word bigrams first seen (by
@@ -6370,21 +6422,22 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-9
-    # window = 3 new (m03e the estimate-verify scale mode, st14 the
-    # streaming near-dup probe, j13 the salted skew join) + 3 changed
-    # (m03 gained verify='estimate'/'hybrid' modes — default exact path
-    # and oracle unchanged; q03/q05's _under_threshold size gate now
-    # sums data files for directory-materialized tables) + the 16 rows
-    # the r8 verdict named (the 14 r5-stale t06..w17 and st08/t05,
-    # displaced by st12/st13 in r8) + the 28 oldest r6-checked entries
-    # (a01..w19). Displaced to the r10 window: a34/m18/j12 + the
-    # remaining 18 r6-checked entries (m16..m15, at the bottom) — all
-    # green in the FULL local gate at sf0.01 and pinned by
-    # scripts/check_oracle.py.
+    # window = 4 new (m03e the estimate-verify scale mode, st14 the
+    # streaming near-dup probe, j13 the salted skew join, w21 interval
+    # coalescing) + 3 changed (m03 gained verify='estimate'/'hybrid'
+    # modes — default exact path and oracle unchanged; q03/q05's
+    # _under_threshold size gate now sums data files for directory-
+    # materialized tables) + the 16 rows the r8 verdict named (the 14
+    # r5-stale t06..w17 and st08/t05, displaced by st12/st13 in r8) +
+    # the 27 oldest r6-checked entries (a01..w18). Displaced to the
+    # r10 window: w19/a34/m18/j12 + the remaining 18 r6-checked
+    # entries (m16..m15, at the bottom) — all green in the FULL local
+    # gate at sf0.01 and pinned by scripts/check_oracle.py.
     # ---- new in r9 (must hold a window slot in the round they land) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
+    "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
     # ---- changed in r9 (same oracles; hashes re-verified) ----
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -6435,10 +6488,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w20_trending_topk": (w20_trending_topk, W20_SQL),
     "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
-    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # a34/m18/j12 displaced to the r10 queue by the new m03e/st14/j13
-    # entries (window cap)
+    # w19/a34/m18/j12 displaced to the r10 queue by the new
+    # m03e/st14/j13/w21 entries (window cap)
+    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),

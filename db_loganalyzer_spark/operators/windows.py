@@ -908,3 +908,57 @@ def trending_topk(
         .filter(F.col("rnk") <= k)
         .select("day_idx", "rnk", type_col, "n_day", "n_trail")
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    partition_by: list[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """W21 — interval coalescing (gaps-and-islands over INTERVALS):
+    merge overlapping-or-touching ``[start, end]`` intervals per key
+    into maximal covered windows. The interval generalization of W5:
+    sessionize merges POINTS by a fixed gap; this merges variable-
+    length intervals, which a gap rule cannot express (an 11-hour
+    maintenance window and a 2-second probe obey different reach).
+
+    One pass, one key shuffle: a running ``max(end)`` over rows sorted
+    by (start, end) marks a new island where ``start > max(prev ends)``
+    (touching intervals MERGE: start == prev end joins — document the
+    convention, callers with half-open intervals subtract 1 first), a
+    running sum of the marks numbers the islands, one groupBy emits
+    per-island bounds + row count. Same two-window-pass cost profile as
+    W5 at any scale; the only sort is per-key.
+
+    Output: partition keys + island_id (0-based per key), start/end of
+    the merged window, n_intervals.
+
+    reference: the reference's recovery-episode stitching
+    (global_scanner.py:177-219) is the fixed-gap special case; this is
+    the general interval form a downtime/maintenance-window rollup
+    needs.
+    """
+    order = [F.col(start_col), F.col(end_col)] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    grp = (
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    ).cast("long")
+    return (
+        df.withColumn("island_id", grp)
+        .groupBy(*(partition_by + ["island_id"]))
+        .agg(
+            F.min(start_col).alias("window_start"),
+            F.max(end_col).alias("window_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )

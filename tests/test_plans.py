@@ -378,3 +378,13 @@ def test_m13_ranking_reuses_component_shuffle(spark, sf_dir, qs, cold_cache):
     assert len(re.findall(r"hashpartitioning\(component_id", p)) >= 1
     # and the quality expression stays JVM-side (no python UDF)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_j13_salted_join_plan_shape(spark, sf_dir, qs, cold_cache):
+    # the salted join must actually join on (key, salt) — both salt
+    # columns appear as join keys — and replicate the dim side through
+    # one explode (Generate), never a cartesian product
+    p = plan_str(spark, qs["j13_salted_skew_join"](spark, sf_dir), "extended")
+    assert "__fsalt" in p and "__dsalt" in p, p[:800]
+    assert re.search(r"Generate explode", p), p[:800]
+    assert "CartesianProduct" not in p

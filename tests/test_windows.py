@@ -297,3 +297,64 @@ def test_funnel_steps_ordering(spark):
     assert out[1] == (3, True, us(3), us(4))  # pre-view click skipped
     assert out[2] == (2, False, us(2), None)
     assert out[3] == (2, False, us(2), None)  # tie excluded by strict >
+
+
+def test_coalesce_intervals_semantics(spark):
+    """W21: overlap merges, touching merges (closed-interval convention),
+    nested absorbs, disjoint splits; islands number 0-based per key."""
+    iv = spark.createDataFrame(
+        [
+            # key "a": [0,10] overlaps [5,20]; [20,25] touches -> one island
+            ("a", 0, 10), ("a", 5, 20), ("a", 20, 25),
+            # gap, then [30,40] with nested [32,35] -> second island
+            ("a", 30, 40), ("a", 32, 35),
+            # key "b": two disjoint islands, input order scrambled
+            ("b", 50, 55), ("b", 10, 12),
+        ],
+        "k string, start_us long, end_us long",
+    )
+    out = {
+        (r["k"], r["island_id"]): (
+            r["window_start"], r["window_end"], r["n_intervals"]
+        )
+        for r in W.coalesce_intervals(iv, ["k"]).collect()
+    }
+    assert out == {
+        ("a", 0): (0, 25, 3),
+        ("a", 1): (30, 40, 2),
+        ("b", 0): (10, 12, 1),
+        ("b", 1): (50, 55, 1),
+    }
+
+
+def test_coalesce_intervals_vs_bruteforce_property(spark):
+    """Randomized: islands equal a python sweep over sorted intervals."""
+    import random
+
+    rng = random.Random(77)
+    rows = [
+        (f"k{rng.randrange(3)}", s, s + rng.randrange(0, 15))
+        for _ in range(200)
+        for s in [rng.randrange(0, 100)]
+    ]
+    iv = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = sorted(
+        (r["k"], r["window_start"], r["window_end"], r["n_intervals"])
+        for r in W.coalesce_intervals(iv, ["k"]).collect()
+    )
+    want = []
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                want.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.append((k, cur_s, cur_e, n))
+    assert got == sorted(want)
