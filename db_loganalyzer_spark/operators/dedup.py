@@ -461,6 +461,43 @@ def _band_slice(sig: Column, b: Column, bands: int) -> Column:
     return F.slice(sig, b * rows + 1, rows)
 
 
+def _banded(signatures: DataFrame, bands: int, hash_family: str, carry_signature: bool) -> DataFrame:
+    """One row per (id, band, bucket) membership — THE banding used by
+    the index, the candidates self-join, and (via the same two helpers)
+    the streaming probe's minimal-band filter. Single definition so the
+    bucket derivation can never desync between the standing index and
+    the batch candidate path."""
+    cols = ["id"] + (["signature"] if carry_signature else [])
+    return signatures.select(
+        *cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    _band_bucket_expr(
+                        _band_slice(F.col("signature"), b, bands), hash_family
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        *cols,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop rows in (band, bucket) groups larger than the cap — the
+    degenerate-bucket guard shared by the index and candidates paths."""
+    w_bucket = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    return (
+        banded.withColumn("__bsz", w_bucket)
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_index(
     signatures: DataFrame,
     bands: int = 8,
@@ -482,31 +519,19 @@ def minhash_lsh_index(
     candidates' quadratic hazard. When set, index rows in groups larger
     than the cap are dropped at build time (same documented recall
     trade as ``minhash_lsh_candidates``: a pair is missed only if its
-    every shared band is degenerate). None keeps the exact index."""
-    out = signatures.select(
-        "id",
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    _band_bucket_expr(
-                        _band_slice(F.col("signature"), b, bands), hash_family
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(
-        "id", "signature",
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
-    )
+    every shared band is degenerate). A capped index additionally
+    carries a ``bands_kept`` array (this id's surviving bands, sorted)
+    so the probe's minimal-band uniqueness filter can range over bands
+    that actually have index rows — without it, a pair whose FIRST
+    signature-matching band was dropped by the cap would be lost even
+    though a later shared band survives, silently exceeding the
+    documented recall trade. None keeps the exact index (no extra
+    column, no overhead)."""
+    out = _banded(signatures, bands, hash_family, carry_signature=True)
     if max_bucket_size is not None:
-        w_bucket = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        out = (
-            out.withColumn("__bsz", w_bucket)
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        out = _cap_buckets(out, max_bucket_size).withColumn(
+            "bands_kept",
+            F.sort_array(F.collect_set("band").over(Window.partitionBy("id"))),
         )
     return out
 
@@ -537,44 +562,9 @@ def minhash_lsh_candidates(
     EVERY shared band is degenerate are missed; anything sharing one
     normal band survives). None (default) keeps exact-LSH semantics for
     the oracle contract."""
-
-    def band_bucket(band_slice: Column) -> Column:
-        if hash_family == "xxhash64":
-            return F.xxhash64(band_slice.cast("string"))
-        return F.aggregate(
-            band_slice,
-            F.lit(0).cast("long"),
-            lambda acc, v: (acc * 31 + v) % _PMOD,
-        )
-
-    sig_len_col = F.size("signature")
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    band_bucket(
-                        F.slice(
-                            F.col("signature"),
-                            b * (sig_len_col / bands).cast("int") + 1,
-                            (sig_len_col / bands).cast("int"),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(signatures, bands, hash_family, carry_signature=False)
     if max_bucket_size is not None:
-        w_bucket = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "bucket")
-        )
-        banded = (
-            banded.withColumn("__bsz", w_bucket)
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        banded = _cap_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1278,7 +1278,9 @@ def streaming_neardup_probe(
 
     ``index`` must carry (id, signature, band, bucket) as built by
     ``minhash_lsh_index`` with the SAME (num_hashes, bands, n,
-    hash_family).
+    hash_family); a capped index additionally carries ``bands_kept``,
+    which this probe uses to keep the uniqueness filter consistent
+    with the rows the cap actually retained.
     """
     from ..operators.dedup import (
         _band_bucket_expr,
@@ -1307,24 +1309,41 @@ def streaming_neardup_probe(
         "new_id", "new_sig",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
+    # A capped index (max_bucket_size) carries bands_kept = the bands
+    # that SURVIVED the cap for each corpus id; the uniqueness filter
+    # must range over those, not all bands — otherwise a pair whose
+    # first signature-matching band was dropped by the cap loses its
+    # only surviving join rows (band != that first match) and the pair
+    # vanishes beyond the documented recall trade. Uncapped indexes
+    # have no such column; the domain is every band.
+    has_kept = "bands_kept" in index.columns
     idx = index.select(
         F.col("id").alias("corpus_id"),
         F.col("signature").alias("corpus_sig"),
         "band", "bucket",
+        *(["bands_kept"] if has_kept else []),
     )
     joined = probe.join(idx, ["band", "bucket"])
     # minimal-matching-band filter: this row survives only if its band
-    # is the FIRST band where the two signatures' slices agree — every
-    # colliding pair emits exactly once, with zero streaming state.
-    first_match = F.filter(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: _band_bucket_expr(
-            _band_slice(F.col("new_sig"), b, bands), hash_family
+    # is the FIRST index-surviving band where the two signatures'
+    # slices agree — every colliding pair emits exactly once, with
+    # zero streaming state. (Each join row's own band is always in the
+    # domain and agrees, so the filtered array is never empty.)
+    band_domain = (
+        F.col("bands_kept") if has_kept
+        else F.sequence(F.lit(0), F.lit(bands - 1))
+    )
+    first_match = F.array_min(
+        F.filter(
+            band_domain,
+            lambda b: _band_bucket_expr(
+                _band_slice(F.col("new_sig"), b, bands), hash_family
+            )
+            == _band_bucket_expr(
+                _band_slice(F.col("corpus_sig"), b, bands), hash_family
+            ),
         )
-        == _band_bucket_expr(
-            _band_slice(F.col("corpus_sig"), b, bands), hash_family
-        ),
-    )[0]
+    )
     matches = F.size(
         F.filter(
             F.zip_with("new_sig", "corpus_sig", lambda x, y: x == y),

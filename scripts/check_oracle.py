@@ -80,10 +80,21 @@ def driver_hazards(sdf, ddf):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # entry names are positional; tolerate the bench_registry.py-style
+    # "--only a,b,c" spelling too, and FAIL LOUDLY on unknown names — a
+    # typo'd subset run that matches nothing would otherwise print a
+    # vacuous "0 failures"
+    only: set[str] = set()
+    for a in sys.argv[2:]:
+        if a != "--only":
+            only.update(s for s in a.split(",") if s)
 
     import __spark_entry__ as mod
     from db_loganalyzer_spark.session import get_spark
+
+    unknown = only - set(mod.queries())
+    if unknown:
+        sys.exit(f"unknown entry name(s): {sorted(unknown)}")
 
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
