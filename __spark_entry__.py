@@ -5582,6 +5582,66 @@ WHERE CAST(len(list_filter(generate_series(1, 16), i -> sn.sig[i] = sc.sig[i])) 
 """
 
 
+def st15_streaming_interval_coalesce(spark, sf_dir):
+    """ST15 — w21's streaming form (streams.streaming_interval_coalesce,
+    applyInPandasWithState): each user's [ts, ts + value seconds]
+    activity intervals merge into maximal covered windows incrementally.
+    State per key is FOUR BIGINT scalars (open island start/end/count +
+    next island id); an island emits exactly once, when a later disjoint
+    interval closes it. Drained in-order the output equals batch w21
+    minus each key's final still-open island — exactly what the oracle
+    states (drop each user's last island). NULL values filtered on both
+    sides (integer interval bounds are the operator's contract)."""
+    stream = ST.read_events_stream(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    )
+    iv = stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("end_us"),
+    )
+    out = ST.streaming_interval_coalesce(iv, "user_id")
+    return _drain(out, "st15")
+
+
+ST15_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS end_us
+  FROM events WHERE value IS NOT NULL
+), marked AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN max(end_us) OVER w IS NULL
+                OR start_us > max(end_us) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY start_us, end_us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+), grp AS (
+  SELECT user_id, start_us, end_us,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY start_us, end_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS island_id
+  FROM marked
+), islands AS (
+  SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+         MIN(start_us) AS window_start, MAX(end_us) AS window_end,
+         CAST(count(*) AS BIGINT) AS n_intervals
+  FROM grp GROUP BY 1, 2
+)
+SELECT user_id, island_id, window_start, window_end, n_intervals
+FROM islands
+QUALIFY island_id < MAX(island_id) OVER (PARTITION BY user_id)
+"""
+
+
 def t13_bigram_lm(spark, sf_dir):
     """T13 — corpus bigram LM counts + conditional P(w2|w1)
     (operators/ranking.bigram_lm_counts): the n-gram statistics behind
@@ -6422,22 +6482,26 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-9
-    # window = 4 new (m03e the estimate-verify scale mode, st14 the
+    # window = 5 new (m03e the estimate-verify scale mode, st14 the
     # streaming near-dup probe, j13 the salted skew join, w21 interval
-    # coalescing) + 3 changed (m03 gained verify='estimate'/'hybrid'
-    # modes — default exact path and oracle unchanged; q03/q05's
-    # _under_threshold size gate now sums data files for directory-
-    # materialized tables) + the 16 rows the r8 verdict named (the 14
-    # r5-stale t06..w17 and st08/t05, displaced by st12/st13 in r8) +
-    # the 27 oldest r6-checked entries (a01..w18). Displaced to the
-    # r10 window: w19/a34/m18/j12 + the remaining 18 r6-checked
-    # entries (m16..m15, at the bottom) — all green in the FULL local
-    # gate at sf0.01 and pinned by scripts/check_oracle.py.
+    # coalescing, st15 its streaming form) + 3 changed (m03 gained
+    # verify='estimate'/'hybrid' modes — default exact path and oracle
+    # unchanged; q03/q05's _under_threshold size gate now sums data
+    # files for directory-materialized tables) + the 16 rows the r8
+    # verdict named (the 14 r5-stale t06..w17 and st08/t05, displaced
+    # by st12/st13 in r8) + the 26 oldest r6-checked entries
+    # (a01..t17). Displaced to the r10 window: w18/w19/a34/m18/j12 +
+    # the remaining 18 r6-checked entries (m16..m15, at the bottom) —
+    # all green in the FULL local gate at sf0.01 and pinned by
+    # scripts/check_oracle.py.
     # ---- new in r9 (must hold a window slot in the round they land) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
     "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
+    "st15_streaming_interval_coalesce": (
+        st15_streaming_interval_coalesce, ST15_SQL,
+    ),
     # ---- changed in r9 (same oracles; hashes re-verified) ----
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
@@ -6487,10 +6551,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
     "w20_trending_topk": (w20_trending_topk, W20_SQL),
     "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
-    "w18_event_sequences": (w18_event_sequences, W18_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # w19/a34/m18/j12 displaced to the r10 queue by the new
-    # m03e/st14/j13/w21 entries (window cap)
+    # w18/w19/a34/m18/j12 displaced to the r10 queue by the new
+    # m03e/st14/j13/w21/st15 entries (window cap)
+    "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     "m18_weighted_sample": (m18_weighted_sample, M18_SQL),

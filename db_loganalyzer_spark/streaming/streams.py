@@ -1356,3 +1356,122 @@ def streaming_neardup_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+# W21 streaming form — stateful interval coalescing via
+# applyInPandasWithState: state is the OPEN island per key.
+
+_COALESCE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("island_id", T.LongType()),
+        T.StructField("window_start", T.LongType()),
+        T.StructField("window_end", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+    ]
+)
+
+_COALESCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("island_start", T.LongType()),
+        T.StructField("island_end", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("next_island_id", T.LongType()),
+    ]
+)
+
+
+def _coalesce_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """w21's streaming fold: carry the open island (start, max end,
+    count) + the next island id per key; an arriving interval either
+    extends the open island (start <= island end — the batch operator's
+    touching-merges convention) or CLOSES it, emitting exactly one row.
+    Vectorized: one numpy cummax finds the island boundaries of the
+    sorted batch; the python loop runs per ISLAND, not per row."""
+    import numpy as np
+
+    uid = int(key[0])
+    if state.exists:
+        s0, e0, n0, nxt = state.get
+    else:
+        s0 = e0 = n0 = None
+        nxt = 0
+    pdf = pd.concat(list(pdfs)).sort_values(["start_us", "end_us"])
+    starts = pdf["start_us"].to_numpy(dtype="int64")
+    ends = pdf["end_us"].to_numpy(dtype="int64")
+    counts = np.ones(len(starts), dtype="int64")
+    if s0 is not None:
+        # the carried open island participates as a pseudo-interval so
+        # an out-of-order-but-overlapping arrival still merges by
+        # min(start); re-sort with it included
+        starts = np.concatenate([[s0], starts])
+        ends = np.concatenate([[e0], ends])
+        counts = np.concatenate([[n0], counts])
+        order = np.lexsort((ends, starts))
+        starts, ends, counts = starts[order], ends[order], counts[order]
+    cm = np.maximum.accumulate(ends)
+    breaks = np.flatnonzero(starts[1:] > cm[:-1]) + 1  # island starts
+    bounds = np.concatenate([[0], breaks, [len(starts)]])
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        island = (
+            uid,
+            nxt,
+            int(starts[lo]),
+            int(cm[hi - 1]),
+            int(counts[lo:hi].sum()),
+        )
+        if i < len(bounds) - 2:
+            rows.append(island)  # closed: a later island superseded it
+            nxt += 1
+        else:
+            s0, e0, n0 = island[2], island[3], island[4]  # stays open
+    state.update((int(s0), int(e0), int(n0), int(nxt)))
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "island_id", "window_start", "window_end",
+                "n_intervals",
+            ],
+        )
+
+
+def streaming_interval_coalesce(
+    intervals: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """ST15 — w21's streaming form: merge each key's overlapping-or-
+    touching [start_us, end_us] intervals into maximal covered windows,
+    incrementally. State per key is FOUR BIGINT scalars — the open
+    island's (start, max end, count) and the next island id — whatever
+    the volume; an island emits exactly once, when a later disjoint
+    interval closes it (append mode cannot retract). Drained in-order,
+    the output equals batch ``windows.coalesce_intervals`` minus each
+    key's final still-open island — the same open-frontier contract as
+    st09, stated by the oracle (drop each key's last island).
+
+    PRECONDITION for exact batch equality under a multi-batch drain:
+    intervals must land start-ordered ACROSS micro-batches (within a
+    batch they are sorted here) — an interval arriving entirely before
+    the open island belongs to an island that already emitted and
+    cannot merge into it (it is folded into the open island by
+    min(start) only if it overlaps). The registry entry reads one file
+    = one batch, satisfying it trivially.
+
+    ``intervals`` must carry (key, start_us, end_us) with integer
+    bounds; NULL-valued rows must be filtered upstream. Scale: the
+    applyInPandasWithState per-GROUP Arrow constant dominates at many
+    keys — the key-bucketed batched-state pattern documented on
+    streaming_gap_fill applies unchanged if needed.
+    """
+    cols = intervals.select(key, "start_us", "end_us")
+    _require_int_key(cols, key, "streaming_interval_coalesce")
+    return cols.groupBy(key).applyInPandasWithState(
+        _coalesce_fn,
+        outputStructType=_COALESCE_SCHEMA,
+        stateStructType=_COALESCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

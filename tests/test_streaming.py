@@ -912,3 +912,87 @@ def test_st14_probe_respects_capped_index_bands_kept(spark, sf_dir):
         "fixture no longer exercises the dropped-minimal-band case; "
         "lower max_bucket_size or revisit the corpus split"
     )
+
+
+def test_streaming_interval_coalesce_state_crosses_batches(
+    spark, tmp_path, tmp_path_factory
+):
+    """ST15's open-island state must carry across micro-batches: a
+    touching arrival extends it, an out-of-order-but-overlapping
+    arrival merges into it (min-start), and only a later DISJOINT
+    interval closes and emits it; the final open island never emits."""
+    import os
+
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_interval_coalesce,
+    )
+
+    schema = "user_id long, start_us long, end_us long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: [0,10] + [5,20] -> one open island (0,20,2), nothing emits
+    spark.createDataFrame(
+        [(7, 0, 10), (7, 5, 20)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    # batch 2: [18,22] overlaps the carried island, [20,25] touches,
+    # [40,50] is disjoint -> island (0,25,4) emits, (40,50,1) stays open
+    spark.createDataFrame(
+        [(7, 40, 50), (7, 18, 22), (7, 20, 25)], schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_st15"))
+    got = run_available_now(
+        streaming_interval_coalesce(stream, "user_id"), "st15_t", ck
+    ).collect()
+    rows = [
+        (r.user_id, r.island_id, r.window_start, r.window_end,
+         r.n_intervals)
+        for r in got
+    ]
+    assert rows == [(7, 0, 0, 25, 4)]
+
+
+def test_st15_equals_batch_w21_minus_open_islands(spark, sf_dir):
+    """ST15 drained in one batch equals batch coalesce_intervals on the
+    same (null-filtered) intervals minus each key's final island — the
+    open-frontier contract, checked on real corpus data through the
+    registry entry itself."""
+    import __spark_entry__ as entry_mod
+    from db_loganalyzer_spark.operators.windows import coalesce_intervals
+
+    got = {
+        (r.user_id, r.island_id): (
+            r.window_start, r.window_end, r.n_intervals
+        )
+        for r in entry_mod.st15_streaming_interval_coalesce(
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter("value is not null")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("end_us"),
+    )
+    batch = coalesce_intervals(iv, ["user_id"], "start_us", "end_us")
+    rows = batch.collect()
+    last = {}
+    for r in rows:
+        last[r.user_id] = max(last.get(r.user_id, -1), r.island_id)
+    want = {
+        (r.user_id, r.island_id): (
+            r.window_start, r.window_end, r.n_intervals
+        )
+        for r in rows
+        if r.island_id < last[r.user_id]
+    }
+    assert got == want and len(want) > 0
