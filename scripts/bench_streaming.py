@@ -284,6 +284,25 @@ def main():
         r = drain_with_progress(ndp, "st14_neardup_probe", workdir, n_docs)
         print(json.dumps(r))
         idx.unpersist()
+
+        # st15: stateful interval coalescing — state is 4 BIGINT scalars
+        # per key (open island + next island id); land_slices' time-
+        # ordered files satisfy the start-ordered landing precondition
+        iv = (
+            stream_from(spark, land, template)
+            .filter(F.col("value").isNotNull())
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("start_us"),
+                (
+                    F.unix_micros("ts")
+                    + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+                ).alias("end_us"),
+            )
+        )
+        ic = ST.streaming_interval_coalesce(iv, "user_id")
+        r = drain_with_progress(ic, "st15_interval_coalesce", workdir, n)
+        print(json.dumps(r))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
