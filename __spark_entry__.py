@@ -5592,16 +5592,8 @@ def st15_streaming_interval_coalesce(spark, sf_dir):
     minus each key's final still-open island — exactly what the oracle
     states (drop each user's last island). NULL values filtered on both
     sides (integer interval bounds are the operator's contract)."""
-    stream = ST.read_events_stream(spark, sf_dir).filter(
-        F.col("value").isNotNull()
-    )
-    iv = stream.select(
-        "user_id",
-        F.unix_micros("ts").alias("start_us"),
-        (
-            F.unix_micros("ts")
-            + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-        ).alias("end_us"),
+    iv = _event_intervals(
+        ST.read_events_stream(spark, sf_dir), drop_null_values=True
     )
     out = ST.streaming_interval_coalesce(iv, "user_id")
     return _drain(out, "st15")
@@ -6381,6 +6373,24 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def _event_intervals(ev, drop_null_values: bool = False):
+    """(user_id, start_us, end_us) intervals from an events frame:
+    [ts, ts + value seconds] with the end micro-rounded EXACTLY as the
+    W21/ST15 oracles state (FLOOR(value*1e6 + 0.5)). One definition so
+    the batch entry, the streaming entry, and the streaming bench
+    cannot desync on the rounding convention."""
+    if drop_null_values:
+        ev = ev.filter(F.col("value").isNotNull())
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
+        ).alias("end_us"),
+    )
+
+
 def w21_interval_coalesce(spark, sf_dir):
     """W21 — interval coalescing (windows.coalesce_intervals): merge
     each user's overlapping-or-touching [ts, ts + value seconds]
@@ -6391,14 +6401,7 @@ def w21_interval_coalesce(spark, sf_dir):
     micros (epoch_us + micro-rounded value) so the running-max island
     logic is engine-identical; one key shuffle, two window passes over
     the same sort, one groupBy."""
-    ev = _events(spark, sf_dir)
-    end_us = (
-        F.unix_micros("ts")
-        + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-    ).alias("end_us")
-    iv = ev.select(
-        "user_id", F.unix_micros("ts").alias("start_us"), end_us
-    )
+    iv = _event_intervals(_events(spark, sf_dir))
     return W.coalesce_intervals(iv, ["user_id"], "start_us", "end_us")
 
 

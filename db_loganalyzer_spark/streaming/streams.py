@@ -1415,11 +1415,15 @@ def _coalesce_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
     rows = []
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
+        # the island's OWN max end, not cm[hi-1]: the running max can
+        # carry a PREVIOUS island's larger end across the break when a
+        # degenerate interval has end < start (batch w21 emits the
+        # per-island MAX(end) — match it exactly)
         island = (
             uid,
             nxt,
             int(starts[lo]),
-            int(cm[hi - 1]),
+            int(ends[lo:hi].max()),
             int(counts[lo:hi].sum()),
         )
         if i < len(bounds) - 2:

@@ -287,18 +287,13 @@ def main():
 
         # st15: stateful interval coalescing — state is 4 BIGINT scalars
         # per key (open island + next island id); land_slices' time-
-        # ordered files satisfy the start-ordered landing precondition
-        iv = (
-            stream_from(spark, land, template)
-            .filter(F.col("value").isNotNull())
-            .select(
-                "user_id",
-                F.unix_micros("ts").alias("start_us"),
-                (
-                    F.unix_micros("ts")
-                    + F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")
-                ).alias("end_us"),
-            )
+        # ordered files satisfy the start-ordered landing precondition.
+        # Interval derivation = the registry entries' shared helper, so
+        # the bench can never desync from the oracle convention.
+        import __spark_entry__ as entry_mod
+
+        iv = entry_mod._event_intervals(
+            stream_from(spark, land, template), drop_null_values=True
         )
         ic = ST.streaming_interval_coalesce(iv, "user_id")
         r = drain_with_progress(ic, "st15_interval_coalesce", workdir, n)

@@ -996,3 +996,49 @@ def test_st15_equals_batch_w21_minus_open_islands(spark, sf_dir):
         if r.island_id < last[r.user_id]
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_interval_coalesce_degenerate_end_before_start(
+    spark, tmp_path, tmp_path_factory
+):
+    """An interval with end < start (legal under the integer-bounds
+    contract, e.g. a signed-delta end) must emit ITS island's own max
+    end, not the batch running max, which can carry a previous island's
+    larger end across the break — pinned against batch w21."""
+    import os
+
+    from db_loganalyzer_spark.operators.windows import coalesce_intervals
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_interval_coalesce,
+    )
+
+    schema = "user_id long, start_us long, end_us long"
+    rows = [(7, 0, 100), (7, 150, 50), (7, 500, 600)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_st15d"))
+    got = sorted(
+        (r.island_id, r.window_start, r.window_end, r.n_intervals)
+        for r in run_available_now(
+            streaming_interval_coalesce(stream, "user_id"), "st15_d", ck
+        ).collect()
+    )
+    batch = coalesce_intervals(
+        spark.createDataFrame(rows, schema), ["user_id"]
+    ).collect()
+    last = max(r.island_id for r in batch)
+    want = sorted(
+        (r.island_id, r.window_start, r.window_end, r.n_intervals)
+        for r in batch
+        if r.island_id < last
+    )
+    assert got == want == [(0, 0, 100, 1), (1, 150, 50, 1)]
