@@ -1963,12 +1963,16 @@ def m03e_minhash_lsh_estimate(spark, sf_dir):
     component-match fraction) is exact integer arithmetic both engines
     restate — the ESTIMATE is hash-checked, not just the pipeline.
     matches/16 is an exact binary fraction, so the >= threshold
-    comparison is float-deterministic in both engines."""
+    comparison is float-deterministic in both engines. threshold=0.25
+    keeps the estimate filter NON-vacuous (ceil(0.25*16)=4 matching
+    components required > the 2 a single band collision guarantees —
+    the r9 config's 0.12 degenerated to candidate passthrough, pinned
+    by test_minhash_estimate_loose_regime_equals_candidates)."""
     from db_loganalyzer_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
-        docs, threshold=0.12, num_hashes=16, bands=8, n=2, verify="estimate"
+        docs, threshold=0.25, num_hashes=16, bands=8, n=2, verify="estimate"
     )
 
 
@@ -2012,7 +2016,7 @@ SELECT cand.id_a, cand.id_b,
 FROM cand
 JOIN sig sa ON sa.doc_id = cand.id_a
 JOIN sig sb ON sb.doc_id = cand.id_b
-WHERE CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.12
+WHERE CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16 >= 0.25
 """
 
 
@@ -5590,11 +5594,9 @@ def st15_streaming_interval_coalesce(spark, sf_dir):
     next island id); an island emits exactly once, when a later disjoint
     interval closes it. Drained in-order the output equals batch w21
     minus each key's final still-open island — exactly what the oracle
-    states (drop each user's last island). NULL values filtered on both
-    sides (integer interval bounds are the operator's contract)."""
-    iv = _event_intervals(
-        ST.read_events_stream(spark, sf_dir), drop_null_values=True
-    )
+    states (drop each user's last island). NULL/NaN values filtered on
+    both sides (integer interval bounds are the operator's contract)."""
+    iv = _event_intervals(ST.read_events_stream(spark, sf_dir))
     out = ST.streaming_interval_coalesce(iv, "user_id")
     return _drain(out, "st15")
 
@@ -5604,7 +5606,7 @@ WITH iv AS (
   SELECT user_id,
          epoch_us(ts) AS start_us,
          epoch_us(ts) + CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS end_us
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), marked AS (
   SELECT user_id, start_us, end_us,
          CASE WHEN max(end_us) OVER w IS NULL
@@ -6373,14 +6375,21 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-def _event_intervals(ev, drop_null_values: bool = False):
+def _event_intervals(ev, drop_null_values: bool = True):
     """(user_id, start_us, end_us) intervals from an events frame:
     [ts, ts + value seconds] with the end micro-rounded EXACTLY as the
     W21/ST15 oracles state (FLOOR(value*1e6 + 0.5)). One definition so
     the batch entry, the streaming entry, and the streaming bench
-    cannot desync on the rounding convention."""
-    if drop_null_values:
-        ev = ev.filter(F.col("value").isNotNull())
+    cannot desync on the rounding convention. NULL and NaN values are
+    filtered unconditionally (the repo-wide value-column convention —
+    w11/st05/st09 do the same): a NaN would crash the DuckDB oracle's
+    BIGINT cast while Spark silently casts it to 0, and a NULL end_us
+    sorts differently between engines (Spark nulls-first asc, DuckDB
+    nulls-last), either of which could split islands differently.
+    drop_null_values stays as an accepted no-op arg for older
+    callers."""
+    del drop_null_values
+    ev = ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
     return ev.select(
         "user_id",
         F.unix_micros("ts").alias("start_us"),
@@ -6410,7 +6419,7 @@ WITH iv AS (
   SELECT user_id,
          epoch_us(ts) AS start_us,
          epoch_us(ts) + CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS end_us
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), marked AS (
   SELECT user_id, start_us, end_us,
          CASE WHEN max(end_us) OVER w IS NULL

@@ -503,4 +503,10 @@ def salted_join(
         (f[fact_key] == d[dim_key]) & (f["__fsalt"] == d["__dsalt"]),
         how,
     )
+    if fact_key == dim_key:
+        # the condition-form join keeps BOTH same-named key columns;
+        # drop the dim side's so a post-join select of the key is not
+        # ambiguous (for inner/left the fact side's value is the one a
+        # USING join would keep)
+        joined = joined.drop(d[dim_key])
     return joined.drop("__fsalt", "__dsalt")

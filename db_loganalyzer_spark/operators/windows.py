@@ -916,6 +916,7 @@ def coalesce_intervals(
     start_col: str = "start_us",
     end_col: str = "end_us",
     tiebreak: str | None = None,
+    half_open: bool = False,
 ) -> DataFrame:
     """W21 — interval coalescing (gaps-and-islands over INTERVALS):
     merge overlapping-or-touching ``[start, end]`` intervals per key
@@ -926,11 +927,17 @@ def coalesce_intervals(
 
     One pass, one key shuffle: a running ``max(end)`` over rows sorted
     by (start, end) marks a new island where ``start > max(prev ends)``
-    (touching intervals MERGE: start == prev end joins — document the
-    convention, callers with half-open intervals subtract 1 first), a
-    running sum of the marks numbers the islands, one groupBy emits
-    per-island bounds + row count. Same two-window-pass cost profile as
-    W5 at any scale; the only sort is per-key.
+    (touching intervals MERGE: start == prev end joins), a running sum
+    of the marks numbers the islands, one groupBy emits per-island
+    bounds + row count. Same two-window-pass cost profile as W5 at any
+    scale; the only sort is per-key.
+
+    ``half_open=True`` treats intervals as ``[start, end)``: a new
+    island starts where ``start >= max(prev ends)`` — adjacent
+    intervals (start == prev end) do NOT merge, only true overlaps do.
+    Equivalent to the subtract-1 rewrite on integer bounds (coalesce
+    ``[s, e-1]`` closed, then add 1 back to window_end) — pinned by a
+    property test — but without mutating the caller's columns.
 
     Output: partition keys + island_id (0-based per key), start/end of
     the merged window, n_intervals.
@@ -947,9 +954,12 @@ def coalesce_intervals(
     prev_max_end = F.max(F.col(end_col)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    is_new = F.when(
-        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
-    ).otherwise(0)
+    breaks_away = (
+        (F.col(start_col) >= prev_max_end)
+        if half_open
+        else (F.col(start_col) > prev_max_end)
+    )
+    is_new = F.when(prev_max_end.isNull() | breaks_away, 1).otherwise(0)
     grp = (
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
     ).cast("long")

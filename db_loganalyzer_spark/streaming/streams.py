@@ -1381,70 +1381,86 @@ _COALESCE_STATE_SCHEMA = T.StructType(
 )
 
 
-def _coalesce_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """w21's streaming fold: carry the open island (start, max end,
-    count) + the next island id per key; an arriving interval either
-    extends the open island (start <= island end — the batch operator's
-    touching-merges convention) or CLOSES it, emitting exactly one row.
+def _make_coalesce_fn(half_open: bool = False):
+    """Build w21's streaming fold for one merge convention: carry the
+    open island (start, max end, count) + the next island id per key;
+    an arriving interval either extends the open island (start <=
+    island end closed / start < island end half-open — the batch
+    operator's conventions) or CLOSES it, emitting exactly one row.
     Vectorized: one numpy cummax finds the island boundaries of the
     sorted batch; the python loop runs per ISLAND, not per row."""
-    import numpy as np
 
-    uid = int(key[0])
-    if state.exists:
-        s0, e0, n0, nxt = state.get
-    else:
-        s0 = e0 = n0 = None
-        nxt = 0
-    pdf = pd.concat(list(pdfs)).sort_values(["start_us", "end_us"])
-    starts = pdf["start_us"].to_numpy(dtype="int64")
-    ends = pdf["end_us"].to_numpy(dtype="int64")
-    counts = np.ones(len(starts), dtype="int64")
-    if s0 is not None:
-        # the carried open island participates as a pseudo-interval so
-        # an out-of-order-but-overlapping arrival still merges by
-        # min(start); re-sort with it included
-        starts = np.concatenate([[s0], starts])
-        ends = np.concatenate([[e0], ends])
-        counts = np.concatenate([[n0], counts])
-        order = np.lexsort((ends, starts))
-        starts, ends, counts = starts[order], ends[order], counts[order]
-    cm = np.maximum.accumulate(ends)
-    breaks = np.flatnonzero(starts[1:] > cm[:-1]) + 1  # island starts
-    bounds = np.concatenate([[0], breaks, [len(starts)]])
-    rows = []
-    for i in range(len(bounds) - 1):
-        lo, hi = bounds[i], bounds[i + 1]
-        # the island's OWN max end, not cm[hi-1]: the running max can
-        # carry a PREVIOUS island's larger end across the break when a
-        # degenerate interval has end < start (batch w21 emits the
-        # per-island MAX(end) — match it exactly)
-        island = (
-            uid,
-            nxt,
-            int(starts[lo]),
-            int(ends[lo:hi].max()),
-            int(counts[lo:hi].sum()),
-        )
-        if i < len(bounds) - 2:
-            rows.append(island)  # closed: a later island superseded it
-            nxt += 1
+    def _coalesce_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ):
+        import numpy as np
+
+        uid = int(key[0])
+        if state.exists:
+            s0, e0, n0, nxt = state.get
         else:
-            s0, e0, n0 = island[2], island[3], island[4]  # stays open
-    state.update((int(s0), int(e0), int(n0), int(nxt)))
-    if rows:
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "user_id", "island_id", "window_start", "window_end",
-                "n_intervals",
-            ],
-        )
+            s0 = e0 = n0 = None
+            nxt = 0
+        pdf = pd.concat(list(pdfs)).sort_values(["start_us", "end_us"])
+        if pdf.empty:
+            # timeout/eviction tick with no data: nothing to fold, and
+            # state.update(None fields) would corrupt the open island —
+            # leave state exactly as it was
+            return
+        starts = pdf["start_us"].to_numpy(dtype="int64")
+        ends = pdf["end_us"].to_numpy(dtype="int64")
+        counts = np.ones(len(starts), dtype="int64")
+        if s0 is not None:
+            # the carried open island participates as a pseudo-interval
+            # so an out-of-order-but-overlapping arrival still merges by
+            # min(start); re-sort with it included
+            starts = np.concatenate([[s0], starts])
+            ends = np.concatenate([[e0], ends])
+            counts = np.concatenate([[n0], counts])
+            order = np.lexsort((ends, starts))
+            starts, ends, counts = starts[order], ends[order], counts[order]
+        cm = np.maximum.accumulate(ends)
+        if half_open:
+            breaks = np.flatnonzero(starts[1:] >= cm[:-1]) + 1
+        else:
+            breaks = np.flatnonzero(starts[1:] > cm[:-1]) + 1  # island starts
+        bounds = np.concatenate([[0], breaks, [len(starts)]])
+        rows = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            # the island's OWN max end, not cm[hi-1]: the running max
+            # can carry a PREVIOUS island's larger end across the break
+            # when a degenerate interval has end < start (batch w21
+            # emits the per-island MAX(end) — match it exactly)
+            island = (
+                uid,
+                nxt,
+                int(starts[lo]),
+                int(ends[lo:hi].max()),
+                int(counts[lo:hi].sum()),
+            )
+            if i < len(bounds) - 2:
+                rows.append(island)  # closed: a later island superseded it
+                nxt += 1
+            else:
+                s0, e0, n0 = island[2], island[3], island[4]  # stays open
+        state.update((int(s0), int(e0), int(n0), int(nxt)))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "island_id", "window_start", "window_end",
+                    "n_intervals",
+                ],
+            )
+
+    return _coalesce_fn
 
 
 def streaming_interval_coalesce(
     intervals: DataFrame,
     key: str = "user_id",
+    half_open: bool = False,
 ) -> DataFrame:
     """ST15 — w21's streaming form: merge each key's overlapping-or-
     touching [start_us, end_us] intervals into maximal covered windows,
@@ -1469,11 +1485,15 @@ def streaming_interval_coalesce(
     applyInPandasWithState per-GROUP Arrow constant dominates at many
     keys — the key-bucketed batched-state pattern documented on
     streaming_gap_fill applies unchanged if needed.
+
+    ``half_open=True`` uses the [start, end) convention — adjacent
+    intervals do not merge — matching batch
+    ``coalesce_intervals(half_open=True)`` (property-test-pinned).
     """
     cols = intervals.select(key, "start_us", "end_us")
     _require_int_key(cols, key, "streaming_interval_coalesce")
     return cols.groupBy(key).applyInPandasWithState(
-        _coalesce_fn,
+        _make_coalesce_fn(half_open),
         outputStructType=_COALESCE_SCHEMA,
         stateStructType=_COALESCE_STATE_SCHEMA,
         outputMode="append",

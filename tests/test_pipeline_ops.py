@@ -1726,3 +1726,25 @@ def test_salted_join_rejects_unsupported_how():
 
     with pytest.raises(ValueError):
         salted_join(None, None, "k", "k", salt_from=["x"], how="full")
+
+
+def test_salted_join_same_key_name_selectable(spark):
+    """fact_key == dim_key must leave ONE key column (the fact side's)
+    so a post-join select of the key does not raise AMBIGUOUS_REFERENCE
+    — regression for the condition-form join keeping both sides."""
+    from db_loganalyzer_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 7)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    out = salted_join(fact, dim, "k", "k", salt_from=["row_id"], salt_parts=3)
+    assert out.columns.count("k") == 1
+    got = sorted((r["k"], r["row_id"], r["tag"]) for r in out.collect())
+    assert got == [(1, 1, "a"), (1, 2, "a"), (2, 3, "b")]
+    # left join: dim-less fact keys keep the FACT side's key value
+    left = salted_join(
+        fact, dim, "k", "k", salt_from=["row_id"], salt_parts=3, how="left"
+    )
+    got_left = sorted((r["k"], r["row_id"], r["tag"]) for r in left.collect())
+    assert got_left == [(1, 1, "a"), (1, 2, "a"), (2, 3, "b"), (7, 4, None)]

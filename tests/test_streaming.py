@@ -974,7 +974,9 @@ def test_st15_equals_batch_w21_minus_open_islands(spark, sf_dir):
             spark, sf_dir
         ).collect()
     }
-    ev = load_table(spark, sf_dir, "events").filter("value is not null")
+    ev = load_table(spark, sf_dir, "events").filter(
+        "value is not null and not isnan(value)"
+    )
     iv = ev.select(
         "user_id",
         F.unix_micros("ts").alias("start_us"),
@@ -1042,3 +1044,87 @@ def test_streaming_interval_coalesce_degenerate_end_before_start(
         if r.island_id < last
     )
     assert got == want == [(0, 0, 100, 1), (1, 150, 50, 1)]
+
+
+def test_streaming_interval_coalesce_half_open(
+    spark, tmp_path, tmp_path_factory
+):
+    """half_open=True streaming form: adjacent intervals split islands,
+    matching batch coalesce_intervals(half_open=True) minus the open
+    frontier — the same convention pin as the batch property test."""
+    import os
+
+    from db_loganalyzer_spark.operators.windows import coalesce_intervals
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_interval_coalesce,
+    )
+
+    schema = "user_id long, start_us long, end_us long"
+    rows = [(7, 0, 10), (7, 10, 20), (7, 15, 30), (7, 30, 35), (7, 90, 99)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_st15h"))
+    got = sorted(
+        (r.island_id, r.window_start, r.window_end, r.n_intervals)
+        for r in run_available_now(
+            streaming_interval_coalesce(stream, "user_id", half_open=True),
+            "st15_h",
+            ck,
+        ).collect()
+    )
+    batch = coalesce_intervals(
+        spark.createDataFrame(rows, schema), ["user_id"], half_open=True
+    ).collect()
+    last = max(r.island_id for r in batch)
+    want = sorted(
+        (r.island_id, r.window_start, r.window_end, r.n_intervals)
+        for r in batch
+        if r.island_id < last
+    )
+    assert got == want == [(0, 0, 10, 1), (1, 10, 30, 2), (2, 30, 35, 1)]
+
+
+def test_coalesce_fn_empty_group_leaves_state_untouched():
+    """_make_coalesce_fn's fold on an EMPTY input group (a future
+    timeout/eviction tick) must yield nothing and not touch state —
+    regression for the IndexError + state.update(None) path."""
+    import pandas as pd
+
+    from db_loganalyzer_spark.streaming.streams import _make_coalesce_fn
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.updated = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.updated = True
+
+    fn = _make_coalesce_fn()
+    empty = pd.DataFrame({"start_us": [], "end_us": []})
+    # no prior state: nothing to emit, no state write
+    st = FakeState()
+    assert list(fn((7,), iter([empty]), st)) == []
+    assert not st.updated and not st.exists
+    # existing open island: preserved verbatim, still no write
+    st2 = FakeState((0, 20, 2, 1))
+    assert list(fn((7,), iter([empty]), st2)) == []
+    assert not st2.updated and st2.get == (0, 20, 2, 1)

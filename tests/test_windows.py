@@ -358,3 +358,52 @@ def test_coalesce_intervals_vs_bruteforce_property(spark):
                 n += 1
         want.append((k, cur_s, cur_e, n))
     assert got == sorted(want)
+
+
+def test_coalesce_intervals_half_open_semantics(spark):
+    """half_open=True: [start, end) — adjacent intervals (start == prev
+    end) do NOT merge; true overlaps still do."""
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("a", 10, 20), ("a", 15, 30), ("a", 30, 35)],
+        "k string, start_us long, end_us long",
+    )
+    out = {
+        (r["k"], r["island_id"]): (
+            r["window_start"], r["window_end"], r["n_intervals"]
+        )
+        for r in W.coalesce_intervals(iv, ["k"], half_open=True).collect()
+    }
+    # [0,10) | [10,20)∪[15,30) | [30,35): adjacency splits, overlap merges
+    assert out == {
+        ("a", 0): (0, 10, 1),
+        ("a", 1): (10, 30, 2),
+        ("a", 2): (30, 35, 1),
+    }
+
+
+def test_coalesce_intervals_half_open_equals_subtract1_rewrite(spark):
+    """Pin the convention: half_open=True on integer bounds equals the
+    documented caller-side rewrite — coalesce [s, e-1] closed, then add
+    1 back to window_end. Randomized over dense small ranges so both
+    adjacency and overlap cases occur."""
+    import random
+
+    rng = random.Random(78)
+    rows = [
+        (f"k{rng.randrange(3)}", s, s + rng.randrange(1, 12))
+        for _ in range(300)
+        for s in [rng.randrange(0, 80)]
+    ]
+    iv = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = sorted(
+        (r["k"], r["island_id"], r["window_start"], r["window_end"],
+         r["n_intervals"])
+        for r in W.coalesce_intervals(iv, ["k"], half_open=True).collect()
+    )
+    shifted = iv.withColumn("end_us", F.col("end_us") - 1)
+    want = sorted(
+        (r["k"], r["island_id"], r["window_start"], r["window_end"] + 1,
+         r["n_intervals"])
+        for r in W.coalesce_intervals(shifted, ["k"]).collect()
+    )
+    assert got == want
