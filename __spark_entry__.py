@@ -5897,6 +5897,219 @@ GROUP BY 1, 2
 """
 
 
+def pipe02_neardup_corpus(spark, sf_dir):
+    """The end-to-end NEAR-dup training-corpus assembly — the pipeline a
+    production 100 TB corpus actually runs, composed from the engine's
+    own stages in ONE DataFrame flow: quality gate (t07) -> MinHash+LSH
+    near-dup pairs in verify='hybrid' mode (m03e's scale path: estimate
+    filter on the banding signatures, exact Jaccard only for estimated
+    positives) -> connected components (m08c) computed ONCE and shared
+    -> best-quality representative per duplicate group (m13) ->
+    leakage-safe split hashed on the COMPONENT id so no near-clone of a
+    train doc can land in val/test (m14) -> benchmark decontamination
+    (m06, eval slice = doc_id % 50 == 0 of the RAW corpus) ->
+    per-(split, source) token accounting. pipe01 pins the same
+    composition with EXACT dedup; this pins the near-dup form — stage
+    order, shared components, hybrid verify cutoffs — against a
+    chained-CTE restatement.
+
+    Scale shape: the hybrid estimate cutoff is threshold - margin = 0.5
+    - 11/32 = 5/32 exactly (estimates are multiples of 1/32 at k=32, so
+    the comparison is engine-exact and NON-vacuous: 5 matching
+    components > the 4 a single band collision guarantees). Shingle
+    arrays shuffle only for estimated positives; components iterate
+    over the verified pair list only; the split and accounting are pure
+    projections. Reference anchor: the dedup + clustering intent of
+    log_analysis/cluster_code_coverage.py:33-47, restated as a corpus
+    pipeline."""
+    from db_loganalyzer_spark.operators.dedup import (
+        dedup_components,
+        dedup_representatives,
+        leakage_safe_split,
+        minhash_lsh_dedup,
+        ngram_contamination,
+    )
+    from db_loganalyzer_spark.operators.textstats import (
+        quality_gate,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(
+        quality_gate(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = minhash_lsh_dedup(
+        kept,
+        threshold=0.5,
+        num_hashes=32,
+        bands=8,
+        n=2,
+        verify="hybrid",
+        estimate_margin=11 / 32,
+    ).persist()
+    comps = dedup_components(pairs)
+    reps = dedup_representatives(
+        kept, pairs, quality_score("text"), components=comps
+    )
+    splits = leakage_safe_split(kept, pairs, components=comps)
+    corpus = (
+        kept.join(reps.filter(F.col("is_keeper")).select("doc_id"), "doc_id")
+        .join(splits.select("doc_id", "split"), "doc_id")
+        .filter(F.col("doc_id") % 50 != 0)
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = ngram_contamination(corpus, bench, n=3).select(
+        F.col("corpus_id").alias("doc_id")
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    return clean.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+PIPE02_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) / len(w) END AS dr,
+         CASE WHEN len(w) > 0 THEN
+           list_max(list_transform(list_distinct(w),
+                                   u -> len(list_filter(w, x -> x = u)))) / len(w) END AS mwf
+  FROM t
+), gate AS (
+  SELECT doc_id FROM s
+  WHERE n >= 5 AND n <= 100000
+    AND COALESCE(mwf, 1.0) <= 0.30 AND COALESCE(dr, 0.0) >= 0.30
+), kept AS (
+  SELECT t.* FROM t JOIN gate USING (doc_id)
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                      i -> array_to_string(w[i:i+1], ' '))) AS gs
+  FROM kept
+), gh AS (
+  SELECT doc_id, list_transform(gs, g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM grams WHERE len(gs) > 0
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31), k ->
+           list_min(list_transform(hs, h -> ((2*k + 1) * h + (10007*k + 12345)) % 1000000007))) AS sig
+  FROM gh
+), bands AS (
+  SELECT doc_id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[4*b+1:4*b+4]),
+                     (acc, v) -> (acc * 31 + v) % 1000000007) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.id_a
+  JOIN sig sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_filter(generate_series(1, 32), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.15625
+), sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(hs)) AS shingle FROM gh
+), sizes AS (
+  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT est.id_a, est.id_b, COUNT(*) AS n_inter
+  FROM est
+  JOIN sh sa ON sa.id = est.id_a
+  JOIN sh sb ON sb.id = est.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT inter.id_a, inter.id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = inter.id_a
+  JOIN sizes sb ON sb.id = inter.id_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+), comps AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS component_id FROM reach GROUP BY 1
+), q1 AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w) END AS mwl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(
+                     ['the','a','and','of','to','in','is','that','it','for'], t))) AS DOUBLE) / len(w)
+              END AS swr
+  FROM kept
+), q AS (
+  SELECT doc_id,
+         ROUND(
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(pr, 1.0) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(swr, 0.0) >= 0.02 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM q1
+), jq AS (
+  SELECT q.doc_id, COALESCE(c.component_id, q.doc_id) AS component_id,
+         q.quality
+  FROM q LEFT JOIN comps c ON c.id = q.doc_id
+), reps AS (
+  SELECT doc_id, component_id,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, doc_id) = 1 AS is_keeper
+  FROM jq
+), corpus AS (
+  SELECT k.doc_id, k.source, k.w,
+         CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k
+  JOIN (SELECT doc_id,
+               ((component_id * 2654435761) % 4294967296) % 100 AS bkt
+        FROM jq) sp ON sp.doc_id = k.doc_id
+  JOIN reps r ON r.doc_id = k.doc_id AND r.is_keeper
+  WHERE k.doc_id % 50 <> 0
+), shc AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                ELSE [] END)) AS shingle
+  FROM corpus
+), shb AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                ELSE [] END)) AS shingle
+  FROM t WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT shc.doc_id FROM shc JOIN shb USING (shingle)
+), clean AS (
+  SELECT * FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+FROM clean
+GROUP BY 1, 2
+"""
+
+
 def j12_bloom_prefilter(spark, sf_dir):
     """J12 — bloom-filter semi-join pruning (joins.bloom_build /
     bloom_prefilter): the filter over "customers in ASIA" is built as a
@@ -6506,6 +6719,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # the remaining 18 r6-checked entries (m16..m15, at the bottom) —
     # all green in the FULL local gate at sf0.01 and pinned by
     # scripts/check_oracle.py.
+    # ---- new in r10 (must hold a window slot in the round they land) ----
+    "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     # ---- new in r9 (must hold a window slot in the round they land) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),

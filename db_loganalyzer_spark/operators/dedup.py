@@ -989,6 +989,7 @@ def dedup_representatives(
     pairs: DataFrame,
     quality: Column,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """M13 — canonical representative selection: the step a real corpus
     pipeline runs AFTER near-dup grouping — inside every duplicate
@@ -1005,8 +1006,15 @@ def dedup_representatives(
     Returns one row per input doc: ``(id, component_id, quality,
     group_size, is_keeper)`` — deterministic for any quality expression
     with a total (quality DESC, id ASC) order.
+
+    ``components``: a precomputed ``dedup_components(pairs)`` frame
+    (columns id, component_id). Pipelines that also split or group on
+    the same pairs pass it so the iterative fixpoint runs ONCE, not
+    once per stage — at corpus scale components is the expensive step.
     """
-    comps = dedup_components(pairs).withColumnRenamed("id", id_col)
+    comps = (
+        components if components is not None else dedup_components(pairs)
+    ).withColumnRenamed("id", id_col)
     base = docs.select(F.col(id_col), quality.alias("quality"))
     j = base.join(comps, id_col, "left").withColumn(
         "component_id", F.coalesce("component_id", F.col(id_col))
@@ -1034,6 +1042,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     splits: list[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
     salt: int = 0,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """M14 — near-dup-aware train/val/test split: hash the COMPONENT id,
     not the doc id, so every member of a duplicate group lands in the
@@ -1047,10 +1056,15 @@ def leakage_safe_split(
     over a naive split is just the dedup grouping a pipeline runs
     anyway. Singletons (docs in no pair) hash their own id — identical
     to the naive split for them.
+
+    ``components``: optional precomputed ``dedup_components(pairs)``
+    frame, shared with sibling stages (see dedup_representatives).
     """
     from db_loganalyzer_spark.operators.sampling import assign_split
 
-    comps = dedup_components(pairs).withColumnRenamed("id", id_col)
+    comps = (
+        components if components is not None else dedup_components(pairs)
+    ).withColumnRenamed("id", id_col)
     return (
         docs.select(id_col)
         .join(comps, id_col, "left")

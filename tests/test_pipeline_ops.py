@@ -1303,6 +1303,61 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     assert {r.split for r in out} == {"train", "val", "test"}
 
 
+def test_pipe02_neardup_corpus_stage_coherence(spark, sf_dir):
+    """pipe02's composition invariants on real corpus data: every
+    near-dup pair shares a split (leakage safety end-to-end), exactly
+    one keeper survives per duplicate group, and the shared-components
+    path equals per-stage recomputation."""
+    import __spark_entry__ as entry_mod
+    from db_loganalyzer_spark.operators.dedup import (
+        dedup_components,
+        dedup_representatives,
+        leakage_safe_split,
+        minhash_lsh_dedup,
+    )
+    from db_loganalyzer_spark.operators.textstats import (
+        quality_gate,
+        quality_score,
+    )
+
+    docs = entry_mod._t(spark, sf_dir, "documents")
+    kept = docs.join(
+        quality_gate(docs).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = minhash_lsh_dedup(
+        kept, threshold=0.5, num_hashes=32, bands=8, n=2,
+        verify="hybrid", estimate_margin=11 / 32,
+    ).persist()
+    assert pairs.count() > 0, "fixture lost its near-dup pairs"
+    comps = dedup_components(pairs)
+    splits = leakage_safe_split(kept, pairs, components=comps)
+    split_of = {r.doc_id: r.split for r in splits.collect()}
+    for r in pairs.collect():
+        assert split_of[r.id_a] == split_of[r.id_b], (r.id_a, r.id_b)
+    reps = dedup_representatives(
+        kept, pairs, quality_score("text"), components=comps
+    )
+    keepers_per_comp = {}
+    for r in reps.collect():
+        if r.is_keeper:
+            keepers_per_comp[r.component_id] = (
+                keepers_per_comp.get(r.component_id, 0) + 1
+            )
+    assert all(v == 1 for v in keepers_per_comp.values())
+    # shared components == per-stage recomputation
+    alone = {
+        (r.doc_id, r.component_id, r.split)
+        for r in leakage_safe_split(kept, pairs).collect()
+    }
+    shared = {(r.doc_id, r.component_id, r.split) for r in splits.collect()}
+    assert alone == shared
+    # and the registry entry itself returns a sane accounting frame
+    out = entry_mod.pipe02_neardup_corpus(spark, sf_dir)
+    rows = out.collect()
+    assert set(out.columns) == {"split", "source", "n_docs", "total_tokens"}
+    assert sum(r.n_docs for r in rows) > 0
+
+
 def test_hll_overlap_inclusion_exclusion(spark):
     from db_loganalyzer_spark.operators.sketches import hll_overlap
 
