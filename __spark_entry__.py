@@ -2467,56 +2467,83 @@ FROM all_chunks GROUP BY doc_id
 
 
 def mm01_decode_media(spark, sf_dir):
+    """MM01 — REAL image decode through the mapInPandas plumbing: the
+    media table's payloads are actual byte streams of two real formats
+    (24-bit BMP for even ids, binary P6 PPM for odd — built by
+    multimodal.synth_image_payload in a pandas stage, the binaryFile-
+    source shape), and pure_python_decode_backend parses the headers AND
+    validates/decodes the pixel arrays — no codec stub in this path.
+    Dimensions and byte lengths are pure functions of the id, so the
+    oracle restates what the decoder must extract from the bytes: a
+    wrong header offset, row-padding rule, or channel order fails the
+    hash. (fake_decode_backend remains only for media this container
+    truly cannot decode — video/audio, see mm03.)"""
     from db_loganalyzer_spark.operators.multimodal import (
         decode_media,
-        fake_decode_backend,
-        media_table_from_documents,
+        media_table_synthetic_images,
+        pure_python_decode_backend,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = media_table_from_documents(docs)
-    return decode_media(media, decode_backend=fake_decode_backend)
+    media = media_table_synthetic_images(docs)
+    return decode_media(media, decode_backend=pure_python_decode_backend)
 
 
+# byte_len restated from the real encodings: BMP = 54-byte headers +
+# 4-aligned BGR rows; PPM = "P6\n{w} {h}\n255\n" + 3wh raw bytes.
 MM01_SQL = """
-SELECT doc_id AS media_id, 'image' AS media_type,
-       octet_length(encode(text)) AS byte_len,
-       CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-       CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-       1 AS n_frames, 'png' AS format
-FROM documents
+WITH m AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents
+)
+SELECT media_id, 'image' AS media_type,
+       CAST(CASE WHEN media_id % 2 = 0
+                 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                 ELSE 9 + length(CAST(w AS VARCHAR))
+                        + length(CAST(h AS VARCHAR)) + 3 * w * h
+            END AS BIGINT) AS byte_len,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       1 AS n_frames,
+       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+FROM m
 """
 
 
 def mm02_resize_plan(spark, sf_dir):
+    """MM02 — resize planning over REALLY-decoded dimensions (the mm01
+    path: real BMP/PPM bytes through pure_python_decode_backend), then
+    pure JVM column math for the scale plan. max_side=8 sits inside the
+    synthetic dimension range (w in 4..16, h in 3..9) so both branches
+    of the scale rule are exercised and hash-checked."""
     from db_loganalyzer_spark.operators.multimodal import (
         decode_media,
-        fake_decode_backend,
-        media_table_from_documents,
+        media_table_synthetic_images,
+        pure_python_decode_backend,
         resize_plan,
     )
 
     docs = _t(spark, sf_dir, "documents")
     decoded = decode_media(
-        media_table_from_documents(docs), decode_backend=fake_decode_backend
+        media_table_synthetic_images(docs),
+        decode_backend=pure_python_decode_backend,
     )
-    return resize_plan(decoded, max_side=256)
+    return resize_plan(decoded, max_side=8)
 
 
 MM02_SQL = """
 WITH d AS (
   SELECT doc_id AS media_id,
-         CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-         CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 7 AS INT) AS height
   FROM documents
 )
 SELECT media_id, width, height,
-       ROUND(CASE WHEN greatest(width, height) > 256
-                  THEN 256.0 / greatest(width, height) ELSE 1.0 END, 4) AS scale,
-       CAST(ceil(width * (CASE WHEN greatest(width, height) > 256
-                  THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width,
-       CAST(ceil(height * (CASE WHEN greatest(width, height) > 256
-                  THEN 256.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height
+       ROUND(CASE WHEN greatest(width, height) > 8
+                  THEN 8.0 / greatest(width, height) ELSE 1.0 END, 4) AS scale,
+       CAST(ceil(width * (CASE WHEN greatest(width, height) > 8
+                  THEN 8.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_width,
+       CAST(ceil(height * (CASE WHEN greatest(width, height) > 8
+                  THEN 8.0 / greatest(width, height) ELSE 1.0 END)) AS INT) AS out_height
 FROM d
 """
 

@@ -2,13 +2,22 @@
 with typed metadata, processed by Arrow-batched pandas stages.
 
 The Spark-side contract is real and tested — schema, partition-preserving
-mapInPandas, batch shapes; the actual codec calls are stubbed behind
-``decode_backend`` because no image/audio libraries ship in this
-container (swap in PIL/torchaudio/av by passing a real backend).
+mapInPandas, batch shapes. Three decode backends:
+
+* ``pure_python_decode_backend`` — a REAL decoder for two actual image
+  formats that need no wheels: 24-bit uncompressed BMP (header +
+  bottom-up padded pixel rows) and binary PPM/PGM (P6/P5). It parses the
+  byte stream, validates the pixel payload, and can return the pixel
+  array itself (``decode_image_pixels``).
+* ``fake_decode_backend`` — deterministic metadata stand-in for formats
+  this container genuinely cannot decode (video/audio codecs).
+* ``unavailable_decode_backend`` — the honest NotImplementedError slot
+  for wiring PIL/av in production.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -37,6 +46,199 @@ def media_table_from_documents(
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real wheel-free codecs: 24-bit BMP and binary PPM/PGM
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels: list[tuple]) -> bytes:
+    """Encode RGB pixel rows (top-down list of (r, g, b), row-major) as a
+    24-bit uncompressed bottom-up BMP — the standard BITMAPFILEHEADER +
+    BITMAPINFOHEADER layout, rows padded to 4 bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must hold width*height RGB tuples")
+    row_size = (3 * width + 3) // 4 * 4
+    image_size = row_size * height
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        body += row
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size,
+        2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, pixels)
+    with pixels as a top-down row-major list of (r, g, b). Raises
+    ValueError on anything that is not a well-formed 24-bit BI_RGB BMP —
+    truncated pixel arrays included (this decodes the pixel data, not
+    just the header)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size} bpp={bpp} "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    if len(payload) < data_offset + row_size * height:
+        raise ValueError("truncated BMP pixel array")
+    pixels = [None] * (width * height)
+    for stored_y in range(height):
+        y = stored_y if top_down else height - 1 - stored_y
+        base = data_offset + stored_y * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            pixels[y * width + x] = (r, g, b)
+    return width, height, pixels
+
+
+def encode_ppm(width: int, height: int, pixels: list[tuple]) -> bytes:
+    """Encode RGB pixels (top-down row-major (r, g, b)) as binary PPM
+    (P6, maxval 255)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must hold width*height RGB tuples")
+    body = bytearray()
+    for r, g, b in pixels:
+        body += bytes((r, g, b))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
+
+
+def _ppm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a PNM header (magic, width, height, maxval) honouring
+    whitespace and # comments; returns (magic, w, h, maxval, body_off)."""
+    magic = payload[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos: pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos: pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while (
+                pos < len(payload)
+                and not payload[pos: pos + 1].isspace()
+            ):
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    return magic, fields[0], fields[1], fields[2], pos + 1
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse binary PPM (P6) or PGM (P5): returns (width, height,
+    pixels) as top-down row-major (r, g, b) — PGM gray replicated to
+    three channels. Validates the full pixel payload length."""
+    magic, width, height, maxval, off = _ppm_header(payload)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported PNM magic {magic!r}")
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    nch = 3 if magic == b"P6" else 1
+    need = width * height * nch
+    if len(payload) < off + need:
+        raise ValueError("truncated PNM pixel data")
+    body = payload[off: off + need]
+    if nch == 3:
+        pixels = [
+            (body[3 * i], body[3 * i + 1], body[3 * i + 2])
+            for i in range(width * height)
+        ]
+    else:
+        pixels = [(body[i], body[i], body[i]) for i in range(width * height)]
+    return width, height, pixels
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Sniff + decode a real image payload (BMP / binary PNM) down to
+    its pixel values."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:1] == b"P":
+        return decode_ppm(payload)
+    raise ValueError("unknown image magic")
+
+
+def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
+    """A REAL decode backend needing no wheels: parses 24-bit BMP and
+    binary PPM/PGM byte streams — header fields AND the pixel array
+    (truncation raises). Unknown magics raise ValueError; route
+    video/audio to a codec-library backend."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        w, h, _ = decode_bmp(payload)
+        fmt = "bmp"
+    elif payload[:2] in (b"P6", b"P5"):
+        _, w, h, _, _ = _ppm_header(payload)
+        # full pixel validation (and gray replication) via the decoder
+        w, h, _ = decode_ppm(payload)
+        fmt = "ppm" if payload[:2] == b"P6" else "pgm"
+    else:
+        raise ValueError(
+            f"pure_python_decode_backend: unknown magic {payload[:2]!r}"
+        )
+    return {"width": w, "height": h, "n_frames": 1, "format": fmt}
+
+
+def synth_image_payload(media_id: int) -> bytes:
+    """Deterministic REAL image bytes for a media id: even ids encode as
+    24-bit BMP, odd as P6 PPM; dimensions and pixel values are pure
+    functions of the id, so the decoded metadata is restatable in the
+    oracle SQL while the bytes themselves exercise the real codecs."""
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    pixels = [
+        ((media_id + 3 * i) % 256, (media_id + 3 * i + 1) % 256,
+         (media_id + 3 * i + 2) % 256)
+        for i in range(w * h)
+    ]
+    enc = encode_bmp if media_id % 2 == 0 else encode_ppm
+    return enc(w, h, pixels)
+
+
+def media_table_synthetic_images(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A media table whose payloads are REAL image byte streams
+    (synth_image_payload): the plumbing and codec path a binaryFile-
+    sourced table would take, with oracle-restatable metadata. Built in
+    a mapInPandas stage (narrow, partition-preserving) like any decode
+    stage would be."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [synth_image_payload(int(i)) for i in ids],
+                    "media_type": "image",
+                    "meta": [{"source": "synthetic"}] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
 
 
 def fake_decode_backend(payload: bytes, media_type: str) -> dict:
