@@ -6733,86 +6733,96 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
-    # this round first, then the stalest rows, oldest first. Round-9
-    # window = 5 new (m03e the estimate-verify scale mode, st14 the
-    # streaming near-dup probe, j13 the salted skew join, w21 interval
-    # coalescing, st15 its streaming form) + 3 changed (m03 gained
-    # verify='estimate'/'hybrid' modes — default exact path and oracle
-    # unchanged; q03/q05's _under_threshold size gate now sums data
-    # files for directory-materialized tables) + the 16 rows the r8
-    # verdict named (the 14 r5-stale t06..w17 and st08/t05, displaced
-    # by st12/st13 in r8) + the 26 oldest r6-checked entries
-    # (a01..t17). Displaced to the r10 window: w18/w19/a34/m18/j12 +
-    # the remaining 18 r6-checked entries (m16..m15, at the bottom) —
-    # all green in the FULL local gate at sf0.01 and pinned by
+    # this round first, then the stalest rows, oldest first. Round-10
+    # window = 1 new (pipe02 end-to-end near-dup corpus assembly) + 6
+    # changed (m03e non-vacuous estimate threshold 0.25; j13 via
+    # salted_join's same-name key drop; w21/st15 NULL+NaN value filter
+    # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
+    # pure_python_decode_backend with new oracles) + the 23 r6-stale
+    # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
+    # backlog) + the 20 oldest r7 rows. Queued for r11: the remaining
+    # 21 r7 rows (d08..st03, below the line) — all green in the FULL
+    # local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # ---- new in r10 (must hold a window slot in the round they land) ----
+    # ---- new in r10 ----
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
-    # ---- new in r9 (must hold a window slot in the round they land) ----
+    # ---- changed in r10 (impl and/or oracle; hashes re-verified) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
-    "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
     "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
     "st15_streaming_interval_coalesce": (
         st15_streaming_interval_coalesce, ST15_SQL,
     ),
-    # ---- changed in r9 (same oracles; hashes re-verified) ----
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
-    # ---- latest driver row: r5 (the 14 the r8 verdict named) ----
-    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
-    "t07_quality_gate": (t07_quality_gate, T07_SQL),
-    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
-    "t10_length_histogram": (t10_length_histogram, T10_SQL),
-    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
-    "t12_bm25_search": (t12_bm25_search, T12_SQL),
-    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
-    "w11_ewma": (w11_ewma, W11_SQL),
-    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
-    "w13_gap_fill": (w13_gap_fill, W13_SQL),
-    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
-    "w15_trailing_window": (w15_trailing_window, W15_SQL),
-    "w16_level_shifts": (w16_level_shifts, W16_SQL),
-    "w17_counter_rates": (w17_counter_rates, W17_SQL),
-    # ---- latest driver row: r7, displaced from the r8 window by st12/st13 ----
-    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
-    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
-    # ---- latest driver row: r6 (31 oldest; closes the r6 backlog bar 18) ----
-    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
-    "a02_event_histogram": (a02_event_histogram, A02_SQL),
-    "a03_time_span": (a03_time_span, A03_SQL),
-    "a04_global_max": (a04_global_max, A04_SQL),
-    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
-    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
-    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
-    "a14_summary_stats": (a14_summary_stats, A14_SQL),
-    "a16_count": (a16_count, A16_SQL),
-    "a17_role_distribution": (a17_role_distribution, A17_SQL),
-    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
-    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
-    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
-    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
-    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
-    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
-    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
-    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
-    "f02_event_pattern": (f02_event_pattern, F02_SQL),
-    "f03_severity_floor": (f03_severity_floor, F03_SQL),
-    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
-    "f05_interesting_events": (f05_interesting_events, F05_SQL),
-    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
-    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
-    "w20_trending_topk": (w20_trending_topk, W20_SQL),
-    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
-    # ================= below this line: OUTSIDE the 50-row window =====
-    # w18/w19/a34/m18/j12 displaced to the r10 queue by the new
-    # m03e/st14/j13/w21/st15 entries (window cap)
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
+    # ---- latest driver row: r6 — the 23 the r9 verdict flagged ----
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
     "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
     "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
+    "m17_block_dedup": (m17_block_dedup, M17_SQL),
+    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
+    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
+    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
+    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
+    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
+    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
+    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
+    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
+    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
+    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
+    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
+    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
+    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
+    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
+    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
+    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
+    # ---- latest driver row: r7 (20 oldest; 21 more queue for r11) ----
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    "s07_processes": (s07_processes, S07_SQL),
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r7 — the r11 rotation queue ----
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
     # ---- latest driver row: r8 ----
     "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
     "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
@@ -6831,7 +6841,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
     "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
-    "a19_stats_report_grouping_sets": (a19_stats_report_grouping_sets, A19_SQL),
+    "a19_stats_report_grouping_sets": (
+        a19_stats_report_grouping_sets, A19_SQL,
+    ),
     "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
     "a21_session_funnel": (a21_session_funnel, A21_SQL),
     "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
@@ -6859,71 +6871,57 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
-    "st06_streaming_sliding_rollup": (st06_streaming_sliding_rollup, ST06_SQL),
+    "st06_streaming_sliding_rollup": (
+        st06_streaming_sliding_rollup, ST06_SQL,
+    ),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
-    # ---- latest driver row: r7 ----
-    "f06_event_class": (f06_event_class, F06_SQL),
-    "f08_json_field": (f08_json_field, F08_SQL),
-    "f10_exclusion": (f10_exclusion, F10_SQL),
-    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
-    "j01_equi_join": (j01_equi_join, J01_SQL),
-    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
-    "w02_value_resets": (w02_value_resets, W02_SQL),
-    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
-    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
-    "s07_processes": (s07_processes, S07_SQL),
-    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
-    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
-    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
-    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
-    "f07_field_probe": (f07_field_probe, F07_SQL),
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
-    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    # ---- latest driver row: r6 — the r10 rotation queue ----
-    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
-    "m17_block_dedup": (m17_block_dedup, M17_SQL),
-    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
-    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
-    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
-    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
-    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
-    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
-    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
-    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
-    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
-    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
-    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
-    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
-    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
-    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
-    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
-    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
+    # ---- latest driver row: r9 ----
+    "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
+    "t07_quality_gate": (t07_quality_gate, T07_SQL),
+    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
+    "t10_length_histogram": (t10_length_histogram, T10_SQL),
+    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
+    "t12_bm25_search": (t12_bm25_search, T12_SQL),
+    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
+    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
+    "w15_trailing_window": (w15_trailing_window, W15_SQL),
+    "w16_level_shifts": (w16_level_shifts, W16_SQL),
+    "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
+    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
+    "a02_event_histogram": (a02_event_histogram, A02_SQL),
+    "a03_time_span": (a03_time_span, A03_SQL),
+    "a04_global_max": (a04_global_max, A04_SQL),
+    "a08_bucket_heatmap": (a08_bucket_heatmap, A08_SQL),
+    "a09_high_severity_buckets": (a09_high_severity_buckets, A09_SQL),
+    "a12_per_group_zscores": (a12_per_group_zscores, A12_SQL),
+    "a14_summary_stats": (a14_summary_stats, A14_SQL),
+    "a16_count": (a16_count, A16_SQL),
+    "a17_role_distribution": (a17_role_distribution, A17_SQL),
+    "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
+    "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
+    "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
+    "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
+    "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
+    "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
+    "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
+    "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
+    "f02_event_pattern": (f02_event_pattern, F02_SQL),
+    "f03_severity_floor": (f03_severity_floor, F03_SQL),
+    "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
+    "f05_interesting_events": (f05_interesting_events, F05_SQL),
+    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
+    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
+    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
 }
 
 
