@@ -145,6 +145,22 @@ def main():
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4"),
     )
+    # Silence WindowExec's "No Partition Defined" warnings: every
+    # single-partition window in the headline suite is an ALLOWLISTED
+    # bucket-level frame (a10/d06-family — structurally bounded to one
+    # row per time bucket, see GLOBAL_WINDOW_OK in
+    # tests/test_plan_audit.py), not a per-event global sort; the
+    # repeated warning made the bench tail read as nine unexplained
+    # scale hazards. The lint, not the log level, is what enforces
+    # plan quality.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j API drift: warnings are cosmetic, never fail the bench
     spark.conf.set(
         "spark.sql.adaptive.enabled",
         os.environ.get("SPARK_GRAFT_BENCH_AQE", "false"),
