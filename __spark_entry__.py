@@ -2548,6 +2548,52 @@ FROM d
 """
 
 
+def mm04_pixel_stats(spark, sf_dir):
+    """MM04 — pixel statistics THROUGH the real decoder: each payload's
+    actual BMP/PPM pixel array is parsed inside a mapInPandas stage
+    (multimodal.decode_pixel_stats) and reduced to exact integer
+    channel sums. The synthetic payloads' pixels are a closed-form
+    function of the id, so the oracle restates the sums the decoder
+    must have read — a wrong BGR order, row padding, bottom-up flip, or
+    off-by-one in the pixel walk fails the hash on the VALUES, not just
+    the header fields. This is the strongest form of the 'no codec
+    stub' claim the multimodal family can make wheel-free."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_pixel_stats,
+        media_table_synthetic_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_pixel_stats(media_table_synthetic_images(docs))
+
+
+# pixel (r,g,b) at index i of media id m: ((m+3i) % 256, (m+3i+1) % 256,
+# (m+3i+2) % 256) over i in [0, w*h) — the sums restated with one
+# generate_series per channel offset.
+MM04_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 7 AS INT) AS height
+  FROM documents
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                                    i -> (media_id + 3 * i) % 256))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                                    i -> (media_id + 3 * i + 1) % 256))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                                    i -> (media_id + 3 * i + 2) % 256))
+            AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 def mm03_frame_sample(spark, sf_dir):
     """MM03 — frame-sampling plan: every-30th-frame index per video row
     (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
@@ -6734,18 +6780,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 1 new (pipe02 end-to-end near-dup corpus assembly) + 6
+    # window = 2 new (pipe02 end-to-end near-dup corpus assembly;
+    # mm04 pixel stats through the real decoder) + 6
     # changed (m03e non-vacuous estimate threshold 0.25; j13 via
     # salted_join's same-name key drop; w21/st15 NULL+NaN value filter
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 20 oldest r7 rows. Queued for r11: the remaining
-    # 21 r7 rows (d08..st03, below the line) — all green in the FULL
+    # backlog) + the 19 oldest r7 rows. Queued for r11: the remaining
+    # 22 r7 rows (cl04..st03, below the line) — all green in the FULL
     # local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
+    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     # ---- changed in r10 (impl and/or oracle; hashes re-verified) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
@@ -6799,9 +6847,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
     # ---- latest driver row: r7 — the r11 rotation queue ----
+    # (cl04 displaced from the window by mm04, the second r10 entry)
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
     "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),

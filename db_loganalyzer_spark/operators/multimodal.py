@@ -241,6 +241,46 @@ def media_table_synthetic_images(
     return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
 
 
+_PIXEL_STATS_SCHEMA = (
+    "media_id long, format string, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel statistics computed FROM THE DECODED PIXELS —
+    the stage that proves the codec path end-to-end: the pure-Python
+    decoder parses each payload's pixel array inside a mapInPandas
+    batch and reduces it to exact integer channel sums (means derive as
+    sum/n downstream, an engine-exact division). Narrow, partition-
+    preserving; the per-asset work is the decode itself, exactly where
+    a real feature-extraction stage spends its time."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "format": [], "width": [], "height": [],
+                "n_pixels": [], "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, pixels = decode_image_pixels(payload)
+                out["media_id"].append(int(mid))
+                out["format"].append(
+                    "bmp" if payload[:2] == b"BM"
+                    else ("ppm" if payload[:2] == b"P6" else "pgm")
+                )
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sum(p[0] for p in pixels))
+                out["sum_g"].append(sum(p[1] for p in pixels))
+                out["sum_b"].append(sum(p[2] for p in pixels))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=_PIXEL_STATS_SCHEMA)
+
+
 def fake_decode_backend(payload: bytes, media_type: str) -> dict:
     """Deterministic stand-in decoder: metadata derived from the bytes.
     A real backend would call PIL.Image.open / av.open here."""

@@ -600,6 +600,29 @@ def test_mm01_real_decode_through_spark(spark, docs):
         assert r.n_frames == 1
 
 
+def test_decode_pixel_stats_matches_closed_form(spark, docs):
+    """mm04's stage: channel sums computed from the DECODED pixel
+    arrays equal the closed-form generating rule, for both formats."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_pixel_stats,
+        media_table_synthetic_images,
+    )
+
+    out = {
+        r.media_id: r
+        for r in decode_pixel_stats(
+            media_table_synthetic_images(docs)
+        ).collect()
+    }
+    for mid, r in out.items():
+        n = r.width * r.height
+        assert r.n_pixels == n
+        assert r.sum_r == sum((mid + 3 * i) % 256 for i in range(n))
+        assert r.sum_g == sum((mid + 3 * i + 1) % 256 for i in range(n))
+        assert r.sum_b == sum((mid + 3 * i + 2) % 256 for i in range(n))
+        assert r.format == ("bmp" if mid % 2 == 0 else "ppm")
+
+
 def test_frame_sample_plan(spark):
     decoded = spark.createDataFrame(
         [(1, "video", 100, 64, 48, 90, "mp4")],
