@@ -2594,6 +2594,45 @@ FROM m
 """
 
 
+def mm05_patch_plan(spark, sf_dir):
+    """MM05 — ViT-style patch tiling over REALLY-decoded dimensions
+    (multimodal.patch_plan): one row per patch with clipped pixel
+    bounds, a pure JVM 1->N sequence explode downstream of the real
+    decode (mm01's path). patch=4 sits inside the synthetic dimension
+    range so edge clipping is exercised on both axes."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        media_table_synthetic_images,
+        patch_plan,
+        pure_python_decode_backend,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        media_table_synthetic_images(docs),
+        decode_backend=pure_python_decode_backend,
+    )
+    return patch_plan(decoded, patch=4)
+
+
+MM05_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 7 AS INT) AS height
+  FROM documents
+)
+SELECT media_id,
+       CAST(pr.r AS INT) AS patch_row, CAST(pc.c AS INT) AS patch_col,
+       CAST(pc.c * 4 AS INT) AS x0, CAST(pr.r * 4 AS INT) AS y0,
+       CAST(least(pc.c * 4 + 4, width) AS INT) AS x1,
+       CAST(least(pr.r * 4 + 4, height) AS INT) AS y1
+FROM d,
+     unnest(generate_series(0, CAST(ceil(height / 4.0) AS INT) - 1)) pr(r),
+     unnest(generate_series(0, CAST(ceil(width / 4.0) AS INT) - 1)) pc(c)
+"""
+
+
 def mm03_frame_sample(spark, sf_dir):
     """MM03 — frame-sampling plan: every-30th-frame index per video row
     (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
@@ -6780,20 +6819,21 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 2 new (pipe02 end-to-end near-dup corpus assembly;
-    # mm04 pixel stats through the real decoder) + 6
+    # window = 3 new (pipe02 end-to-end near-dup corpus assembly;
+    # mm04 pixel stats through the real decoder; mm05 patch plan) + 6
     # changed (m03e non-vacuous estimate threshold 0.25; j13 via
     # salted_join's same-name key drop; w21/st15 NULL+NaN value filter
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 19 oldest r7 rows. Queued for r11: the remaining
-    # 22 r7 rows (cl04..st03, below the line) — all green in the FULL
+    # backlog) + the 18 oldest r7 rows. Queued for r11: the remaining
+    # 23 r7 rows (cl03..st03, below the line) — all green in the FULL
     # local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
+    "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
     # ---- changed in r10 (impl and/or oracle; hashes re-verified) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
@@ -6846,10 +6886,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
     "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
     "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
     # ---- latest driver row: r7 — the r11 rotation queue ----
-    # (cl04 displaced from the window by mm04, the second r10 entry)
+    # (cl03/cl04 displaced from the window by mm04/mm05, the second and
+    # third r10 entries)
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
     "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),

@@ -355,6 +355,41 @@ def resize_plan(
     )
 
 
+def patch_plan(decoded: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch tiling plan: one row per (patch_row, patch_col)
+    with pixel bounds, edge patches clipped to the image — the 1->N
+    fan-out every vision-training pipeline runs between decode and the
+    encoder. Pure JVM sequence explodes (no Python in the fan-out);
+    the pixel work itself belongs in the pandas decode stage
+    (decode_pixel_stats / a real preprocessor)."""
+    n_rows = F.ceil(F.col("height") / patch).cast("int")
+    n_cols = F.ceil(F.col("width") / patch).cast("int")
+    return (
+        decoded.select(
+            "media_id", "width", "height",
+            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("patch_row"),
+            n_cols.alias("__nc"),
+        )
+        .select(
+            "media_id", "width", "height", "patch_row",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "patch_col"
+            ),
+        )
+        .select(
+            "media_id",
+            "patch_row",
+            "patch_col",
+            (F.col("patch_col") * patch).alias("x0"),
+            (F.col("patch_row") * patch).alias("y0"),
+            F.least(F.col("patch_col") * patch + patch, F.col("width"))
+            .alias("x1"),
+            F.least(F.col("patch_row") * patch + patch, F.col("height"))
+            .alias("y1"),
+        )
+    )
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled frame
     index (explode of a sequence — the UDTF shape, no Python)."""

@@ -623,6 +623,30 @@ def test_decode_pixel_stats_matches_closed_form(spark, docs):
         assert r.format == ("bmp" if mid % 2 == 0 else "ppm")
 
 
+def test_patch_plan_tiles_and_clips(spark):
+    from db_loganalyzer_spark.operators.multimodal import patch_plan
+
+    decoded = spark.createDataFrame(
+        [(1, "image", 100, 10, 7, 1, "bmp")],
+        "media_id long, media_type string, byte_len long, width int, "
+        "height int, n_frames int, format string",
+    )
+    tiles = {
+        (r.patch_row, r.patch_col): (r.x0, r.y0, r.x1, r.y1)
+        for r in patch_plan(decoded, patch=4).collect()
+    }
+    # 10x7 at patch 4 => 2 rows x 3 cols, right/bottom edges clipped
+    assert len(tiles) == 6
+    assert tiles[(0, 0)] == (0, 0, 4, 4)
+    assert tiles[(0, 2)] == (8, 0, 10, 4)  # right edge clipped to width
+    assert tiles[(1, 1)] == (4, 4, 8, 7)  # bottom edge clipped to height
+    # union of patches covers every pixel exactly once
+    covered = sum(
+        (x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in tiles.values()
+    )
+    assert covered == 10 * 7
+
+
 def test_frame_sample_plan(spark):
     decoded = spark.createDataFrame(
         [(1, "video", 100, 64, 48, 90, "mp4")],
