@@ -6770,6 +6770,86 @@ FROM grp GROUP BY 1, 2
 """
 
 
+def m19_title_edit_distance(spark, sf_dir):
+    """M19 — title near-dup pairs by exact edit distance
+    (dedup.title_edit_distance_pairs): prefix-blocked candidates,
+    JVM-side levenshtein verify — the dedup modality token-set
+    similarity is blind to (one-character drift). Titles are
+    printable-ASCII-folded on BOTH sides because Spark's levenshtein
+    counts characters while DuckDB's counts bytes; over single-byte
+    text the metric is engine-exact and the pairs hash-check."""
+    from db_loganalyzer_spark.operators.dedup import (
+        title_edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return title_edit_distance_pairs(
+        docs, max_distance=5, title_chars=40, prefix_chars=8
+    )
+
+
+M19_SQL = r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         substring(regexp_replace(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             '[^ -~]', '', 'g'), 1, 40) AS title
+  FROM documents
+), b AS (
+  SELECT id, title, substring(title, 1, 8) AS bucket
+  FROM t WHERE length(title) >= 8
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.title, c.title) AS INT) AS edit_distance
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+WHERE levenshtein(a.title, c.title) <= 5
+"""
+
+
+def w22_interval_coalesce_half_open(spark, sf_dir):
+    """W22 — w21 under the [start, end) convention (half_open=True):
+    adjacent intervals do NOT merge, only true overlaps. The same
+    running-max islands with the break at start >= max(prev ends); the
+    property test pins equivalence to the subtract-1 rewrite, and this
+    entry hash-checks the convention end-to-end against its own
+    oracle."""
+    iv = _event_intervals(_events(spark, sf_dir))
+    return W.coalesce_intervals(
+        iv, ["user_id"], "start_us", "end_us", half_open=True
+    )
+
+
+W22_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS end_us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), marked AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN max(end_us) OVER w IS NULL
+                OR start_us >= max(end_us) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY start_us, end_us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+), grp AS (
+  SELECT user_id, start_us, end_us,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY start_us, end_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS island_id
+  FROM marked
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       MIN(start_us) AS window_start, MAX(end_us) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM grp GROUP BY 1, 2
+"""
+
+
 def t17_shingle_novelty(spark, sf_dir):
     """T17 — corpus-order novelty scoring (dedup.shingle_novelty): per
     document, the fraction of its distinct word bigrams first seen (by
@@ -6819,21 +6899,26 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 3 new (pipe02 end-to-end near-dup corpus assembly;
-    # mm04 pixel stats through the real decoder; mm05 patch plan) + 6
+    # window = 5 new (pipe02 end-to-end near-dup corpus assembly;
+    # mm04 pixel stats through the real decoder; mm05 patch plan;
+    # m19 title edit-distance dedup; w22 half-open coalescing) + 6
     # changed (m03e non-vacuous estimate threshold 0.25; j13 via
     # salted_join's same-name key drop; w21/st15 NULL+NaN value filter
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 18 oldest r7 rows. Queued for r11: the remaining
-    # 23 r7 rows (cl03..st03, below the line) — all green in the FULL
+    # backlog) + the 16 oldest r7 rows. Queued for r11: the remaining
+    # 25 r7 rows (cl01..st03, below the line) — all green in the FULL
     # local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
+    "m19_title_edit_distance": (m19_title_edit_distance, M19_SQL),
+    "w22_interval_coalesce_half_open": (
+        w22_interval_coalesce_half_open, W22_SQL,
+    ),
     # ---- changed in r10 (impl and/or oracle; hashes re-verified) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
@@ -6884,12 +6969,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
     "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
     "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
     # ---- latest driver row: r7 — the r11 rotation queue ----
-    # (cl03/cl04 displaced from the window by mm04/mm05, the second and
-    # third r10 entries)
+    # (cl01..cl04 displaced from the window by the mm04/mm05/m19/w22
+    # r10 additions — the window holds exactly 50)
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
     "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
     "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
     "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),

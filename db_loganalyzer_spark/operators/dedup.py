@@ -1074,6 +1074,74 @@ def leakage_safe_split(
     )
 
 
+def title_edit_distance_pairs(
+    df: DataFrame,
+    max_distance: int = 5,
+    title_chars: int = 40,
+    prefix_chars: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """M19 — short-string near-dup pairs by EXACT edit distance: the
+    title/header dedup pass a corpus pipeline runs where token-set
+    similarity is blind (a one-character version bump, 'part 1' vs
+    'part 2' — Jaccard over words barely moves, edit distance is 1).
+
+    Shape: normalize -> printable-ASCII fold -> first ``title_chars``
+    chars as the title; candidates are blocked by the EXACT first
+    ``prefix_chars`` chars (an equi-join — shuffle hash-partitioned on
+    the prefix, no cross product; near-dup titles that differ inside
+    the first ``prefix_chars`` chars are out of scope by contract, the
+    standard prefix-blocking recall trade); verify is JVM-side
+    ``levenshtein`` <= max_distance inside each bucket.
+
+    The ASCII fold is a correctness decision, not cosmetics: Spark's
+    levenshtein counts CHARACTERS while DuckDB's counts BYTES, so the
+    oracle contract is engine-exact only over single-byte text — both
+    engines apply the same ``[^ -~]`` strip before measuring.
+
+    ``max_bucket_size`` drops oversized prefix buckets (boilerplate
+    headers collapse thousands of docs onto one prefix — the in-bucket
+    pair join is quadratic, the same clone hazard the capped Jaccard
+    family guards). Output: (id_a, id_b, edit_distance).
+    """
+    title = F.substring(
+        F.regexp_replace(normalize_text(text_col), "[^ -~]", ""),
+        1,
+        title_chars,
+    )
+    t = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), title.alias("title"))
+        .filter(F.length("title") >= prefix_chars)
+        .withColumn("bucket", F.substring("title", 1, prefix_chars))
+    )
+    if max_bucket_size is not None:
+        w_bucket = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        t = (
+            t.withColumn("__bsz", w_bucket)
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )
+
+
 def ngram_jaccard_against(
     new_docs: DataFrame,
     corpus: DataFrame,

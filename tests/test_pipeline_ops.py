@@ -1457,6 +1457,39 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     assert {r.split for r in out} == {"train", "val", "test"}
 
 
+def test_title_edit_distance_pairs_semantics(spark):
+    """M19: one-character title drift pairs at distance 1; different
+    prefixes never become candidates (the documented blocking trade);
+    non-ASCII folds away BEFORE the distance so the char-vs-byte
+    engine divergence cannot arise; oversized buckets droppable."""
+    from db_loganalyzer_spark.operators.dedup import (
+        title_edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Release notes version 1.0 for the storage engine"),
+            (2, "Release notes version 2.0 for the storage engine"),
+            (3, "Relaase notes version 1.0 for the storage engine"),  # typo
+            (4, "Completely different header about recovery loops"),
+            (5, "Release notes vérsion 1.0 for the storage engine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in title_edit_distance_pairs(docs, max_distance=5).collect()
+    }
+    assert out[(1, 2)] == 1  # version digit drift
+    assert (1, 5) in out  # accents folded away -> tiny distance
+    # doc 3's typo is inside the 8-char prefix -> blocked by contract
+    assert not any(3 in p for p in out)
+    assert not any(4 in p for p in out)
+    # bucket cap drops the whole boilerplate bucket: docs 1/2/5 share
+    # the "release " prefix (3 > 2), docs 3/4 are singletons -> no pairs
+    assert title_edit_distance_pairs(docs, max_bucket_size=2).count() == 0
+
+
 def test_pipe02_neardup_corpus_stage_coherence(spark, sf_dir):
     """pipe02's composition invariants on real corpus data: every
     near-dup pair shares a split (leakage safety end-to-end), exactly
