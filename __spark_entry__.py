@@ -2633,6 +2633,57 @@ FROM d,
 """
 
 
+def mm06_audio_stats(spark, sf_dir):
+    """MM06 — audio statistics THROUGH a real RIFF/WAVE parser: each
+    payload is an actual PCM-16 WAV byte stream (multimodal.
+    synth_audio_payload — chunk list, fmt validation, int16 sample
+    array) decoded inside a mapInPandas stage (decode_audio_stats) and
+    reduced to exact integer aggregates: abs-sum, square-sum, strict
+    zero crossings, integer-microsecond duration. The samples are a
+    closed-form function of the id (s_i = ((id*31+i*17) % 2001) - 1000
+    over 40 + id % 113 samples at 8 kHz), so the oracle restates the
+    values the parser must have decoded — a wrong chunk walk,
+    endianness, or truncation handling fails the hash on the sample
+    VALUES. Completes the real-decode story across modalities
+    (mm04 pixels, mm06 samples); reference's media handling is absent
+    entirely — this family is the §2.14 multimodal extension."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_audio_stats,
+        media_table_synthetic_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_stats(media_table_synthetic_audio(docs))
+
+
+# sample i of media id m: ((m*31 + i*17) % 2001) - 1000 over
+# i in [0, 40 + m % 113); stats restated with generate_series.
+MM06_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(40 + doc_id % 113 AS BIGINT) AS n
+  FROM documents
+)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       n AS n_samples,
+       n * 125 AS duration_us,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+                i -> abs((media_id * 31 + i * 17) % 2001 - 1000)))
+            AS BIGINT) AS sum_abs,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+                i -> ((media_id * 31 + i * 17) % 2001 - 1000)
+                     * ((media_id * 31 + i * 17) % 2001 - 1000)))
+            AS BIGINT) AS sum_sq,
+       CAST(list_sum(list_transform(generate_series(1, n - 1),
+                i -> CASE WHEN ((media_id * 31 + (i - 1) * 17) % 2001 - 1000)
+                              * ((media_id * 31 + i * 17) % 2001 - 1000) < 0
+                          THEN 1 ELSE 0 END))
+            AS BIGINT) AS zero_crossings
+FROM m
+"""
+
+
 def mm03_frame_sample(spark, sf_dir):
     """MM03 — frame-sampling plan: every-30th-frame index per video row
     (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
@@ -6899,7 +6950,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 5 new (pipe02 end-to-end near-dup corpus assembly;
+    # window = 6 new (mm06 audio stats through a real RIFF/WAVE PCM
+    # parser; pipe02 end-to-end near-dup corpus assembly;
     # mm04 pixel stats through the real decoder; mm05 patch plan;
     # m19 title edit-distance dedup; w22 half-open coalescing) + 6
     # changed (m03e non-vacuous estimate threshold 0.25; j13 via
@@ -6907,11 +6959,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 16 oldest r7 rows. Queued for r11: the remaining
-    # 25 r7 rows (cl01..st03, below the line) — all green in the FULL
-    # local gate at sf0.01 and sf0.1 and pinned by
+    # backlog) + the 15 oldest r7 rows. Queued for r11: the remaining
+    # 26 r7 rows (c01/cl01..st03, below the line) — all green in the
+    # FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
+    "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
@@ -6952,7 +7005,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
     "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
     "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
-    # ---- latest driver row: r7 (20 oldest; 21 more queue for r11) ----
+    # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),
     "f10_exclusion": (f10_exclusion, F10_SQL),

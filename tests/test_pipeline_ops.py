@@ -1990,3 +1990,80 @@ def test_salted_join_same_key_name_selectable(spark):
     )
     got_left = sorted((r["k"], r["row_id"], r["tag"]) for r in left.collect())
     assert got_left == [(1, 1, "a"), (1, 2, "a"), (2, 3, "b"), (7, 4, None)]
+
+
+def test_wav_codec_roundtrip_golden_and_errors():
+    """mm06's codec off-Spark: golden header bytes, sample round-trip,
+    chunk skipping, truncation and non-PCM rejection."""
+    import struct
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        pure_python_decode_backend,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 3]
+    wav = encode_wav(8000, samples)
+    # golden layout: RIFF size covers WAVE + fmt(16) + data chunks
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert wav[12:16] == b"fmt " and struct.unpack_from("<I", wav, 16)[0] == 16
+    assert struct.unpack_from("<HHIIHH", wav, 20) == (
+        1, 1, 8000, 16000, 2, 16,
+    )
+    assert wav[36:40] == b"data"
+    rate, ch, got = decode_wav(wav)
+    assert (rate, ch, got) == (8000, 1, samples)
+
+    # a real parser must skip unknown chunks: splice a LIST chunk in
+    junk = struct.pack("<4sI", b"LIST", 6) + b"junk!\x00"
+    spliced = wav[:36] + junk + wav[36:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert decode_wav(spliced)[2] == samples
+
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-1])  # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
+    bad_fmt = bytearray(wav)
+    struct.pack_into("<H", bad_fmt, 20, 7)  # mu-law, not PCM
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_fmt))
+    with pytest.raises(ValueError):
+        encode_wav(8000, [40000])  # not int16
+
+    meta = pure_python_decode_backend(wav, "audio")
+    assert meta == {
+        "width": 0, "height": 0, "n_frames": len(samples), "format": "wav",
+    }
+
+
+def test_decode_audio_stats_matches_closed_form(spark, docs):
+    """mm06's registry path: stats computed from the DECODED sample
+    arrays equal the closed-form generating rule."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_audio_stats,
+        media_table_synthetic_audio,
+    )
+
+    out = {
+        r.media_id: r
+        for r in decode_audio_stats(
+            media_table_synthetic_audio(docs)
+        ).collect()
+    }
+    assert out
+    for mid, r in out.items():
+        n = 40 + mid % 113
+        want = [((mid * 31 + i * 17) % 2001) - 1000 for i in range(n)]
+        assert r.sample_rate == 8000 and r.n_samples == n
+        assert r.duration_us == n * 125
+        assert r.sum_abs == sum(abs(s) for s in want)
+        assert r.sum_sq == sum(s * s for s in want)
+        assert r.zero_crossings == sum(
+            1 for i in range(1, n) if want[i - 1] * want[i] < 0
+        )
