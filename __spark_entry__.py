@@ -6857,6 +6857,50 @@ WHERE levenshtein(a.title, c.title) <= 5
 """
 
 
+def m20_winnowing_fingerprints(spark, sf_dir):
+    """M20 — MOSS-style winnowing fingerprints (dedup.
+    winnowing_fingerprints): per window of w=4 consecutive positional
+    bigram-shingle hashes keep the minimum, distinct per document. Any
+    shared run of >= n+w-1 = 5 tokens is guaranteed a shared
+    fingerprint while the index stores ~2/(w+1) of the shingles — the
+    partial-overlap detection primitive between t04's whole-doc hash
+    and m02's full inverted index. Hashing is the engine-portable
+    polynomial family shared with m03, so the oracle restates hashes,
+    window minima, and the distinct set exactly."""
+    from db_loganalyzer_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, n=2, w=4)
+
+
+M20_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                        i -> array_to_string(words[i:i+1], ' ')) AS gs
+  FROM base
+), gh AS (
+  SELECT doc_id, list_transform(gs, g ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+  FROM grams
+), fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+                                      j -> list_min(hs[j:j+3]))) AS fps
+  FROM gh WHERE len(hs) >= 4
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+"""
+
+
 def w22_interval_coalesce_half_open(spark, sf_dir):
     """W22 — w21 under the [start, end) convention (half_open=True):
     adjacent intervals do NOT merge, only true overlaps. The same
@@ -6950,8 +6994,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 6 new (mm06 audio stats through a real RIFF/WAVE PCM
-    # parser; pipe02 end-to-end near-dup corpus assembly;
+    # window = 7 new (m20 winnowing fingerprints; mm06 audio stats
+    # through a real RIFF/WAVE PCM parser;
+    # pipe02 end-to-end near-dup corpus assembly;
     # mm04 pixel stats through the real decoder; mm05 patch plan;
     # m19 title edit-distance dedup; w22 half-open coalescing) + 6
     # changed (m03e non-vacuous estimate threshold 0.25; j13 via
@@ -6959,11 +7004,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 15 oldest r7 rows. Queued for r11: the remaining
-    # 26 r7 rows (c01/cl01..st03, below the line) — all green in the
-    # FULL local gate at sf0.01 and sf0.1 and pinned by
+    # backlog) + the 14 oldest r7 rows. Queued for r11: the remaining
+    # 27 r7 rows (a10/c01/cl01..st03, below the line) — all green in
+    # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
+    "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),

@@ -208,6 +208,46 @@ def shingle_hashes(c: Column | str, n: int) -> Column:
     return shingle_hashes_from_tp(_token_hash_pows(toks), n)
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): slide a window of ``w`` consecutive positional shingle
+    hashes and keep each window's minimum — the guarantee is that any
+    shared substring of at least n+w-1 tokens yields at least one
+    shared fingerprint, while storing only ~2/(w+1) of the hashes. The
+    scalable middle ground between whole-doc hashing (t04 — misses
+    partial overlap entirely) and the full shingle inverted index
+    (m02 — stores every shingle): fingerprint-equality joins find
+    partial plagiarism/quotation overlap at a fraction of the index
+    size.
+
+    All hashing and windowing is per-document column math (no shuffle
+    until the caller aggregates/joins on fingerprint); the positional
+    hash array is projected to an attribute first so the HOF window
+    pass gets O(1) ``slice`` indexing (see shingle_hashes_from_tp on
+    why inline expressions blow up). Per-doc cost is O(windows*w) —
+    the monotonic-deque O(m) trick doesn't exist in column space, and
+    for the small w winnowing uses (4..8) the constant is irrelevant.
+    Emits distinct (id, fingerprint) rows; docs with fewer than w
+    shingle windows emit nothing."""
+    hs_df = _spread(docs).select(
+        F.col(id_col), shingle_hashes(text_col, n).alias("hs")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - w),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+    )
+    fps = F.when(F.size("hs") >= w, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return hs_df.select(id_col, F.explode(fps).alias("fingerprint"))
+
+
 def _hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
     """The stop-shingle blacklist: shingles appearing in more than
     ``cap`` documents (shingle arrays are distinct per doc, so a row

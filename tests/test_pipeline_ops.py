@@ -2067,3 +2067,44 @@ def test_decode_audio_stats_matches_closed_form(spark, docs):
         assert r.zero_crossings == sum(
             1 for i in range(1, n) if want[i - 1] * want[i] < 0
         )
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """m20's primitive: any shared token run of length >= n+w-1 yields
+    a shared fingerprint (the winnowing guarantee), unrelated docs
+    share none, and the fingerprint set is smaller than the full
+    shingle set."""
+    from db_loganalyzer_spark.operators.dedup import (
+        winnowing_fingerprints,
+        word_shingles,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, "one two three four " + shared + " five six seven"),
+        (3, "completely different words nothing in common here at "
+            "all zebra xylophone quasar"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, n=2, w=4)
+    by_doc = {
+        i: {r.fingerprint for r in g}
+        for i, g in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r.doc_id),
+            key=lambda r: r.doc_id,
+        )
+    }
+    # guarantee: docs 1 and 2 share an 10-token run >> n+w-1 = 5
+    assert by_doc[1] & by_doc[2]
+    # discrimination: doc 3 shares nothing with either
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # compression: fewer fingerprints than distinct shingles
+    n_shingles = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(word_shingles("text", 2)).alias("n")
+        ).collect()
+    }
+    for i, f in by_doc.items():
+        assert len(f) < n_shingles[i]
