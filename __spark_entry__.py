@@ -2684,6 +2684,32 @@ FROM m
 """
 
 
+def st16_streaming_media_decode(spark, sf_dir):
+    """ST16 — mm06's streaming form: the media decode path is stateless
+    per-row (mapInPandas builds real WAV bytes, the RIFF parser decodes
+    them, integer stats reduce per clip), so it runs UNCHANGED on a
+    file-source stream over the documents landing directory — no
+    watermark, no state store, append mode; each micro-batch does its
+    own decode work and the availableNow drain equals the batch oracle
+    row-for-row. This is the ingest shape a 100 TB media pipeline
+    runs: decode at landing time, metadata+features to a table, bytes
+    never shuffled (the payload column is born and dies inside one
+    narrow stage)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_audio_stats,
+        media_table_synthetic_audio,
+    )
+
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    out = decode_audio_stats(media_table_synthetic_audio(stream))
+    return _drain(out, "st16")
+
+
+# stateless 1:1 per row, so the availableNow drain equals the batch
+# oracle exactly — same SQL as mm06.
+ST16_SQL = MM06_SQL
+
+
 def mm03_frame_sample(spark, sf_dir):
     """MM03 — frame-sampling plan: every-30th-frame index per video row
     (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
@@ -6994,8 +7020,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 7 new (m20 winnowing fingerprints; mm06 audio stats
-    # through a real RIFF/WAVE PCM parser;
+    # window = 8 new (m20 winnowing fingerprints; mm06 audio stats
+    # through a real RIFF/WAVE PCM parser; st16 its streaming form;
     # pipe02 end-to-end near-dup corpus assembly;
     # mm04 pixel stats through the real decoder; mm05 patch plan;
     # m19 title edit-distance dedup; w22 half-open coalescing) + 6
@@ -7004,13 +7030,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 14 oldest r7 rows. Queued for r11: the remaining
-    # 27 r7 rows (a10/c01/cl01..st03, below the line) — all green in
-    # the FULL local gate at sf0.01 and sf0.1 and pinned by
+    # backlog) + the 13 oldest r7 rows. Queued for r11: the remaining
+    # 28 r7 rows (a06/a10/c01/cl01..st03, below the line) — all green
+    # in the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
+    "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
