@@ -6899,8 +6899,10 @@ def m20_winnowing_fingerprints(spark, sf_dir):
     return winnowing_fingerprints(docs, n=2, w=4)
 
 
-M20_SQL = r"""
-WITH base AS (
+# winnowing fingerprint CTE chain, shared by M20 (the fingerprint set)
+# and M21 (overlap pairs over it): positional bigram hashes (same
+# polynomial family as m03), w=4 window minima, distinct per doc.
+_M20_FP_CTES = r"""base AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                      x -> x <> '') AS words
@@ -6922,8 +6924,46 @@ WITH base AS (
          list_distinct(list_transform(generate_series(1, len(hs) - 3),
                                       j -> list_min(hs[j:j+3]))) AS fps
   FROM gh WHERE len(hs) >= 4
+), fpx AS (
+  SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+)"""
+
+M20_SQL = f"""
+WITH {_M20_FP_CTES}
+SELECT doc_id, fingerprint FROM fpx
+"""
+
+
+def m21_winnowing_overlap(spark, sf_dir):
+    """M21 — partial-overlap pairs over the winnowed index (dedup.
+    winnowing_overlap_pairs): docs sharing >= 3 winnowing fingerprints,
+    with the shared count. The consumer that justifies m20 at scale:
+    the inverted index this self-joins holds ~2/(w+1) of m02's shingle
+    index for the same guaranteed detection of >= 5-token shared runs,
+    and the join key is a BIGINT (text never shuffles). Boilerplate
+    fingerprints above doc-freq 200 are dropped before the join (the
+    m02c stop-key convention; the oracle applies the identical HAVING
+    cap)."""
+    from db_loganalyzer_spark.operators.dedup import winnowing_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_overlap_pairs(
+        docs, n=2, w=4, min_shared=3, max_doc_freq=200
+    )
+
+
+M21_SQL = f"""
+WITH {_M20_FP_CTES}, hot AS (
+  SELECT fingerprint FROM fpx GROUP BY 1 HAVING COUNT(*) > 200
+), idx AS (
+  SELECT doc_id, fingerprint FROM fpx
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
 )
-SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
 """
 
 
@@ -7020,7 +7060,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 8 new (m20 winnowing fingerprints; mm06 audio stats
+    # window = 9 new (m20 winnowing fingerprints + m21 overlap pairs
+    # over the winnowed index; mm06 audio stats
     # through a real RIFF/WAVE PCM parser; st16 its streaming form;
     # pipe02 end-to-end near-dup corpus assembly;
     # mm04 pixel stats through the real decoder; mm05 patch plan;
@@ -7030,12 +7071,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
     # pure_python_decode_backend with new oracles) + the 23 r6-stale
     # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 13 oldest r7 rows. Queued for r11: the remaining
-    # 28 r7 rows (a06/a10/c01/cl01..st03, below the line) — all green
-    # in the FULL local gate at sf0.01 and sf0.1 and pinned by
+    # backlog) + the 12 oldest r7 rows. Queued for r11: the remaining
+    # 29 r7 rows (a05/a06/a10/c01/cl01..st03, below the line) — all
+    # green in the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
+    "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
     "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),

@@ -248,6 +248,54 @@ def winnowing_fingerprints(
     return hs_df.select(id_col, F.explode(fps).alias("fingerprint"))
 
 
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int | None = 200,
+) -> DataFrame:
+    """Partial-overlap candidate pairs over the winnowed index: docs
+    sharing at least ``min_shared`` winnowing fingerprints, with the
+    shared count. The payoff of winnowing at scale — the inverted
+    index this self-joins holds ~2/(w+1) of the full shingle index
+    (m02's), so the equi-join shuffles a fraction of the rows for the
+    same guaranteed detection of >= n+w-1-token runs.
+
+    Same quadratic-key physics as any inverted index: a fingerprint in
+    d docs expands to d*(d-1)/2 join rows, so ``max_doc_freq`` drops
+    corpus-wide boilerplate fingerprints before the join (the
+    stop-shingle mitigation, same convention as m02c). The join key is
+    a BIGINT hash — text never shuffles."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, n, w)
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("fingerprint")
+        )
+        fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
 def _hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
     """The stop-shingle blacklist: shingles appearing in more than
     ``cap`` documents (shingle arrays are distinct per doc, so a row

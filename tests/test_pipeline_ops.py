@@ -2108,3 +2108,16 @@ def test_winnowing_guarantee_and_compression(spark):
     }
     for i, f in by_doc.items():
         assert len(f) < n_shingles[i]
+
+    # m21's consumer: the overlapping pair surfaces with its shared
+    # count, the unrelated doc pairs with nothing
+    from db_loganalyzer_spark.operators.dedup import winnowing_overlap_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_overlap_pairs(
+            docs, n=2, w=4, min_shared=1, max_doc_freq=None
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])

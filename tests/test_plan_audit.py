@@ -161,6 +161,8 @@ BROADCAST_OK = {
         1, "stats frame: one row per metric-name group (bounded vocabulary)"),
     ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_pairs"): (
         1, "hot-shingle stop list: <= shingle_instances/cap rows by definition"),
+    ("db_loganalyzer_spark/operators/dedup.py", "winnowing_overlap_pairs"): (
+        1, "hot-fingerprint stop list (same bound as the shingle stop lists)"),
     ("db_loganalyzer_spark/operators/dedup.py", "shingle_containment_pairs"): (
         1, "hot-shingle stop list (same bound)"),
     ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_against"): (
