@@ -2710,32 +2710,87 @@ def st16_streaming_media_decode(spark, sf_dir):
 ST16_SQL = MM06_SQL
 
 
-def mm03_frame_sample(spark, sf_dir):
-    """MM03 — frame-sampling plan: every-30th-frame index per video row
-    (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
-    pure JVM explode of a sequence, no Python in the fan-out. Decode
-    metadata comes from the deterministic fake backend (the pluggable
-    codec slot, reference: the image/audio libs absent in this
-    container); payloads tagged video so n_frames = 1 + byte_len % 300."""
+def mm07_video_stats(spark, sf_dir):
+    """MM07 — video statistics THROUGH a real RIFF/AVI parser: each
+    payload is an actual uncompressed AVI byte stream (multimodal.
+    synth_video_payload — hdrl/avih/strl headers, movi LIST, one DIB
+    '00db' chunk per frame) whose EVERY frame is pixel-decoded inside
+    a mapInPandas stage (decode_video_stats) and reduced to exact
+    integer channel sums over the whole clip. Pixels are a closed-form
+    function of (id, frame, index), so the oracle restates the values
+    the parser must have decoded across all frames — a wrong chunk
+    walk, frame order, row padding, or BGR/bottom-up handling fails
+    the hash. With mm04 (image pixels) and mm06 (audio samples) this
+    makes all three modalities REALLY decoded, wheel-free; the fake
+    backend survives only for compressed codecs (JPEG/H.264/MP3)."""
     from db_loganalyzer_spark.operators.multimodal import (
-        decode_media,
-        fake_decode_backend,
-        frame_sample_plan,
-        media_table_from_documents,
+        decode_video_stats,
+        media_table_synthetic_videos,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    media = media_table_from_documents(docs).withColumn(
-        "media_type", F.lit("video")
+    return decode_video_stats(media_table_synthetic_videos(docs))
+
+
+# pixel i of frame f of media id m: ((m + 7f + 3i) % 256, +1, +2) over
+# w = 4 + m % 9, h = 3 + m % 5, f in [0, 1 + m % 90); flattened to one
+# generate_series via k -> (f, i) = (k // wh, k % wh).
+MM07_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 9 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height,
+         CAST(1 + doc_id % 90 AS INT) AS n_frames
+  FROM documents
+)
+SELECT media_id, width, height, n_frames,
+       CAST(width * height * n_frames AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(
+              generate_series(0, width * height * n_frames - 1),
+              k -> (media_id + 7 * (k // (width * height))
+                    + 3 * (k % (width * height))) % 256))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(
+              generate_series(0, width * height * n_frames - 1),
+              k -> (media_id + 7 * (k // (width * height))
+                    + 3 * (k % (width * height)) + 1) % 256))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(
+              generate_series(0, width * height * n_frames - 1),
+              k -> (media_id + 7 * (k // (width * height))
+                    + 3 * (k % (width * height)) + 2) % 256))
+            AS BIGINT) AS sum_b
+FROM m
+"""
+
+
+def mm03_frame_sample(spark, sf_dir):
+    """MM03 — frame-sampling plan: every-30th-frame index per video row
+    (operators/multimodal.frame_sample_plan) — the UDTF 1->N shape as a
+    pure JVM explode of a sequence, no Python in the fan-out. Since
+    round 10 the frame counts come from the REAL AVI parser over real
+    uncompressed video bytes (pure_python_decode_backend counting the
+    movi '00db' chunks it decoded), not the fake backend: n_frames =
+    1 + id % 90 by the synth rule, restated by the oracle."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        frame_sample_plan,
+        media_table_synthetic_videos,
+        pure_python_decode_backend,
     )
-    decoded = decode_media(media, decode_backend=fake_decode_backend)
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        media_table_synthetic_videos(docs),
+        decode_backend=pure_python_decode_backend,
+    )
     return frame_sample_plan(decoded, every_n=30)
 
 
 MM03_SQL = """
 WITH d AS (
   SELECT doc_id AS media_id,
-         1 + octet_length(encode(text)) % 300 AS n_frames
+         CAST(1 + doc_id % 90 AS INT) AS n_frames
   FROM documents
 )
 SELECT media_id, CAST(x.f AS INT) AS frame_index
@@ -7060,22 +7115,26 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 9 new (m20 winnowing fingerprints + m21 overlap pairs
-    # over the winnowed index; mm06 audio stats
-    # through a real RIFF/WAVE PCM parser; st16 its streaming form;
-    # pipe02 end-to-end near-dup corpus assembly;
-    # mm04 pixel stats through the real decoder; mm05 patch plan;
-    # m19 title edit-distance dedup; w22 half-open coalescing) + 6
-    # changed (m03e non-vacuous estimate threshold 0.25; j13 via
-    # salted_join's same-name key drop; w21/st15 NULL+NaN value filter
-    # in entry AND oracle; mm01/mm02 now decode REAL BMP/PPM bytes via
-    # pure_python_decode_backend with new oracles) + the 23 r6-stale
-    # rows the r9 verdict flagged (w18/w19/a34/m18/j12 + the 18-row r6
-    # backlog) + the 12 oldest r7 rows. Queued for r11: the remaining
-    # 29 r7 rows (a05/a06/a10/c01/cl01..st03, below the line) — all
-    # green in the FULL local gate at sf0.01 and sf0.1 and pinned by
+    # window = 10 new (mm07 video stats through a real RIFF/AVI
+    # parser; m20 winnowing fingerprints + m21 overlap pairs over the
+    # winnowed index; mm06 audio stats through a real RIFF/WAVE PCM
+    # parser; st16 its streaming form; pipe02 end-to-end near-dup
+    # corpus assembly; mm04 pixel stats through the real decoder;
+    # mm05 patch plan; m19 title edit-distance dedup; w22 half-open
+    # coalescing) + 7 changed (mm03 frame sampling now counts REAL
+    # decoded AVI frames with a new oracle; m03e non-vacuous estimate
+    # threshold 0.25; j13 via salted_join's same-name key drop;
+    # w21/st15 NULL+NaN value filter in entry AND oracle; mm01/mm02
+    # now decode REAL BMP/PPM bytes via pure_python_decode_backend
+    # with new oracles) + the 23 r6-stale rows the r9 verdict flagged
+    # (w18/w19/a34/m18/j12 + the 18-row r6 backlog) + the 10 oldest r7
+    # rows. Queued for r11: the remaining 31 r7 rows
+    # (s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
+    # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
+    "mm07_video_stats": (mm07_video_stats, MM07_SQL),
+    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
     "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
@@ -7208,7 +7267,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
     "m10_group_sample": (m10_group_sample, M10_SQL),
     "m12_budget_select": (m12_budget_select, M12_SQL),
-    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),

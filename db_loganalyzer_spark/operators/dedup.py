@@ -227,16 +227,25 @@ def winnowing_fingerprints(
     size.
 
     All hashing and windowing is per-document column math (no shuffle
-    until the caller aggregates/joins on fingerprint); the positional
-    hash array is projected to an attribute first so the HOF window
-    pass gets O(1) ``slice`` indexing (see shingle_hashes_from_tp on
-    why inline expressions blow up). Per-doc cost is O(windows*w) —
-    the monotonic-deque O(m) trick doesn't exist in column space, and
-    for the small w winnowing uses (4..8) the constant is irrelevant.
-    Emits distinct (id, fingerprint) rows; docs with fewer than w
-    shingle windows emit nothing."""
-    hs_df = _spread(docs).select(
-        F.col(id_col), shingle_hashes(text_col, n).alias("hs")
+    until the caller aggregates/joins on fingerprint). Same hot-path
+    discipline as minhash_signatures: token (hash, power) pairs and the
+    positional shingle-hash array are each materialized in their OWN
+    projection (an inline ``_token_hash_pows`` would be re-evaluated
+    by every ``element_at`` — measured 23x this whole operator at
+    sf10r), and the always-true ``size("hs") >= w`` guard keeps
+    CollapseProject from inlining the hash chain into the per-window
+    lambda. Per-doc cost is O(windows*w) — the monotonic-deque O(m)
+    trick doesn't exist in column space, and for the small w winnowing
+    uses (4..8) the constant is irrelevant. Emits distinct
+    (id, fingerprint) rows; docs with fewer than w shingle windows
+    (under n+w-1 tokens, a cheap pre-filter) emit nothing."""
+    toks = F.split(normalize_text(text_col), " ")
+    df = _spread(docs.filter(F.size(toks) >= n + w - 1))
+    tp_df = df.select(
+        F.col(id_col), _token_hash_pows(toks).alias("tp")
+    )
+    hs_df = tp_df.select(
+        id_col, shingle_hashes_from_tp(F.col("tp"), n).alias("hs")
     )
     windows = F.transform(
         F.sequence(F.lit(0), F.size("hs") - w),

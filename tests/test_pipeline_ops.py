@@ -2121,3 +2121,80 @@ def test_winnowing_guarantee_and_compression(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
+
+
+def test_avi_codec_roundtrip_and_errors():
+    """mm07's codec off-Spark: chunk-tree round-trip, frame pixel
+    values, truncation/mismatch/compression rejection, backend sniff."""
+    import struct
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        pure_python_decode_backend,
+        synth_video_payload,
+    )
+
+    frames = [
+        [(f * 10 + i, f * 10 + i + 1, f * 10 + i + 2) for i in range(6)]
+        for f in range(3)
+    ]
+    avi = encode_avi(3, 2, frames)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    w, h, got = decode_avi(avi)
+    assert (w, h) == (3, 2) and got == frames
+
+    meta = pure_python_decode_backend(avi, "video")
+    assert meta == {"width": 3, "height": 2, "n_frames": 3, "format": "avi"}
+
+    with pytest.raises(ValueError):
+        decode_avi(avi[:-4])  # truncated last frame
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    # compressed stream rejected: flip biCompression in strf
+    strf_off = avi.index(b"strf") + 8
+    bad = bytearray(avi)
+    struct.pack_into("<I", bad, strf_off + 16, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_avi(bytes(bad))
+
+    # synth payloads decode to the closed-form rule
+    for mid in (0, 13, 89, 90):
+        w, h, frs = decode_avi(synth_video_payload(mid))
+        assert (w, h, len(frs)) == (
+            4 + mid % 9, 3 + mid % 5, 1 + mid % 90,
+        )
+        for f, fr in enumerate(frs):
+            for i, px in enumerate(fr):
+                assert px == (
+                    (mid + 7 * f + 3 * i) % 256,
+                    (mid + 7 * f + 3 * i + 1) % 256,
+                    (mid + 7 * f + 3 * i + 2) % 256,
+                )
+
+
+def test_decode_video_stats_matches_closed_form(spark, docs):
+    """mm07's registry path: channel sums computed from EVERY decoded
+    frame equal the closed-form generating rule."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_video_stats,
+        media_table_synthetic_videos,
+    )
+
+    out = {
+        r.media_id: r
+        for r in decode_video_stats(
+            media_table_synthetic_videos(docs)
+        ).collect()
+    }
+    assert out
+    for mid, r in out.items():
+        w, h, n = 4 + mid % 9, 3 + mid % 5, 1 + mid % 90
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.n_pixels == w * h * n
+        want_r = sum(
+            (mid + 7 * f + 3 * i) % 256
+            for f in range(n)
+            for i in range(w * h)
+        )
+        assert r.sum_r == want_r
