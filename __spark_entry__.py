@@ -6920,8 +6920,8 @@ def m19_title_edit_distance(spark, sf_dir):
     )
 
 
-M19_SQL = r"""
-WITH t AS (
+# shared by M19 (uncapped, exact) and M19C (bucket-capped scale shape)
+_M19_BASE = r"""t AS (
   SELECT doc_id AS id,
          substring(regexp_replace(
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
@@ -6930,12 +6930,46 @@ WITH t AS (
 ), b AS (
   SELECT id, title, substring(title, 1, 8) AS bucket
   FROM t WHERE length(title) >= 8
-)
+)"""
+
+_M19_SELECT = """
 SELECT a.id AS id_a, c.id AS id_b,
        CAST(levenshtein(a.title, c.title) AS INT) AS edit_distance
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+FROM {src} a JOIN {src} c ON a.bucket = c.bucket AND a.id < c.id
 WHERE levenshtein(a.title, c.title) <= 5
 """
+
+M19_SQL = f"WITH {_M19_BASE}{_M19_SELECT.format(src='b')}"
+
+
+def m19c_title_edit_distance_capped(spark, sf_dir):
+    """M19C — m19 with the boilerplate-bucket cap the docstring
+    documents (``max_bucket_size=20``): a shared LONG first word hides
+    the corpus-growth suffix beyond the 8-char prefix, so one
+    boilerplate bucket grows linearly with the corpus and its in-bucket
+    pair join quadratically — measured at sf10r, the single 'customer'
+    prefix bucket held 16,500 docs = 136M of the 236M candidate pairs.
+    Dropping oversized buckets is the m02c stop-key convention applied
+    to prefix blocking; the cap binds at every SF (sf0.01's 'customer'
+    bucket holds 23 > 20) so the gate exercises it, and the oracle
+    applies the identical HAVING."""
+    from db_loganalyzer_spark.operators.dedup import (
+        title_edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return title_edit_distance_pairs(
+        docs, max_distance=5, title_chars=40, prefix_chars=8,
+        max_bucket_size=20,
+    )
+
+
+M19C_SQL = f"""
+WITH {_M19_BASE}, ok AS (
+  SELECT bucket FROM b GROUP BY 1 HAVING COUNT(*) <= 20
+), b2 AS (
+  SELECT b.* FROM b JOIN ok USING (bucket)
+){_M19_SELECT.format(src='b2')}"""
 
 
 def m20_winnowing_fingerprints(spark, sf_dir):
@@ -7115,8 +7149,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # after every edit). Policy since r5: ordered by staleness of each
     # entry's latest driver row — entries whose IMPLEMENTATION changed
     # this round first, then the stalest rows, oldest first. Round-10
-    # window = 10 new (mm07 video stats through a real RIFF/AVI
-    # parser; m20 winnowing fingerprints + m21 overlap pairs over the
+    # window = 11 new (mm07 video stats through a real RIFF/AVI
+    # parser; m19c bucket-capped title dedup (the scale shape);
+    # m20 winnowing fingerprints + m21 overlap pairs over the
     # winnowed index; mm06 audio stats through a real RIFF/WAVE PCM
     # parser; st16 its streaming form; pipe02 end-to-end near-dup
     # corpus assembly; mm04 pixel stats through the real decoder;
@@ -7127,14 +7162,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # w21/st15 NULL+NaN value filter in entry AND oracle; mm01/mm02
     # now decode REAL BMP/PPM bytes via pure_python_decode_backend
     # with new oracles) + the 23 r6-stale rows the r9 verdict flagged
-    # (w18/w19/a34/m18/j12 + the 18-row r6 backlog) + the 10 oldest r7
-    # rows. Queued for r11: the remaining 31 r7 rows
-    # (s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
+    # (w18/w19/a34/m18/j12 + the 18-row r6 backlog) + the 9 oldest r7
+    # rows. Queued for r11: the remaining 32 r7 rows
+    # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
+    "m19c_title_edit_distance_capped": (
+        m19c_title_edit_distance_capped, M19C_SQL,
+    ),
     "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
     "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
