@@ -7056,6 +7056,46 @@ HAVING COUNT(*) >= 3
 """
 
 
+def st17_streaming_winnowing_probe(spark, sf_dir):
+    """ST17 — ingest-time PARTIAL-overlap detection (streams.
+    streaming_winnowing_probe): arriving documents (doc_id % 10 = 0)
+    probe a STANDING winnowing-fingerprint index of the already-
+    ingested corpus (% 10 != 0; dedup.winnowing_index) via a stateless
+    stream-static equi-join on the BIGINT fingerprint. Both sides
+    carry their fingerprint arrays, so the shared-set threshold
+    (>= 3) and the emit-once rule (join fingerprint == min of the
+    shared set) are per-row column math — zero state-store rows, no
+    watermark. The overlap complement of st14: MinHash estimates
+    whole-doc similarity, winnowing guarantees detection of any
+    shared >= 5-token run. m20/m21's streaming consumer."""
+    from db_loganalyzer_spark.operators.dedup import winnowing_index
+    from db_loganalyzer_spark.streaming import streaming_winnowing_probe
+
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    index = winnowing_index(corpus, n=2, w=4)
+    stream = ST.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return _drain(
+        streaming_winnowing_probe(stream, index, min_shared=3, n=2, w=4),
+        "st17",
+    )
+
+
+ST17_SQL = f"""
+WITH {_M20_FP_CTES}, s AS (
+  SELECT doc_id, fingerprint FROM fpx WHERE doc_id % 10 = 0
+), c AS (
+  SELECT doc_id, fingerprint FROM fpx WHERE doc_id % 10 != 0
+)
+SELECT s.doc_id AS stream_id, c.doc_id AS corpus_id,
+       COUNT(*) AS n_shared
+FROM s JOIN c ON s.fingerprint = c.fingerprint
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def w22_interval_coalesce_half_open(spark, sf_dir):
     """W22 — w21 under the [start, end) convention (half_open=True):
     adjacent intervals do NOT merge, only true overlaps. The same
@@ -7177,6 +7217,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
     "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
     "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
+    "st17_streaming_winnowing_probe": (
+        st17_streaming_winnowing_probe, ST17_SQL,
+    ),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
     "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),

@@ -208,6 +208,36 @@ def shingle_hashes(c: Column | str, n: int) -> Column:
     return shingle_hashes_from_tp(_token_hash_pows(toks), n)
 
 
+def winnowing_fingerprint_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    w: int = 4,
+) -> DataFrame:
+    """The per-document winnowing fingerprint SET as an array column —
+    the carrier form ``winnowing_fingerprints`` explodes and the
+    streaming probe (st17) joins with. Same hot-path discipline as the
+    exploded form (see its docstring); stream-safe (pure projections,
+    ``_spread`` passes streams through)."""
+    toks = F.split(normalize_text(text_col), " ")
+    df = _spread(docs.filter(F.size(toks) >= n + w - 1))
+    tp_df = df.select(
+        F.col(id_col), _token_hash_pows(toks).alias("tp")
+    )
+    hs_df = tp_df.select(
+        id_col, shingle_hashes_from_tp(F.col("tp"), n).alias("hs")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size("hs") - w),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+    )
+    fps = F.when(F.size("hs") >= w, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return hs_df.select(id_col, fps.alias("fps"))
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -255,6 +285,44 @@ def winnowing_fingerprints(
         F.array().cast("array<long>")
     )
     return hs_df.select(id_col, F.explode(fps).alias("fingerprint"))
+
+
+def winnowing_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    w: int = 4,
+) -> DataFrame:
+    """The standing corpus-side winnowing index st17 probes: one row
+    per (fingerprint, corpus doc) with the doc's FULL fingerprint array
+    carried alongside — the carry is what lets the streaming probe stay
+    stateless (pair intersection and the emit-once rule are per-row
+    column math over the two carried arrays, no state store). In table
+    storage this is written once and pre-partitioned by fingerprint,
+    exactly like the minhash_lsh_index st14 uses; the array duplication
+    per exploded row is the price of statelessness and is bounded by
+    fingerprints-per-doc (~2/(w+1) of the shingles).
+
+    SHAPE MATTERS: the array is carried INSIDE the generator output
+    (``explode(transform(fps, x -> struct(x, fps)))``) instead of as a
+    pass-through column beside the explode. The naive
+    ``select(fps, explode(fps))`` plan re-inlines the whole hash chain
+    (measured: >120 s for what this shape does in 3 s at sf0.001 —
+    the optimizer duplicates the non-cheap ``fps`` expression into
+    both the Generate input and the carried projection, defeating the
+    staged-projection discipline the docstrings above describe)."""
+    arr = winnowing_fingerprint_arrays(docs, id_col, text_col, n, w)
+    carried = F.transform(
+        "fps",
+        lambda x: F.struct(
+            x.alias("fingerprint"), F.col("fps").alias("corpus_fps")
+        ),
+    )
+    return arr.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(carried).alias("e"),
+    ).select("corpus_id", "e.fingerprint", "e.corpus_fps")
 
 
 def winnowing_overlap_pairs(

@@ -1499,3 +1499,70 @@ def streaming_interval_coalesce(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_winnowing_probe(
+    docs: DataFrame,
+    index: DataFrame,
+    min_shared: int = 3,
+    n: int = 2,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ST17 — ingest-time PARTIAL-overlap detection: each arriving
+    document's winnowing fingerprints probe a STANDING corpus index
+    (``operators.dedup.winnowing_index``), emitting
+    (stream_id, corpus_id, n_shared) for pairs sharing at least
+    ``min_shared`` fingerprints — quotation/boilerplate/plagiarism
+    overlap st14's whole-document MinHash estimate is blind to (a
+    short shared run barely moves Jaccard; winnowing GUARANTEES a
+    shared fingerprint for any >= n+w-1-token run).
+
+    COMPLETELY STATELESS, same construction as st14: the stream side
+    computes its fingerprint array (pure column expressions,
+    ``winnowing_fingerprint_arrays``), explodes it, and equi-joins the
+    static index on the BIGINT fingerprint. Both sides carry their
+    full fingerprint arrays, so the pair's shared set is per-row
+    column math (``array_intersect``) — the threshold test AND the
+    emit-once rule (keep only the row whose join fingerprint is the
+    MINIMUM of the shared set; exactly one joined row satisfies it)
+    need no state store and no watermark.
+
+    Scale notes (100 TB): persist the index pre-partitioned by
+    fingerprint (the st14 dial — bucketed table storage is the durable
+    form) so each micro-batch pays only the batch-side shuffle. Hot
+    boilerplate fingerprints quadratically inflate the join like any
+    inverted index: apply m21's stop-fingerprint cap to BOTH the index
+    build and the probe side in production (dropped symmetrically the
+    semantics stay 'overlap over discriminative fingerprints'); the
+    oracle-paired entry runs uncapped to stay exactly restatable.
+    """
+    from ..operators.dedup import winnowing_fingerprint_arrays
+
+    carried = F.transform(
+        "fps",
+        lambda x: F.struct(x.alias("fingerprint"), F.col("fps").alias("fps")),
+    )
+    probe = (
+        winnowing_fingerprint_arrays(docs, id_col, text_col, n, w)
+        # carry the array INSIDE the generator output — the naive
+        # select(fps, explode(fps)) re-inlines the hash chain (see
+        # operators.dedup.winnowing_index for the measurement)
+        .select(F.col(id_col).alias("stream_id"), F.explode(carried).alias("e"))
+        .select("stream_id", "e.fingerprint", F.col("e.fps").alias("fps"))
+    )
+    j = probe.join(index, "fingerprint")
+    shared = F.array_intersect(F.col("fps"), F.col("corpus_fps"))
+    return (
+        j.withColumn("shared", shared)
+        .filter(
+            (F.size("shared") >= min_shared)
+            & (F.col("fingerprint") == F.array_min("shared"))
+        )
+        .select(
+            "stream_id",
+            "corpus_id",
+            F.size("shared").cast("long").alias("n_shared"),
+        )
+    )

@@ -1128,3 +1128,56 @@ def test_coalesce_fn_empty_group_leaves_state_untouched():
     st2 = FakeState((0, 20, 2, 1))
     assert list(fn((7,), iter([empty]), st2)) == []
     assert not st2.updated and st2.get == (0, 20, 2, 1)
+
+
+def test_st17_streaming_winnowing_probe(spark, sf_dir, tmp_path_factory):
+    """ST17 equivalence vs an independent code path: the exploded
+    batch fingerprint join restricted to pairs crossing the
+    stream/corpus split must equal the drained streaming probe —
+    and each qualifying pair must emit exactly once (the
+    min-shared-fingerprint rule), with zero state."""
+    import db_loganalyzer_spark.operators.dedup as DD
+    from db_loganalyzer_spark.streaming import (
+        run_available_now,
+        streaming_winnowing_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    index = DD.winnowing_index(corpus, n=2, w=4).persist()
+
+    land = str(tmp_path_factory.mktemp("st17") / "landing")
+    new.repartitionByRange(3, "doc_id").write.parquet(land)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_st17"))
+    got = run_available_now(
+        streaming_winnowing_probe(stream, index, min_shared=3, n=2, w=4),
+        "st17_t",
+        ck,
+    ).collect()
+
+    pairs = [(r.stream_id, r.corpus_id) for r in got]
+    assert len(pairs) == len(set(pairs))  # exactly-once per pair
+    got_n = {(r.stream_id, r.corpus_id): r.n_shared for r in got}
+
+    fa = DD.winnowing_fingerprints(new, n=2, w=4)
+    fb = DD.winnowing_fingerprints(corpus, n=2, w=4)
+    want = {
+        (r.sid, r.cid): r.n
+        for r in fa.alias("a")
+        .join(fb.alias("b"), F.col("a.fingerprint") == F.col("b.fingerprint"))
+        .groupBy(
+            F.col("a.doc_id").alias("sid"), F.col("b.doc_id").alias("cid")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert got_n == want and len(want) > 0
