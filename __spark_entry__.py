@@ -7184,6 +7184,102 @@ GROUP BY 1
 """
 
 
+def m22_duplicated_spans(spark, sf_dir):
+    """M22 — exact-substring duplication profile (dedup.
+    duplicated_span_stats, the ExactSubstr measurement of Lee et al.
+    2021): per document, the fraction of token positions covered by a
+    word 8-gram occurring >= 2 times corpus-wide. Linear lineage —
+    positional shingle hashes, ONE window count over the shingle
+    partitioning, then a per-document interval union via
+    coalesce_intervals — the shuffle-native form of the paper's
+    suffix-array criterion. The oracle restates coverage as COUNT
+    (DISTINCT position) over the expanded spans, so a wrong island
+    merge or off-by-one span end fails the hash."""
+    from db_loganalyzer_spark.operators.dedup import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=8, min_count=2)
+
+
+M22_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), pos AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i
+  FROM base WHERE len(words) >= 8
+), ph AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             list_transform(string_split(array_to_string(words[i:i+7], ' '), ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS h
+  FROM pos
+), freq AS (
+  SELECT h, COUNT(*) AS c FROM ph GROUP BY 1
+), covered AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS covered_toks
+  FROM (
+    SELECT ph.doc_id, unnest(generate_series(ph.i, ph.i + 7)) AS p
+    FROM ph JOIN freq USING (h) WHERE freq.c >= 2
+  ) GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.words) AS BIGINT) AS n_toks,
+       CAST(COALESCE(c.covered_toks, 0) AS BIGINT) AS covered_toks,
+       CASE WHEN len(b.words) > 0
+            THEN ROUND(COALESCE(c.covered_toks, 0) * 1.0 / len(b.words), 6)
+            ELSE 0.0 END AS dup_fraction
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
+def t18_classifier_gate(spark, sf_dir):
+    """T18 — learned-classifier quality filtering, inference shape
+    (textstats.classifier_gate): vocabulary weight table broadcast-
+    joined onto exploded tokens, exact integer milli-weight sum per
+    document, keep where the mean weight is positive. The weight table
+    here is the deterministic hash projection (training out of scope);
+    the plan — broadcast vocab, shuffle only the per-doc groupBy — is
+    the one a real fasttext/CCNet filter runs at 100 TB."""
+    from db_loganalyzer_spark.operators.textstats import (
+        classifier_gate,
+        hashed_weight_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_gate(docs, hashed_weight_table(docs))
+
+
+T18_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS term FROM base
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_toks,
+         SUM((list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(term, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) % 2001) - 1000) AS score_sum_milli
+  FROM tok GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE(s.score_sum_milli, 0) AS BIGINT) AS score_sum_milli,
+       CASE WHEN COALESCE(s.n_toks, 0) > 0
+            THEN ROUND(s.score_sum_milli * 1.0 / (s.n_toks * 1000), 6)
+            ELSE 0.0 END AS mean_weight,
+       COALESCE(s.score_sum_milli, 0) > 0 AS keep
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7208,6 +7304,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
     # ---- new in r10 ----
+    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
+    "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m19c_title_edit_distance_capped": (

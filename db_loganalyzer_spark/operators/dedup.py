@@ -1473,3 +1473,88 @@ def shingle_novelty(
         novel.cast("long").alias("n_novel"),
         (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """M22 — exact-substring duplication profile (the ExactSubstr
+    measurement of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): per document, how many
+    of its token positions are covered by a word ``n``-gram that occurs
+    at least ``min_count`` times in the whole corpus (within-document
+    repeats count, as in the paper's suffix-array criterion). The
+    suffix array itself doesn't distribute; this is the shuffle-native
+    restatement a 100 TB corpus runs: positional shingle index ->
+    global frequency -> per-document interval union.
+
+    Lineage (linear, no pair join): positions are ``posexplode`` of the
+    composed shingle hashes (longs shuffle, n-gram strings don't — same
+    hot-path discipline as ``minhash_signatures``); the corpus-wide
+    occurrence count is ONE window aggregate over the shingle
+    partitioning (the measured-cheaper form, see ``shingle_novelty``;
+    on clone-stress corpora where one shingle's occurrence list
+    outgrows a partition, swap in groupBy + broadcast-back of the
+    ``>= min_count`` survivors); covered positions are the union of
+    ``[pos, pos+n-1]`` spans via ``windows.coalesce_intervals`` — a
+    per-document gaps-and-islands, keyed and skew-free. Documents with
+    fewer than ``n`` tokens (or no duplicated span) still emit a row
+    with ``covered_toks = 0``.
+
+    Output: id, n_toks, covered_toks, dup_fraction (round 6; exact
+    integer covered-count, so the only float op is one division).
+
+    reference: the reference dedups whole comments
+    (log_analysis/cluster_code_coverage.py:33-47); span-level
+    duplication is the sub-document generalization its corpus pipeline
+    lacks.
+    """
+    from db_loganalyzer_spark.operators.windows import coalesce_intervals
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = _spread(df).select(
+        F.col(id_col), _token_hash_pows(toks).alias("__tp")
+    )
+    sizes = base.select(
+        F.col(id_col), F.size("__tp").cast("long").alias("n_toks")
+    )
+    hs = base.select(
+        F.col(id_col),
+        shingle_hashes_from_tp(F.col("__tp"), n).alias("__hs"),
+    )
+    pos = hs.select(
+        F.col(id_col), F.posexplode("__hs").alias("__pos", "__h")
+    )
+    w = Window.partitionBy("__h")
+    spans = (
+        pos.withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__cnt") >= min_count)
+        .select(
+            F.col(id_col),
+            F.col("__pos").cast("long").alias("__start"),
+            (F.col("__pos") + (n - 1)).cast("long").alias("__end"),
+        )
+    )
+    covered = (
+        coalesce_intervals(spans, [id_col], "__start", "__end")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("window_end") - F.col("window_start") + 1)
+            .cast("long")
+            .alias("covered_toks")
+        )
+    )
+    out = sizes.join(covered, id_col, "left")
+    cov = F.coalesce(F.col("covered_toks"), F.lit(0).cast("long"))
+    return out.select(
+        F.col(id_col),
+        F.col("n_toks"),
+        cov.alias("covered_toks"),
+        F.when(F.col("n_toks") > 0, F.round(cov / F.col("n_toks"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

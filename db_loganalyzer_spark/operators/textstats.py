@@ -509,3 +509,75 @@ def zipf_fit(
             (denx > 0) & (deny > 0), (num / F.sqrt(denx)) / F.sqrt(deny)
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-classifier quality gate (inference shape)
+# ---------------------------------------------------------------------------
+
+
+def hashed_weight_table(
+    df: DataFrame,
+    text_col: str = "text",
+    mod: int = 1_000_000_007,
+    scale: int = 1000,
+) -> DataFrame:
+    """A linear text classifier's weight vector as a DataFrame — one
+    (term, integer milli-weight) row per vocabulary term. The weights
+    here are a deterministic hash projection into [-scale, scale]
+    (training is out of scope; a fasttext/CCNet-style learned vector
+    drops in as the same two-column table), which keeps the INFERENCE
+    path — the part that runs at 100 TB — fully oracle-checkable."""
+    vocab = df.select(F.explode(tokens(text_col)).alias("term")).distinct()
+    wt = (_token_hash(F.col("term"), mod) % (2 * scale + 1)) - scale
+    return vocab.select("term", wt.cast("long").alias("weight_milli"))
+
+
+def classifier_gate(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """T18 — linear-classifier quality filtering, the CCNet/GPT-3 corpus
+    move (a learned LM-vs-crawl classifier scores every document; only
+    high scorers train): explode tokens, broadcast-join the weight
+    table, one exact integer sum per document, keep where the mean
+    weight exceeds ``threshold_milli``/1000.
+
+    Scale shape: the weight table is vocabulary-sized (100k–1M rows ≪
+    the corpus), so the join is an explicit ``broadcast`` — no shuffle
+    of the exploded fact side; the only exchange is the per-document
+    groupBy, which map-side combines. Scores are integer milli-weight
+    sums (order-independent — no float accumulation nondeterminism);
+    the single float op is the final division. OOV terms weigh 0.
+
+    ``quality_gate`` is the rule-based sibling; this is the learned-
+    model slot of the same pipeline stage.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    agg = (
+        tok.join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(F.coalesce("weight_milli", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("score_sum_milli"),
+        )
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    n = F.coalesce(F.col("n_toks"), F.lit(0).cast("long"))
+    s = F.coalesce(F.col("score_sum_milli"), F.lit(0).cast("long"))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_toks"),
+        s.alias("score_sum_milli"),
+        F.when(n > 0, F.round(s / (n * 1000), 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_weight"),
+        (s > F.lit(threshold_milli) * n).alias("keep"),
+    )

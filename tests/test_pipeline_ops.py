@@ -2198,3 +2198,58 @@ def test_decode_video_stats_matches_closed_form(spark, docs):
             for i in range(w * h)
         )
         assert r.sum_r == want_r
+
+
+def test_duplicated_span_stats(spark):
+    rows = [
+        (0, "a b c d e f g h"),        # shares 'a b c'/'b c d' with doc 1
+        (1, "x a b c d y z w"),
+        (2, "p q r s t u"),            # nothing duplicated
+        (3, "m n o m n o m n o"),      # within-doc repeats count (Lee et al.)
+        (4, "k k"),                    # shorter than n: still emits a row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_toks, r.covered_toks, r.dup_fraction)
+        for r in DD.duplicated_span_stats(docs, n=3, min_count=2).collect()
+    }
+    assert out[0] == (8, 4, 0.5)       # [0,2] u [1,3] -> 4 positions
+    assert out[1] == (8, 4, 0.5)       # [1,3] u [2,4]
+    assert out[2] == (6, 0, 0.0)
+    assert out[3] == (9, 9, 1.0)       # overlapping repeats tile the doc
+    assert out[4] == (2, 0, 0.0)
+
+
+def test_classifier_gate(spark, docs):
+    weights = spark.createDataFrame(
+        [("quick", 500), ("lazy", -2000), ("spark", 1000)],
+        "term string, weight_milli long",
+    )
+    out = {
+        r.doc_id: (r.n_toks, r.score_sum_milli, r.keep)
+        for r in TS.classifier_gate(docs, weights).collect()
+    }
+    # doc 0: quick(500) + lazy(-2000), 9 tokens -> sum -1500, rejected
+    assert out[0] == (9, -1500, False)
+    # doc 3 mentions spark: +1000 over 8 tokens -> kept
+    assert out[3] == (8, 1000, True)
+    # OOV-only doc scores 0 and is rejected (threshold is strict)
+    assert out[4] == (1, 0, False)
+    # empty doc still emits a row
+    assert out[5] == (0, 0, False)
+
+
+def test_hashed_weight_table_matches_token_hash(spark):
+    df = spark.createDataFrame([(0, "alpha beta alpha")], "doc_id long, text string")
+    wt = {r.term: r.weight_milli for r in TS.hashed_weight_table(df).collect()}
+    assert set(wt) == {"alpha", "beta"}
+    assert all(-1000 <= w <= 1000 for w in wt.values())
+
+    def py_hash(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % 1_000_000_007
+        return acc % 2001 - 1000
+
+    assert wt["alpha"] == py_hash("alpha")
+    assert wt["beta"] == py_hash("beta")

@@ -178,6 +178,9 @@ BROADCAST_OK = {
            "contract); pass False for a fact-scale static side"),
     ("db_loganalyzer_spark/operators/joins.py", "attach_global_stats"): (
         1, "1-row global stats frame"),
+    ("db_loganalyzer_spark/operators/textstats.py", "classifier_gate"): (
+        1, "vocabulary-sized weight table (the linear classifier's model, "
+           "100k-1M rows, grows sublinearly in the corpus)"),
     ("db_loganalyzer_spark/operators/joins.py", "lookup_with_fallback"): (
         2, "baseline lookup frames, bounded by metric vocabulary"),
     ("db_loganalyzer_spark/operators/joins.py", "bloom_prefilter"): (
