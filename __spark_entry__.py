@@ -7280,6 +7280,103 @@ FROM base b LEFT JOIN scored s USING (doc_id)
 """
 
 
+def pipe03_vlm_manifest(spark, sf_dir):
+    """PIPE03 — vision-language training-manifest assembly, end to end:
+    REAL image decode (mm01's pure_python_decode_backend over actual
+    BMP/PPM byte streams, mapInPandas) -> ViT patch accounting (ceil
+    tiling, pure column math) -> caption token counts joined on the
+    document table -> quality gate (caption length + pixel floor) ->
+    per-(format, source) compute-budget selection (id-ordered exact
+    integer cumulative cost, patches + caption tokens <= 200). The
+    multimodal twin of pipe01/pipe02: those assemble a text corpus;
+    this pins the image-text pair pipeline every VLM run fronts.
+
+    Scale shape: decode is narrow (partition-preserving); the only
+    shuffles are the id join and the (format, source)-keyed window —
+    budget groups are bounded by |formats| x |sources|, and a corpus
+    with giant single domains splits budgets by shard exactly like
+    pack01. The oracle restates decode dims closed-form, so a wrong
+    header parse upstream of the manifest fails the hash."""
+    from pyspark.sql import Window
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_media,
+        media_table_synthetic_images,
+        pure_python_decode_backend,
+    )
+    from db_loganalyzer_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        media_table_synthetic_images(docs),
+        decode_backend=pure_python_decode_backend,
+    )
+    n_patches = (
+        F.ceil(F.col("width") / 4) * F.ceil(F.col("height") / 4)
+    ).cast("long")
+    caps = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source"),
+        token_count("text").cast("long").alias("caption_toks"),
+    )
+    m = (
+        decoded.select(
+            "media_id", "format", "width", "height",
+            n_patches.alias("n_patches"),
+        )
+        .join(caps, "media_id")
+        .filter(
+            (F.col("caption_toks") >= 8)
+            & (F.col("width") * F.col("height") >= 30)
+        )
+    )
+    w = (
+        Window.partitionBy("format", "source")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.withColumn(
+            "cum_cost",
+            F.sum(F.col("n_patches") + F.col("caption_toks"))
+            .over(w)
+            .cast("long"),
+        )
+        .filter(F.col("cum_cost") <= 200)
+        .select(
+            "media_id", "format", "source", "width", "height",
+            "n_patches", "caption_toks", "cum_cost",
+        )
+    )
+
+
+PIPE03_SQL = r"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+         source,
+         CAST(4 + doc_id % 13 AS INT) AS width,
+         CAST(3 + doc_id % 7 AS INT) AS height,
+         len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '')) AS caption_toks
+  FROM documents
+), g AS (
+  SELECT media_id, format, source, width, height,
+         CAST(ceil(width / 4.0) * ceil(height / 4.0) AS BIGINT) AS n_patches,
+         CAST(caption_toks AS BIGINT) AS caption_toks
+  FROM d WHERE caption_toks >= 8 AND width * height >= 30
+)
+SELECT media_id, format, source, width, height, n_patches, caption_toks,
+       cum_cost
+FROM (
+  SELECT *, CAST(SUM(n_patches + caption_toks) OVER (
+           PARTITION BY format, source ORDER BY media_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+  FROM g
+) WHERE cum_cost <= 200
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7306,6 +7403,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- new in r10 ----
     "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
     "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
+    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m19c_title_edit_distance_capped": (
