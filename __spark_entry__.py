@@ -7377,6 +7377,79 @@ FROM (
 """
 
 
+def s11_csv_roundtrip(spark, sf_dir):
+    """S11 — delimited-text trace ingest with a quarantine lane
+    (sources/delimited.py), proven by a full round trip: export events
+    as headerless CSV (distributed write; microsecond timestamp
+    strings, default quoting around the JSON props column), drop three
+    deliberately malformed lines into the glob, then re-ingest with the
+    explicit schema + PERMISSIVE corrupt-record column and aggregate.
+    The oracle aggregates the same events straight from parquet plus a
+    constant 3-row corrupt lane — so a timestamp pattern drift, a
+    quoting/escape asymmetry, a double that doesn't round-trip, or a
+    real row leaking into (or out of) quarantine each fails the hash.
+    The third format slot of the reference's trace dispatch
+    (fdb_log_parser.py xml|json), with S2's nothing-silently-dropped
+    fallback contract."""
+    import os as _os
+
+    from db_loganalyzer_spark.sources.delimited import (
+        read_events_csv,
+        write_events_csv,
+    )
+
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".scratch")
+    path = _os.path.join(
+        base, "s11_csv_" + _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    write_events_csv(_t(spark, sf_dir, "events"), path)
+    with open(_os.path.join(path, "zz_malformed.csv"), "w") as fh:
+        for _ in range(3):
+            fh.write("### corrupt trace line ###\n")
+    df = read_events_csv(spark, path)
+    # One tagged pass: corrupt rows become their own group with masked
+    # fields (also sidesteps Spark's corrupt-column-only plan rule —
+    # a plan projecting nothing but _corrupt_record is disallowed).
+    # n_parsed_ids references event_id on purpose: the malformed token
+    # sits in that position, and the parser only attempts columns a
+    # query references (see read_events_csv's pruning contract) — drop
+    # it and the bad lines silently stop tripping quarantine.
+    ok = F.col("_corrupt_record").isNull()
+    tagged = df.select(
+        F.when(ok, F.col("event_type")).otherwise("_corrupt").alias(
+            "event_type"
+        ),
+        F.when(ok, F.col("event_id")).alias("event_id"),
+        F.when(ok, F.col("ts")).alias("ts"),
+        F.when(ok, F.col("value")).alias("value"),
+        F.when(ok, F.col("props")).alias("props"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("event_id").cast("long").alias("n_parsed_ids"),
+        F.unix_micros(F.min("ts")).alias("min_us"),
+        F.unix_micros(F.max("ts")).alias("max_us"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_value_micro"),
+        F.sum(F.length("props")).cast("long").alias("sum_props_len"),
+    )
+
+
+S11_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(event_id) AS BIGINT) AS n_parsed_ids,
+       epoch_us(MIN(ts)) AS min_us, epoch_us(MAX(ts)) AS max_us,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro,
+       CAST(SUM(length(props)) AS BIGINT) AS sum_props_len
+FROM events GROUP BY 1
+UNION ALL
+SELECT '_corrupt', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+       NULL, NULL, NULL, NULL
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7404,6 +7477,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
     "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
     "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
+    "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m19c_title_edit_distance_capped": (

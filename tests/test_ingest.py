@@ -231,3 +231,59 @@ def test_multi_file_per_file_offsets(spark, fixture_dir, tmp_path):
     legacy = TL.read_trace_events(spark, [str(a), str(b)], id_offset=100)
     ids = [r["event_id"] for r in legacy.collect()]
     assert sorted(ids) == [101, 101, 102, 103]
+
+
+# ---------------------------------------------------------------------------
+# S11: delimited-text (CSV) source with the quarantine lane
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    from db_loganalyzer_spark.sources import delimited as DL
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00.123456", 7, "click", 1.5,
+             '{"k":"v, with comma","q":"has \\"quotes\\""}'),
+            (2, "2024-01-02 10:20:30.000001", 8, "error", -0.25, None),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    path = str(tmp_path / "csv_rt")
+    DL.write_events_csv(src, path)
+    back = DL.read_events_csv(spark, path)
+    rows = {r.event_id: r for r in back.collect()}
+    assert rows[1].ts.microsecond == 123456          # micros survive
+    assert rows[1].value == 1.5 and rows[2].value == -0.25
+    assert rows[1].props == '{"k":"v, with comma","q":"has \\"quotes\\""}'
+    assert rows[2].props is None
+    assert all(r._corrupt_record is None for r in rows.values())
+
+
+def test_csv_corrupt_lane_requires_referenced_column(spark, tmp_path):
+    """The pruning contract from read_events_csv's docstring: the parser
+    only attempts referenced columns, so quarantine fires only when the
+    query touches the column the malformed token lands in."""
+    from db_loganalyzer_spark.sources import delimited as DL
+
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "p")],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    path = str(tmp_path / "csv_bad")
+    DL.write_events_csv(src, path)
+    (tmp_path / "csv_bad" / "zz_bad.csv").write_text("not-a-long\n")
+    back = DL.read_events_csv(spark, path)
+    # referencing event_id forces its parse -> the bad line is quarantined
+    split = back.select(
+        F.col("event_id"), F.col("_corrupt_record").isNotNull().alias("bad")
+    ).collect()
+    assert {(r.event_id, r.bad) for r in split} == {(None, True), (1, False)}
