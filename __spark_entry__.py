@@ -7450,6 +7450,121 @@ SELECT '_corrupt', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
 """
 
 
+def st18_streaming_decontaminate(spark, sf_dir):
+    """ST18 — ingest-time benchmark decontamination: arriving documents
+    anti-join a STANDING eval-set fingerprint table (doc_id % 50 == 0,
+    the same eval slice pipe01/pipe02 decontaminate against) on the
+    exact rolling-hash document fingerprint (t04) — a STATELESS
+    stream-static left_anti join, so a training document that matches
+    any eval fingerprint is dropped before it ever lands in the corpus.
+    Zero state-store rows at any corpus size (the eval table lives in
+    storage; Spark re-broadcasts it per micro-batch); the streaming
+    twin of m06's batch decontamination, as st14 is of m15's near-dup
+    probe. Eval docs themselves drop out by self-match, so output =
+    corpus minus exact eval clones."""
+    from db_loganalyzer_spark.operators.textstats import (
+        fingerprint,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_fps = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    out = (
+        stream.select(
+            "doc_id",
+            "source",
+            fingerprint("text").alias("fp"),
+            token_count("text").cast("long").alias("n_toks"),
+        )
+        .join(eval_fps, "fp", "left_anti")
+        .select("doc_id", "source", "n_toks")
+    )
+    return _drain(out, "st18")
+
+
+ST18_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                              list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, x) -> (acc * 131 + x) % 1000000007))),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+  FROM base
+)
+SELECT doc_id, source, n_toks
+FROM f WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id % 50 = 0)
+"""
+
+
+def st19_streaming_csv_ingest(spark, sf_dir):
+    """ST19 — streaming delimited-text ingest (s11's streaming form,
+    sources/delimited.read_events_csv_stream): the landing-directory
+    model for a fleet that exports CSV shards — the file-source stream
+    picks them up, the PERMISSIVE quarantine lane rides along per
+    micro-batch, and the stateless tagged projection (corrupt rows
+    become their own group with masked fields) is drained append-mode;
+    the aggregation happens batch-side over the drain, so the stream
+    itself holds zero state. Same oracle as s11: the parquet-direct
+    aggregate plus the constant 3-row quarantine lane — a timestamp,
+    quoting, or quarantine drift in the STREAMING scan fails the same
+    hash the batch scan must pass. n_parsed_ids references event_id on
+    purpose (the pruning contract on read_events_csv)."""
+    import os as _os
+
+    from db_loganalyzer_spark.sources.delimited import (
+        read_events_csv_stream,
+        write_events_csv,
+    )
+
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".scratch")
+    path = _os.path.join(
+        base, "st19_csv_" + _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    write_events_csv(_t(spark, sf_dir, "events"), path)
+    with open(_os.path.join(path, "zz_malformed.csv"), "w") as fh:
+        for _ in range(3):
+            fh.write("### corrupt trace line ###\n")
+    df = read_events_csv_stream(spark, path)
+    ok = F.col("_corrupt_record").isNull()
+    tagged = df.select(
+        F.when(ok, F.col("event_type")).otherwise("_corrupt").alias(
+            "event_type"
+        ),
+        F.when(ok, F.col("event_id")).alias("event_id"),
+        F.when(ok, F.col("ts")).alias("ts"),
+        F.when(ok, F.col("value")).alias("value"),
+        F.when(ok, F.col("props")).alias("props"),
+    )
+    return _drain(tagged, "st19").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("event_id").cast("long").alias("n_parsed_ids"),
+        F.unix_micros(F.min("ts")).alias("min_us"),
+        F.unix_micros(F.max("ts")).alias("max_us"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_value_micro"),
+        F.sum(F.length("props")).cast("long").alias("sum_props_len"),
+    )
+
+
+ST19_SQL = S11_SQL
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7473,11 +7588,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
+    # r10 session 2 added 6 more new entries (m22 exact-substring spans,
+    # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
+    # round-trip, st18 streaming decontamination, st19 streaming CSV
+    # ingest) placed BELOW the 23-row r6-stale block so the verdict-
+    # flagged rotation still happens; they displace six r7 rows
+    # (f10/f11/j01/j02/j05/w02) to r11.
     # ---- new in r10 ----
-    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
-    "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
-    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
-    "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m19c_title_edit_distance_capped": (
@@ -7530,6 +7647,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
     "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
     "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
+    # ---- new in r10 session 2 (below the r6-stale block so those
+    # rows still rotate; displaces five r7 rows instead) ----
+    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
+    "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
+    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
+    "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
+    "st18_streaming_decontaminate": (st18_streaming_decontaminate, ST18_SQL),
+    "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

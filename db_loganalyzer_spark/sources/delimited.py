@@ -73,3 +73,27 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
         "props",
         "_corrupt_record",
     )
+
+
+def read_events_csv_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The streaming twin of ``read_events_csv``: a file-source CSV
+    stream over a landing directory — ingest drops delimited shards,
+    the stream picks them up; the PERMISSIVE quarantine lane rides
+    along per micro-batch. Same explicit schema (a stream cannot
+    infer), same pruning contract."""
+    df = (
+        spark.readStream.schema(EVENTS_CSV_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", "false")
+        .csv(path)
+    )
+    return df.select(
+        "event_id",
+        F.to_timestamp("ts_str", _TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "_corrupt_record",
+    )

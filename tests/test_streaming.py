@@ -1181,3 +1181,68 @@ def test_st17_streaming_winnowing_probe(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert got_n == want and len(want) > 0
+
+
+def test_st18_streaming_decontaminate_drops_eval_clones(
+    spark, tmp_path_factory
+):
+    """An exact clone of an eval-slice document (doc_id % 50 == 0) must
+    be dropped at ingest, clean documents must pass, and the eval docs
+    themselves drop by self-match."""
+    import __spark_entry__ as entry_mod
+
+    d = tmp_path_factory.mktemp("st18")
+    rows = [
+        (0, "held out benchmark prompt", "eval", "en", 24),   # eval slice
+        (1, "an ordinary training document", "web", "en", 29),
+        (2, "Held  OUT   benchmark prompt", "web", "en", 28),  # clone of 0
+        (3, "another clean training text", "web", "en", 27),
+    ]
+    import glob
+    import shutil
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "_tmp"))
+    # the landing-dir layout is one file per table, like the testdata
+    shutil.move(
+        glob.glob(str(d / "_tmp" / "part-*.parquet"))[0],
+        str(d / "documents.parquet"),
+    )
+    shutil.rmtree(str(d / "_tmp"))
+    got = {
+        r.doc_id
+        for r in entry_mod.st18_streaming_decontaminate(
+            spark, str(d)
+        ).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_st19_csv_stream_quarantines_in_flight(spark, tmp_path):
+    """The CSV stream's quarantine lane works per micro-batch: malformed
+    shard lines surface via _corrupt_record, parsed rows keep values."""
+    from db_loganalyzer_spark.sources import delimited as DL
+
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.000007", 7, "click", 2.0, "p")],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    path = str(tmp_path / "csv_stream")
+    DL.write_events_csv(src, path)
+    (tmp_path / "csv_stream" / "zz_bad.csv").write_text("bad-line\n")
+    stream = DL.read_events_csv_stream(spark, path)
+    assert stream.isStreaming
+    import __spark_entry__ as entry_mod
+
+    got = entry_mod._drain(
+        stream.select("event_id", "ts", "_corrupt_record"), "st19t"
+    ).collect()
+    by_bad = {r._corrupt_record is not None: r for r in got}
+    assert by_bad[False].event_id == 1
+    assert by_bad[False].ts.microsecond == 7
+    assert by_bad[True].event_id is None
