@@ -7565,6 +7565,83 @@ ST19_SQL = S11_SQL
 
 
 
+def pack02_padded_batches(spark, sf_dir):
+    """PACK02 — padded-batch accounting (sampling.padded_batches): the
+    fine-tuning/inference packing regime, where every sequence in a
+    batch pads to the batch max — so LENGTH-SORTED batching (order by
+    tokens desc before slicing into batches of 8) is the waste
+    mitigation, and pad_toks = max*n - sum is the metric. Exact
+    integers end to end; one key shuffle per group like pack01, whose
+    concat-packing covers the pretraining regime."""
+    from db_loganalyzer_spark.operators.sampling import padded_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    return padded_batches(docs, batch_size=8, by=["source"])
+
+
+PACK02_SQL = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+), rn AS (
+  SELECT source, n_toks,
+         row_number() OVER (PARTITION BY source ORDER BY n_toks DESC, doc_id) AS rn
+  FROM base
+)
+SELECT source, CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       MAX(n_toks) AS max_toks,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT) AS pad_toks
+FROM rn GROUP BY 1, 2
+"""
+
+
+def opt01_zorder_layout(spark, sf_dir):
+    """OPT01 — Z-order layout audit (layout.zorder_layout_audit) over
+    events keyed by (user_id, event time): the decision input for a
+    Delta/Iceberg-style OPTIMIZE ZORDER rewrite — per key-range bucket,
+    the row count and the bounding box in BOTH dimensions on the 16-bit
+    grid. The whole key path is exact int64 (the epoch-us numerator
+    passes 2^53, so float normalization would silently mis-bucket —
+    grid_terms documents the trap); the Morton interleave is an
+    unrolled codegen projection, and output is bounded by 2^8 buckets.
+    The oracle restates normalization + interleave with BIGINT // and a
+    list_reduce over the 16 bit positions."""
+    from db_loganalyzer_spark.operators.layout import zorder_layout_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return zorder_layout_audit(ev, "user_id", "ts_us")
+
+
+OPT01_SQL = r"""
+WITH b AS (
+  SELECT CAST(MIN(user_id) AS BIGINT) AS xmin, CAST(MAX(user_id) AS BIGINT) AS xmax,
+         MIN(epoch_us(ts)) AS ymin, MAX(epoch_us(ts)) AS ymax
+  FROM events
+), g AS (
+  SELECT ((user_id - xmin) * 65535) // greatest(xmax - xmin, 1) AS gx,
+         ((epoch_us(ts) - ymin) * 65535) // greatest(ymax - ymin, 1) AS gy
+  FROM events, b
+), z AS (
+  SELECT gx, gy,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(0, 15), k ->
+             (((gx >> k) & 1) << (2 * k + 1)) + (((gy >> k) & 1) << (2 * k)))),
+           (a, x) -> a + x) AS zk
+  FROM g
+)
+SELECT CAST(zk >> 24 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(gx) AS x_lo, MAX(gx) AS x_hi, MIN(gy) AS y_lo, MAX(gy) AS y_hi
+FROM z GROUP BY 1
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7588,12 +7665,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 6 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 8 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
-    # ingest) placed BELOW the 23-row r6-stale block so the verdict-
-    # flagged rotation still happens; they displace six r7 rows
-    # (f10/f11/j01/j02/j05/w02) to r11.
+    # ingest, pack02 padded-batch accounting, opt01 z-order layout
+    # audit) placed BELOW the 23-row r6-stale block so the verdict-
+    # flagged rotation still happens; they displace eight r7 rows
+    # (f06/f08/f10/f11/j01/j02/j05/w02) to r11.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -7655,6 +7733,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
     "st18_streaming_decontaminate": (st18_streaming_decontaminate, ST18_SQL),
     "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
+    "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
+    "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -1,0 +1,113 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+At 100 TB the scan is the query: parquet row groups are skipped by
+min/max statistics, and those statistics are only tight if the write
+LAYOUT clusters the filter columns. A sort on one column gives perfect
+pruning on it and none on any other; interleaving the bits of two
+columns into a Morton (Z-order) key — the technique behind Delta Lake's
+``OPTIMIZE ZORDER BY`` and Iceberg's z-ordered rewrites — makes every
+key-range bucket a small rectangle in BOTH dimensions, so predicates on
+either column skip most buckets.
+
+Everything here is exact integer column math (closed under any SQL
+engine): min/max normalization to a ``bits``-wide grid, an unrolled
+bit-interleave (whole-stage codegen keeps it one projection), and a
+bucket audit that reports the per-bucket bounding box — the quantity
+that IS the skipping effectiveness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_terms(v: Column, vmin: Column, vmax: Column, bits: int = 16):
+    """Numerator/denominator of the exact-integer grid scaling
+    ``(v - vmin) * (2^bits - 1) div (vmax - vmin)``: returned as a pair
+    so the caller can materialize them as named columns and divide with
+    SQL ``div`` — INTEGER division on BIGINT. The numerator reaches
+    ~1.7e17 for epoch-microsecond domains, past double's 2^53 exact
+    range, so a float division here would silently mis-bucket; the
+    whole key path must stay in int64 (both engines agree on
+    non-negative ``div``/``//``). Constant-domain degenerate case maps
+    to 0 via span=1 on an all-zero numerator."""
+    top = (1 << bits) - 1
+    num = (v - vmin) * top
+    span = F.greatest(vmax - vmin, F.lit(1).cast("long"))
+    return num.cast("long"), span.cast("long")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton interleave of two ``bits``-wide non-negative integers:
+    bit k of x lands at position 2k+1, bit k of y at 2k. Unrolled at
+    plan-build time (bits is a Python int), so the whole key is ONE
+    codegen'd projection — no UDF, no loop at run time."""
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+            + F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k)
+        )
+    return z
+
+
+def zorder_layout_audit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """OPT01 — audit what a Z-ordered rewrite of ``df`` would buy: key
+    every row by the Morton interleave of (x, y), split the key range
+    into ``2^bucket_bits`` contiguous buckets (the stand-ins for output
+    files), and report each bucket's row count and per-dimension
+    bounding box on the normalized grid. Tight boxes in BOTH columns =
+    a filter on EITHER column prunes most buckets; a linear sort would
+    show full-width boxes in the secondary column.
+
+    Plan shape: one 1-row bounds aggregate broadcast back (the j02
+    pattern — four longs, never data-sized), one projection for the
+    key, one groupBy on the bucket (bounded output: <= 2^bucket_bits
+    rows). The write itself would be ``df.repartitionByRange(N,
+    zkey)`` + sortWithinPartitions — this audit is the decision input,
+    same scan cost as any full aggregate.
+    """
+    bounds = df.agg(
+        F.min(x_col).cast("long").alias("__xmin"),
+        F.max(x_col).cast("long").alias("__xmax"),
+        F.min(y_col).cast("long").alias("__ymin"),
+        F.max(y_col).cast("long").alias("__ymax"),
+    )
+    d = df.crossJoin(F.broadcast(bounds))
+    numx, spanx = grid_terms(
+        F.col(x_col).cast("long"), F.col("__xmin"), F.col("__xmax"), bits
+    )
+    numy, spany = grid_terms(
+        F.col(y_col).cast("long"), F.col("__ymin"), F.col("__ymax"), bits
+    )
+    # materialize numerators/spans as named columns, divide with SQL
+    # `div` (exact int64 — see grid_terms), then codegen shares the two
+    # grid columns across the 2*bits interleave terms
+    keyed = d.select(
+        numx.alias("__nx"), spanx.alias("__sx"),
+        numy.alias("__ny"), spany.alias("__sy"),
+    ).select(
+        F.expr("__nx div __sx").alias("gx"),
+        F.expr("__ny div __sy").alias("gy"),
+    )
+    z = zorder_key(F.col("gx"), F.col("gy"), bits)
+    bucketed = keyed.select(
+        "gx",
+        "gy",
+        F.shiftright(z, 2 * bits - bucket_bits).cast("long").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gx").alias("x_lo"),
+        F.max("gx").alias("x_hi"),
+        F.min("gy").alias("y_lo"),
+        F.max("gy").alias("y_hi"),
+    )

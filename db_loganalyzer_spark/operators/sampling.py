@@ -306,3 +306,54 @@ def weighted_priority_sample(
         .orderBy(F.desc("priority"), F.col(id_col))
         .limit(k)
     )
+
+
+def padded_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    by: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length_sorted: bool = True,
+) -> DataFrame:
+    """PACK02 — padded-batch accounting, the OTHER packing regime: where
+    ``pack_sequences`` concatenates documents into fixed token budgets
+    (pretraining), fine-tuning/inference batches PAD every sequence to
+    the batch max — so batch composition, not bin fill, decides the
+    waste. ``length_sorted=True`` pins the standard mitigation (sort by
+    length before batching, so batch members have near-equal lengths
+    and ``max*n - sum ≈ 0``); ``False`` is the naive arrival-order
+    baseline the sorted form is measured against.
+
+    Per group: order by (tokens desc, id) [or (id) when unsorted],
+    row_number, batch = (rn-1) / batch_size, then one groupBy emits
+    n_seqs, max/sum tokens and the padding waste — exact integers, one
+    key shuffle, key-parallel like pack_sequences. The ragged tail
+    batch is included (its padding is real).
+    """
+    from db_loganalyzer_spark.operators.textstats import token_count
+
+    by = list(by or ["source"])
+    d = df.select(
+        *by,
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+    )
+    order = (
+        [F.col("n_toks").desc(), F.col(id_col)]
+        if length_sorted
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy(*by).orderBy(*order)
+    batched = d.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    return batched.groupBy(*(by + ["batch_id"])).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.max("n_toks").cast("long").alias("max_toks"),
+        F.sum("n_toks").cast("long").alias("sum_toks"),
+        (F.max("n_toks") * F.count(F.lit(1)) - F.sum("n_toks"))
+        .cast("long")
+        .alias("pad_toks"),
+    )

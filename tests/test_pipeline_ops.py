@@ -2253,3 +2253,73 @@ def test_hashed_weight_table_matches_token_hash(spark):
 
     assert wt["alpha"] == py_hash("alpha")
     assert wt["beta"] == py_hash("beta")
+
+
+def test_zorder_key_known_values(spark):
+    from db_loganalyzer_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for k in range(16):
+            z |= ((x >> k) & 1) << (2 * k + 1) | ((y >> k) & 1) << (2 * k)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y)
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2 and got[(0, 1)] == 1   # x bits land higher
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_layout_audit_clusters_both_dims(spark):
+    """Points on a diagonal: every z-range bucket must be a small box in
+    BOTH dimensions (that is the whole point of the interleave)."""
+    from db_loganalyzer_spark.operators.layout import zorder_layout_audit
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    out = zorder_layout_audit(df, "x", "y", bits=16, bucket_bits=4).collect()
+    assert sum(r.n for r in out) == n
+    for r in out:
+        # 4 bucket bits = 2 bits per dimension: every box spans at most
+        # a quarter of the 16-bit grid in EACH dimension (a linear sort
+        # would give full-width boxes in the secondary one)
+        assert (r.x_hi - r.x_lo) < 65536 / 4
+        assert (r.y_hi - r.y_lo) < 65536 / 4
+
+
+def test_padded_batches_accounting(spark):
+    from db_loganalyzer_spark.operators.sampling import padded_batches
+
+    rows = [
+        (0, "a " * 10, "s"), (1, "b " * 2, "s"),
+        (2, "c " * 10, "s"), (3, "d " * 2, "s"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    sorted_out = {
+        r.batch_id: (r.n_seqs, r.max_toks, r.sum_toks, r.pad_toks)
+        for r in padded_batches(docs, batch_size=2, by=["source"]).collect()
+    }
+    # length-sorted: (10,10) batch then (2,2) batch -> zero padding
+    assert sorted_out == {0: (2, 10, 20, 0), 1: (2, 2, 4, 0)}
+    naive = {
+        r.batch_id: r.pad_toks
+        for r in padded_batches(
+            docs, batch_size=2, by=["source"], length_sorted=False
+        ).collect()
+    }
+    # id order pairs each (10, 2): 8 padding tokens per batch
+    assert naive == {0: 8, 1: 8}

@@ -181,6 +181,8 @@ BROADCAST_OK = {
     ("db_loganalyzer_spark/operators/textstats.py", "classifier_gate"): (
         1, "vocabulary-sized weight table (the linear classifier's model, "
            "100k-1M rows, grows sublinearly in the corpus)"),
+    ("db_loganalyzer_spark/operators/layout.py", "zorder_layout_audit"): (
+        1, "1-row min/max bounds frame (four longs)"),
     ("db_loganalyzer_spark/operators/joins.py", "lookup_with_fallback"): (
         2, "baseline lookup frames, bounded by metric vocabulary"),
     ("db_loganalyzer_spark/operators/joins.py", "bloom_prefilter"): (
