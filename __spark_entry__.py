@@ -7273,7 +7273,7 @@ SELECT b.doc_id,
        CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
        CAST(COALESCE(s.score_sum_milli, 0) AS BIGINT) AS score_sum_milli,
        CASE WHEN COALESCE(s.n_toks, 0) > 0
-            THEN ROUND(s.score_sum_milli * 1.0 / (s.n_toks * 1000), 6)
+            THEN s.score_sum_milli / (s.n_toks * 1000)
             ELSE 0.0 END AS mean_weight,
        COALESCE(s.score_sum_milli, 0) > 0 AS keep
 FROM base b LEFT JOIN scored s USING (doc_id)

@@ -572,11 +572,16 @@ def classifier_gate(
     out = df.select(id_col).join(agg, id_col, "left")
     n = F.coalesce(F.col("n_toks"), F.lit(0).cast("long"))
     s = F.coalesce(F.col("score_sum_milli"), F.lit(0).cast("long"))
+    # UNROUNDED mean on purpose: both operands are exact integers, so
+    # the IEEE division is correctly rounded and bit-identical on any
+    # engine — a ROUND(x, 6) here would reintroduce engine-specific
+    # tie-breaking exactly at the .0000005 boundaries integer
+    # milli-sums love to land on (4 of 5000 docs at sf0.1 did).
     return out.select(
         F.col(id_col),
         n.alias("n_toks"),
         s.alias("score_sum_milli"),
-        F.when(n > 0, F.round(s / (n * 1000), 6))
+        F.when(n > 0, s / (n * 1000))
         .otherwise(F.lit(0.0))
         .alias("mean_weight"),
         (s > F.lit(threshold_milli) * n).alias("keep"),
