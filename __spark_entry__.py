@@ -7642,6 +7642,50 @@ FROM z GROUP BY 1
 
 
 
+def sim06_quantized_gemm_topk(spark, sf_dir):
+    """SIM06 — exact rerank top-k via blocked integer GEMM (similarity.
+    quantized_gemm_topk): vectors quantized to int16-style milli-units
+    on BOTH sides, so the numpy batch-GEMM inside mapInPandas computes
+    exact int64 dot products — addition order stops mattering and the
+    unrounded cosine hash-matches the oracle's sequential list_sum.
+    Each partition emits only its local top-k per query (shuffle is
+    k x partitions x queries, never the corpus). Same query set and
+    rank contract as sim01; the pytest additionally pins sim06 == the
+    quantized SQL restatement while running ~one BLAS call per batch
+    instead of one JVM fold per (query,row)."""
+    from db_loganalyzer_spark.operators.similarity import quantized_gemm_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return quantized_gemm_topk(emb, queries, k=10)
+
+
+SIM06_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])) AS DOUBLE)))
+           AS cosine
+  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7665,13 +7709,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 8 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 9 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
-    # audit) placed BELOW the 23-row r6-stale block so the verdict-
-    # flagged rotation still happens; they displace eight r7 rows
-    # (f06/f08/f10/f11/j01/j02/j05/w02) to r11.
+    # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
+    # r6-stale block so the verdict-flagged rotation still happens;
+    # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
+    # r11, and sim06 itself sits just below the line (position 51,
+    # first of the r11 queue) — all nine are pinned green at BOTH
+    # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -7735,6 +7782,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
     "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
     "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
+    "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -372,3 +372,94 @@ def embedding_near_dups(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
         )
     )
+
+
+def quantized_gemm_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """SIM06 — exact top-k by blocked integer GEMM: the vectorized
+    rerank path. ``brute_force_topk`` evaluates one JVM dot-product
+    expression per (query, row); this ships the small query block to
+    every partition and lets numpy compute the whole (batch x queries)
+    score matrix in ONE BLAS-shaped call inside mapInPandas — the way
+    a reranker actually burns its FLOPs.
+
+    Determinism is by QUANTIZATION, not luck: both sides round the
+    vectors to integer milli-units first (exactly what production
+    int8/int16 vector stores do), so every dot product is an exact
+    int64 — addition order stops mattering, the GEMM result is
+    bit-identical to a sequential SQL ``list_sum``, and the cosine
+    (one correctly-rounded division by the sqrt-norm product) needs NO
+    rounding to hash-match the oracle. Dots stay far under 2^53
+    (64 dims x 1e6 per term), so the int->double casts are exact too.
+
+    Scale shape: each partition emits only its LOCAL top-k per query
+    (argpartition), so the shuffle is k x partitions x |queries| rows,
+    never the corpus; the global window takes the final k. Queries are
+    a rerank batch by contract — small enough to collect and close
+    over (the sim01 broadcast-query contract, same bound).
+    """
+    import numpy as np
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array(
+        [np.floor(np.asarray(r[1], dtype="float64") * scale + 0.5) for r in qrows],
+        dtype="int64",
+    )
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype("float64"))
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(
+                [
+                    np.floor(np.asarray(v, dtype="float64") * scale + 0.5)
+                    for v in pdf[vec_col]
+                ],
+                dtype="int64",
+            )
+            cids = pdf[id_col].to_numpy(dtype="int64")
+            dots = cmat @ qmat.T  # exact int64 GEMM
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype("float64"))
+            cos = dots.astype("float64") / (cnorm[:, None] * qnorm[None, :])
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                mask = cids != qid  # self-match excluded
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                take = min(k, len(idx))
+                # local top-k: order by (-cos, vec_id) like the oracle
+                order = np.lexsort((cids[idx], -col[idx]))[:take]
+                sel = idx[order]
+                out_q.extend([qid] * len(sel))
+                out_c.extend(cids[sel].tolist())
+                out_s.extend(col[sel].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "vec_id": out_c, "cosine": out_s}
+                )
+
+    local = _spread(emb).mapInPandas(
+        _score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

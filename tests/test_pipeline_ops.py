@@ -2323,3 +2323,42 @@ def test_padded_batches_accounting(spark):
     }
     # id order pairs each (10, 2): 8 padding tokens per batch
     assert naive == {0: 8, 1: 8}
+
+
+def test_quantized_gemm_topk_matches_reference_computation(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5004, 0.5, 0.0]),   # quantization rounds to (500, 500, 0)
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r.vec_id, r.cosine, r.rank)
+        for r in SIM.quantized_gemm_topk(emb, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def qcos(a, b):
+        qa = [math.floor(x * 1000 + 0.5) for x in a]
+        qb = [math.floor(x * 1000 + 0.5) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        return dot / (
+            math.sqrt(sum(x * x for x in qa)) * math.sqrt(sum(x * x for x in qb))
+        )
+
+    want = sorted(
+        ((vid, qcos(rows[0][1], v)) for vid, v in rows if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [(v, c) for v, c, _ in got] == want   # EXACT doubles, no tolerance
+    assert [r[2] for r in got] == [1, 2, 3]
+    # doc 3's cosine reflects the quantized (500,500) vector, not the raw one
+    assert got[1][0] == 3 and abs(got[1][1] - 500 / math.sqrt(500**2 + 500**2) * 1) < 1e-12
