@@ -7686,6 +7686,55 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 
 
+def t19_char_entropy(spark, sf_dir):
+    """T19 — character uni/bigram Shannon entropy per document
+    (textstats.char_entropy): the information-density quality signal
+    (gibberish and boilerplate sit at the extremes — the closed-form
+    stand-in for RefinedWeb-style compression-ratio filters). Follows
+    t16's float discipline: each count's log2 is rounded to 6 decimals
+    and scaled to exact integer micro-units BEFORE summing, so only
+    one correctly-rounded division and one subtraction of
+    deterministic doubles remain — no accumulation-order hazard."""
+    from db_loganalyzer_spark.operators.textstats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+T19_SQL = r"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+), uc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(s, '')) AS g FROM nrm)
+  GROUP BY 1, 2
+), up AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * CAST(FLOOR(ROUND(log2(CAST(cnt AS DOUBLE)), 6) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+  FROM uc GROUP BY 1
+), bc AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(s) - 1),
+                                 i -> s[i:i+1])) AS g
+    FROM nrm WHERE length(s) >= 2
+  ) GROUP BY 1, 2
+), bp AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * CAST(FLOOR(ROUND(log2(CAST(cnt AS DOUBLE)), 6) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+  FROM bc GROUP BY 1
+)
+SELECT up.doc_id,
+       up.n AS n_chars,
+       ROUND(log2(CAST(up.n AS DOUBLE)), 6) - up.sm / (up.n * 1000000.0) AS h_char,
+       bp.n AS n_bigrams,
+       ROUND(log2(CAST(bp.n AS DOUBLE)), 6) - bp.sm / (bp.n * 1000000.0) AS h_bigram
+FROM up LEFT JOIN bp USING (doc_id)
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7709,15 +7758,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 9 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 10 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11, and sim06 itself sits just below the line (position 51,
-    # first of the r11 queue) — all nine are pinned green at BOTH
+    # r11; sim06 and t19 sit just below the line (positions 51-52,
+    # front of the r11 queue) — all ten are pinned green at BOTH
     # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
@@ -7783,6 +7832,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
     "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
+    "t19_char_entropy": (t19_char_entropy, T19_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

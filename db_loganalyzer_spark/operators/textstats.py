@@ -586,3 +586,60 @@ def classifier_gate(
         .alias("mean_weight"),
         (s > F.lit(threshold_milli) * n).alias("keep"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T19 — character-level Shannon entropy per document (unigram and
+    bigram), the cheap information-density quality signal: gibberish
+    and boilerplate sit at the entropy extremes, natural text in a
+    narrow band (the compression-ratio filter of RefinedWeb/CCNet-type
+    pipelines, in closed form instead of a codec).
+
+    Determinism follows t16's discipline: each count's log2 is rounded
+    to 6 decimals and scaled to an exact integer micro-unit BEFORE the
+    per-document sum, so float accumulation order never matters; the
+    only remaining float ops are one correctly-rounded division and one
+    subtraction of deterministic doubles. H = log2(n) - sum(c*log2(c))/n
+    over the per-(doc, gram) counts — two keyed shuffles (gram counts,
+    doc reduce), scan-bound at any corpus size.
+    """
+    s = normalize_text(F.col(text_col))
+    chars = F.split(s, "")
+
+    def _h(gram_df, n_col_alias, h_alias):
+        cnt = gram_df.groupBy(id_col, "g").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        log2micro = F.floor(
+            F.round(F.log2("cnt"), 6) * 1000000 + 0.5
+        ).cast("long")
+        per = cnt.groupBy(id_col).agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * log2micro).cast("long").alias("s"),
+        )
+        h = F.round(F.log2("n"), 6) - F.col("s") / (F.col("n") * 1000000.0)
+        return per.select(
+            F.col(id_col),
+            F.col("n").alias(n_col_alias),
+            h.alias(h_alias),
+        )
+
+    uni = df.select(F.col(id_col), F.explode(chars).alias("g"))
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(
+            F.element_at(chars, i), F.element_at(chars, i + 1)
+        ),
+    )
+    bi = df.filter(F.size(chars) >= 2).select(
+        F.col(id_col), F.explode(bi_arr).alias("g")
+    )
+    h1 = _h(uni, "n_chars", "h_char")
+    h2 = _h(bi, "n_bigrams", "h_bigram")
+    return h1.join(h2, id_col, "left").select(
+        id_col, "n_chars", "h_char", "n_bigrams", "h_bigram"
+    )

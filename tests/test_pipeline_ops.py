@@ -2362,3 +2362,24 @@ def test_quantized_gemm_topk_matches_reference_computation(spark):
     assert [r[2] for r in got] == [1, 2, 3]
     # doc 3's cosine reflects the quantized (500,500) vector, not the raw one
     assert got[1][0] == 3 and abs(got[1][1] - 500 / math.sqrt(500**2 + 500**2) * 1) < 1e-12
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abababab"),        # uniform over {a,b}: H = 1 bit
+            (1, "aaaaaaaa"),        # single symbol: H = 0
+            (2, "abcd"),            # uniform over 4: H = 2 bits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TS.char_entropy(docs).collect()}
+    assert abs(out[0].h_char - 1.0) < 1e-5 and out[0].n_chars == 8
+    assert abs(out[1].h_char - 0.0) < 1e-5
+    assert abs(out[2].h_char - 2.0) < 1e-5
+    # bigrams of 'abababab': ab x4, ba x3 -> H2 = H({4/7, 3/7})
+    p = [4 / 7, 3 / 7]
+    want = -sum(x * math.log2(x) for x in p)
+    assert abs(out[0].h_bigram - want) < 1e-5 and out[0].n_bigrams == 7
