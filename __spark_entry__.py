@@ -7735,6 +7735,72 @@ FROM up LEFT JOIN bp USING (doc_id)
 
 
 
+def mm08_phash_dedup(spark, sf_dir):
+    """MM08 — near-dup IMAGE detection via perceptual hash over the
+    REAL decode path (multimodal.decode_perceptual_hash): block-pooled
+    average-hash bits computed from actually-decoded BMP/PPM pixel
+    arrays (exact integer pooling — the cross-multiplied mean
+    comparison never divides), then dedup grouping by identical hash:
+    group size and keeper (min id) via one window over the 12-bit key.
+    The multimodal twin of m01's text dedup; the oracle restates the
+    closed-form pixels through the same pooling, so a wrong block
+    assignment, channel order, or threshold tie-break fails the hash
+    on the VALUES."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_perceptual_hash,
+        media_table_synthetic_images,
+    )
+    from pyspark.sql import Window as SW
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = decode_perceptual_hash(media_table_synthetic_images(docs))
+    w = SW.partitionBy("phash")
+    return ph.select(
+        "media_id",
+        "format",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+        F.min("media_id").over(w).cast("long").alias("keeper_id"),
+    )
+
+
+MM08_SQL = r"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(3 + doc_id % 7 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT media_id, w, h, xs.x AS x, ys.y AS y,
+         ((media_id + 3 * (ys.y * w + xs.x)) % 256)
+       + ((media_id + 3 * (ys.y * w + xs.x) + 1) % 256)
+       + ((media_id + 3 * (ys.y * w + xs.x) + 2) % 256) AS gray
+  FROM m,
+       unnest(generate_series(0, w - 1)) xs(x),
+       unnest(generate_series(0, h - 1)) ys(y)
+), blocks AS (
+  SELECT media_id, ((3 * y) // h) * 4 + (4 * x) // w AS b,
+         CAST(SUM(gray) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT media_id, SUM(s) AS total, SUM(n) AS npix FROM blocks GROUP BY 1
+), hashed AS (
+  SELECT b.media_id,
+         CAST(SUM(CASE WHEN b.s * t.npix > t.total * b.n
+                       THEN 1 << b.b ELSE 0 END) AS BIGINT) AS phash
+  FROM blocks b JOIN tot t USING (media_id)
+  GROUP BY 1
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       phash,
+       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
+       CAST(MIN(media_id) OVER (PARTITION BY phash) AS BIGINT) AS keeper_id
+FROM hashed
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7758,15 +7824,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 10 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 11 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06 and t19 sit just below the line (positions 51-52,
-    # front of the r11 queue) — all ten are pinned green at BOTH
+    # r11; sim06/t19/mm08 sit just below the line (positions 51-53,
+    # front of the r11 queue) — all eleven are pinned green at BOTH
     # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
@@ -7833,6 +7899,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
+    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

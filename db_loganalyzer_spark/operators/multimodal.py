@@ -768,3 +768,52 @@ def decode_video_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_stats, schema=_VIDEO_STATS_SCHEMA)
+
+
+_PHASH_SCHEMA = "media_id long, format string, phash long"
+
+
+def decode_perceptual_hash(
+    media: DataFrame, grid_w: int = 4, grid_h: int = 3
+) -> DataFrame:
+    """MM08 — average-hash perceptual fingerprint FROM THE DECODED
+    PIXELS: block-pool the grayscale image onto a ``grid_w x grid_h``
+    grid (pixel (x, y) joins block ``(grid_h*y div h, grid_w*x div w)``
+    — the standard pooling assignment, every block non-empty whenever
+    dims >= grid), then one bit per block: block mean above the global
+    mean. All EXACT integers — the comparison is the cross-multiplied
+    ``block_sum * n_pixels > total_sum * block_n``, so no division ever
+    happens and any engine restates it bit-for-bit. The near-dup-image
+    primitive every multimodal corpus dedups with (aHash; pHash swaps
+    the pooling for a DCT in the same plumbing). Narrow mapInPandas
+    stage over the real codec path, like decode_pixel_stats."""
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "format": [], "phash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, pixels = decode_image_pixels(payload)
+                gray = [r + g + b for r, g, b in pixels]
+                total = sum(gray)
+                npix = w * h
+                bsum = [[0, 0] for _ in range(grid_w * grid_h)]
+                for y in range(h):
+                    br = grid_h * y // h
+                    for x in range(w):
+                        b = br * grid_w + grid_w * x // w
+                        bsum[b][0] += gray[y * w + x]
+                        bsum[b][1] += 1
+                bits = 0
+                for b, (s, n) in enumerate(bsum):
+                    if s * npix > total * n:
+                        bits |= 1 << b
+                out["media_id"].append(int(mid))
+                out["format"].append(
+                    "bmp" if payload[:2] == b"BM"
+                    else ("ppm" if payload[:2] == b"P6" else "pgm")
+                )
+                out["phash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_phash, schema=_PHASH_SCHEMA)

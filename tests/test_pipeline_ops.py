@@ -2383,3 +2383,45 @@ def test_char_entropy_known_values(spark):
     p = [4 / 7, 3 / 7]
     want = -sum(x * math.log2(x) for x in p)
     assert abs(out[0].h_bigram - want) < 1e-5 and out[0].n_bigrams == 7
+
+
+def test_perceptual_hash_groups_identical_images(spark):
+    """Two media with byte-identical payloads must share a phash and
+    group; a structurally different image must not (and the bits must
+    match a direct python computation over the decoded pixels)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_perceptual_hash,
+        encode_bmp,
+    )
+
+    px_a = [(255, 0, 0) if i % 2 else (0, 0, 255) for i in range(8 * 6)]
+    px_b = [(0, 255, 0)] * 24 + [(10, 10, 10)] * 24
+    pay_a = encode_bmp(8, 6, px_a)
+    pay_b = encode_bmp(8, 6, px_b)
+    media = spark.createDataFrame(
+        [(0, bytearray(pay_a)), (1, bytearray(pay_a)), (2, bytearray(pay_b))],
+        "media_id long, payload binary",
+    ).select(
+        "media_id", "payload", F.lit("image").alias("media_type"),
+        F.create_map().alias("meta"),
+    )
+    got = {r.media_id: r.phash for r in decode_perceptual_hash(media).collect()}
+    assert got[0] == got[1] != got[2]
+
+    def py_phash(payload, gw=4, gh=3):
+        w, h, pixels = decode_image_pixels(payload)
+        gray = [r + g + b for r, g, b in pixels]
+        total, npix, bits = sum(gray), w * h, 0
+        bsum = [[0, 0] for _ in range(gw * gh)]
+        for y in range(h):
+            for x in range(w):
+                b = (gh * y // h) * gw + gw * x // w
+                bsum[b][0] += gray[y * w + x]
+                bsum[b][1] += 1
+        for b, (s, n) in enumerate(bsum):
+            if s * npix > total * n:
+                bits |= 1 << b
+        return bits
+
+    assert got[0] == py_phash(pay_a) and got[2] == py_phash(pay_b)
