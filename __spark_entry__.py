@@ -7801,6 +7801,67 @@ FROM hashed
 
 
 
+def j14_pit_lookup(spark, sf_dir):
+    """J14 — point-in-time feature lookup (joins.pit_lookup over w14's
+    SCD2 intervals): for every event, the state its user was in ONE
+    HOUR EARLIER — the feature-store enrichment that keeps training
+    features serving-skew-free (the model sees what was true THEN).
+    Equi join on user_id + half-open containment against the versioned
+    dimension; versions per key are bounded by state-change counts, so
+    the band fan-in stays small. Probes before a user's first version
+    keep NULL state."""
+    from db_loganalyzer_spark.operators.joins import pit_lookup
+    from db_loganalyzer_spark.operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    scd = scd2_intervals(ev, "event_type", ["user_id"]).select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - 3600 * 1000000).alias("probe_us"),
+    )
+    out = pit_lookup(facts, scd, "user_id")
+    return out.select(
+        "event_id", "user_id", "probe_us",
+        F.col("state").alias("state_1h_ago"),
+    )
+
+
+J14_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_state,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type
+), scd AS (
+  SELECT user_id, state,
+         epoch_us(ts) AS vf,
+         epoch_us(lead(ts) OVER w2) AS vt
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT event_id, user_id, epoch_us(ts) - CAST(3600 AS BIGINT) * 1000000 AS probe_us
+  FROM events
+)
+SELECT f.event_id, f.user_id, f.probe_us, s.state AS state_1h_ago
+FROM facts f
+LEFT JOIN scd s
+  ON f.user_id = s.user_id AND f.probe_us >= s.vf
+     AND (s.vt IS NULL OR f.probe_us < s.vt)
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7824,16 +7885,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 11 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 12 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08 sit just below the line (positions 51-53,
-    # front of the r11 queue) — all eleven are pinned green at BOTH
-    # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
+    # r11; sim06/t19/mm08/j14 sit just below the line (positions
+    # 51-54, front of the r11 queue) — all twelve are pinned green at
+    # BOTH sf0.01 and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -7900,6 +7961,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
     "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
+    "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -510,3 +510,46 @@ def salted_join(
         # USING join would keep)
         joined = joined.drop(d[dim_key])
     return joined.drop("__fsalt", "__dsalt")
+
+
+def pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    probe_us: str = "probe_us",
+    valid_from_us: str = "valid_from_us",
+    valid_to_us: str = "valid_to_us",
+    state_cols: list[str] | None = None,
+) -> DataFrame:
+    """J14 — point-in-time (feature-store) lookup: each fact row joins
+    the dimension VERSION that was active at its probe time — equi join
+    on the key plus half-open containment ``valid_from <= probe <
+    valid_to`` (open current version: NULL valid_to). The enrichment
+    move that keeps training features free of serving skew: the model
+    sees what was true THEN, never a later version. SCD2 intervals
+    partition each key's timeline, so at most one version matches;
+    probes before a key's first version keep NULL state (left join).
+
+    Plan shape: a shuffled EQUI join on the key with the containment as
+    a post-join band filter — versions per key are bounded (state-change
+    counts, not event counts), so the fan-in is small; AQE's skew join
+    covers hot keys. Same scale argument as j03's equi-key-bounded
+    band join.
+
+    reference: the reference reconstructs point-in-time recovery state
+    by scanning backward per anchor (tools/recovery_detector.py:155-
+    207); this is the set-based form over a versioned dimension.
+    """
+    state_cols = list(state_cols or ["state"])
+    d = dim.select(
+        F.col(key).alias("__k"),
+        F.col(valid_from_us).alias("__vf"),
+        F.col(valid_to_us).alias("__vt"),
+        *state_cols,
+    )
+    cond = (
+        (facts[key] == d["__k"])
+        & (facts[probe_us] >= d["__vf"])
+        & (d["__vt"].isNull() | (facts[probe_us] < d["__vt"]))
+    )
+    return facts.join(d, cond, "left").drop("__k", "__vf", "__vt")

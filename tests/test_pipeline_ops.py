@@ -2425,3 +2425,31 @@ def test_perceptual_hash_groups_identical_images(spark):
         return bits
 
     assert got[0] == py_phash(pay_a) and got[2] == py_phash(pay_b)
+
+
+def test_pit_lookup_half_open_semantics(spark):
+    from db_loganalyzer_spark.operators.joins import pit_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", 100, 200),
+            (1, "B", 200, None),     # open current version
+            (2, "X", 500, 600),
+        ],
+        "user_id long, state string, valid_from_us long, valid_to_us long",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 150),   # inside A
+            (11, 1, 200),   # boundary: belongs to B (half-open)
+            (12, 1, 99),    # before first version -> NULL
+            (13, 1, 10_000),  # open version still matches
+            (14, 2, 600),   # vt exclusive, no open version -> NULL
+        ],
+        "event_id long, user_id long, probe_us long",
+    )
+    got = {
+        r.event_id: r.state
+        for r in pit_lookup(facts, dim, "user_id").collect()
+    }
+    assert got == {10: "A", 11: "B", 12: None, 13: "B", 14: None}
