@@ -1516,18 +1516,43 @@ def duplicated_span_stats(
     from db_loganalyzer_spark.operators.windows import coalesce_intervals
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    base = _spread(df).select(
+    # n_toks from the bare split — NEVER from size(tp): that would
+    # evaluate the whole token-hash chain once more per row
+    sizes = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_toks")
+    )
+    # winnowing_fingerprints' generator discipline, verbatim: cheap
+    # token-count pre-filter (so the inferred size()>0 filter under the
+    # Generate is near-free), tp and hs each in their OWN projection,
+    # and the always-true size("__hs") guard adds the second reference
+    # that stops CollapseProject + predicate pushdown from re-inlining
+    # the hash chain into every element_at. The naive
+    # posexplode(hs-expression) form re-evaluated _token_hash_pows
+    # per element_at — measured ~900 s for 5000 docs at sf0.1 vs ~4 s
+    # for this shape.
+    tp_df = _spread(df.filter(F.size(toks) >= n)).select(
         F.col(id_col), _token_hash_pows(toks).alias("__tp")
     )
-    sizes = base.select(
-        F.col(id_col), F.size("__tp").cast("long").alias("n_toks")
-    )
-    hs = base.select(
+    hs_df = tp_df.select(
         F.col(id_col),
         shingle_hashes_from_tp(F.col("__tp"), n).alias("__hs"),
     )
-    pos = hs.select(
-        F.col(id_col), F.posexplode("__hs").alias("__pos", "__h")
+    structs = F.transform(
+        F.sequence(F.lit(0), F.size("__hs") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.element_at(F.col("__hs"), i + 1).alias("h"),
+        ),
+    )
+    guarded = F.when(F.size("__hs") >= 1, structs).otherwise(
+        F.array().cast("array<struct<pos:bigint,h:bigint>>")
+    )
+    pos = hs_df.select(
+        F.col(id_col), F.explode(guarded).alias("__ph")
+    ).select(
+        F.col(id_col),
+        F.col("__ph.pos").alias("__pos"),
+        F.col("__ph.h").alias("__h"),
     )
     w = Window.partitionBy("__h")
     spans = (
