@@ -43,6 +43,7 @@ BNLJ_OK = {
     "a22_hll_distinct",  # 1-row estimate vs exact attach
     "a32_hll_overlap",  # three 1-row estimate frames
     "m16_domain_mixture",  # 1-row n_min attach onto the per-source counts
+    "opt01_zorder_layout",  # 1-row min/max bounds frame (four longs)
     "a31_cumulative_hll",  # day-buckets x distinct-registers grid (sketch-bounded)
     # <=k-row centroid / query frames
     "cl02_cluster_reps",
@@ -331,3 +332,20 @@ def test_allowlists_not_stale(audit):
         if n in audit and "SinglePartition" not in audit[n]
     ]
     assert not gone, f"allowlisted pattern no longer present: {gone}"
+
+
+def test_no_reinlined_hash_chains(audit):
+    """Regression lint for the generator-pushdown blowup fixed on m22
+    (round 10): when CollapseProject or predicate pushdown re-inlines a
+    materialized token-hash projection, the plan text repeats the
+    `aggregate(split(` chain once per element_at reference — dozens to
+    hundreds of copies — and the operator re-evaluates the whole chain
+    per element (measured 77x on m22 at sf0.1). A healthy plan carries
+    the chain a handful of times (one per materialized projection plus
+    the always-true guard reference)."""
+    bad = {}
+    for n, p in audit.items():
+        hits = p.count("aggregate(split(")
+        if hits > 12:
+            bad[n] = hits
+    assert not bad, f"re-inlined hash chains (copies per plan): {bad}"
