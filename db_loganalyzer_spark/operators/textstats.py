@@ -628,16 +628,24 @@ def char_entropy(
             h.alias(h_alias),
         )
 
-    uni = df.select(F.col(id_col), F.explode(chars).alias("g"))
+    # the char array is materialized in its OWN projection and the
+    # bigram transform guarded with a second reference — an inline
+    # `chars` expression would be re-split by every element_at (two per
+    # position -> O(len^2) per document; measured 704 s at sf10r vs
+    # seconds for this shape — the m22 generator-pushdown lesson again)
+    ch_df = df.select(F.col(id_col), chars.alias("__ch"))
+    uni = ch_df.select(F.col(id_col), F.explode("__ch").alias("g"))
     bi_arr = F.transform(
-        F.sequence(F.lit(1), F.size(chars) - 1),
+        F.sequence(F.lit(1), F.size("__ch") - 1),
         lambda i: F.concat(
-            F.element_at(chars, i), F.element_at(chars, i + 1)
+            F.element_at(F.col("__ch"), i),
+            F.element_at(F.col("__ch"), i + 1),
         ),
     )
-    bi = df.filter(F.size(chars) >= 2).select(
-        F.col(id_col), F.explode(bi_arr).alias("g")
+    guarded = F.when(F.size("__ch") >= 2, bi_arr).otherwise(
+        F.array().cast("array<string>")
     )
+    bi = ch_df.select(F.col(id_col), F.explode(guarded).alias("g"))
     h1 = _h(uni, "n_chars", "h_char")
     h2 = _h(bi, "n_bigrams", "h_bigram")
     return h1.join(h2, id_col, "left").select(
