@@ -7862,6 +7862,105 @@ LEFT JOIN scd s
 
 
 
+def pipe04_streaming_corpus(spark, sf_dir):
+    """PIPE04 — the STREAMING corpus-ingest pipeline, end to end in one
+    flow: documents arrive on the landing-directory stream, pass a
+    stateless quality gate (quality_score is pure column math), drop
+    exact eval-set clones via the st18 stream-static anti-join, then
+    exact-dedup into content groups with ONE streaming aggregation
+    (keeper = min (doc_id, source) struct — deterministic regardless of
+    arrival order, unlike dropDuplicates' first-arrival winner); the
+    drained groups reduce to per-source corpus accounting batch-side.
+    pipe01 is this pipeline's batch form; every stage here is a
+    streaming-legal composition (two stream-static joins cost zero
+    state; the dedup groupBy is the only state store, one row per
+    distinct content hash)."""
+    from db_loganalyzer_spark.operators.textstats import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_fps = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    cleaned = (
+        stream.select(
+            "doc_id",
+            "source",
+            fingerprint("text").alias("fp"),
+            token_count("text").cast("long").alias("n_toks"),
+            quality_score("text").alias("q"),
+        )
+        .filter(F.col("q") >= 0.5)
+        .join(eval_fps, "fp", "left_anti")
+    )
+    groups = cleaned.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "source")).alias("keeper"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_toks"),
+    )
+    drained = _drain(groups, "pipe04", output_mode="complete")
+    return (
+        drained.select(
+            F.col("keeper.source").alias("source"), "n_docs", "sum_toks"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("n_docs") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dupes_removed"),
+            F.sum("sum_toks").cast("long").alias("sum_toks"),
+        )
+    )
+
+
+PIPE04_SQL = (
+    "WITH x0 AS (SELECT 1)" + _QUALITY_CTE + r"""
+, f AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks,
+         source
+  FROM documents
+), fps AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                              list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, x) -> (acc * 131 + x) % 1000000007))),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+  FROM f
+), kept AS (
+  SELECT fps.* FROM fps JOIN q USING (doc_id)
+  WHERE q.quality >= 0.5
+    AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 50 = 0)
+), g AS (
+  SELECT fp, arg_min(source, doc_id) AS keeper_source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+  FROM kept GROUP BY 1
+)
+SELECT keeper_source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dupes_removed,
+       CAST(SUM(sum_toks) AS BIGINT) AS sum_toks
+FROM g GROUP BY 1
+"""
+)
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7885,16 +7984,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 12 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 13 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14 sit just below the line (positions
-    # 51-54, front of the r11 queue) — all twelve are pinned green at
-    # BOTH sf0.01 and sf0.1 by scripts/check_oracle.py this round.
+    # r11; sim06/t19/mm08/j14/pipe04 sit just below the line
+    # (positions 51-55, front of the r11 queue) — all thirteen are
+    # pinned green at BOTH sf0.01 and sf0.1 by scripts/check_oracle.py
+    # this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -7962,6 +8062,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
     "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
     "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
+    "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

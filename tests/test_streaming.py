@@ -1246,3 +1246,46 @@ def test_st19_csv_stream_quarantines_in_flight(spark, tmp_path):
     assert by_bad[False].event_id == 1
     assert by_bad[False].ts.microsecond == 7
     assert by_bad[True].event_id is None
+
+
+def test_pipe04_streaming_corpus_accounting(spark, tmp_path_factory):
+    """Planted fixtures: a low-quality doc is gated, an eval clone is
+    decontaminated, an exact duplicate collapses into its group with
+    the min-id keeper's source taking the credit."""
+    import glob
+    import shutil
+
+    import __spark_entry__ as entry_mod
+
+    d = tmp_path_factory.mktemp("pipe04")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "off to the forest for a while"
+    )
+    rows = [
+        (0, "held out benchmark prompt text that is long enough to pass "
+            "the gate and it has the required stopwords", "eval", "en", 1),
+        (1, good, "web", "en", 1),
+        (2, good + " ", "mirror", "en", 1),        # exact dup of 1 after norm
+        (3, "zz", "web", "en", 1),                  # too short: gated out
+        (4, "held  out benchmark prompt text that is long enough to pass "
+            "the gate and it has the required stopwords", "web", "en", 1),  # eval clone
+        (5, "a completely different clean document about spark and the "
+            "many joins that it is running for us today", "web", "en", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "_tmp"))
+    shutil.move(
+        glob.glob(str(d / "_tmp" / "part-*.parquet"))[0],
+        str(d / "documents.parquet"),
+    )
+    shutil.rmtree(str(d / "_tmp"))
+    got = {
+        r.source: (r.n_groups, r.n_docs, r.n_dupes_removed, r.sum_toks)
+        for r in entry_mod.pipe04_streaming_corpus(spark, str(d)).collect()
+    }
+    # doc 0 and 4 (eval + clone) decontaminated; doc 3 gated; docs 1+2
+    # collapse to one 'web' group (keeper id 1); doc 5 stands alone
+    n_good = len(good.split())
+    assert got == {"web": (2, 3, 1, 2 * n_good + 18)}
