@@ -7961,6 +7961,81 @@ FROM g GROUP BY 1
 
 
 
+def mm09_energy_segments(spark, sf_dir):
+    """MM09 — VAD-style audio segmentation through the REAL decode path:
+    frames of 16 PCM samples reduce to exact integer energies inside
+    the RIFF decode stage (multimodal.decode_active_frames), a frame is
+    active when its energy beats the clip average (cross-multiplied, no
+    division), and maximal active runs become segments via the SAME
+    interval-coalescing operator the event family uses (w21 on
+    [f, f+1] closed — touching merges, so consecutive frames chain).
+    Output: one row per segment with frame bounds and length. The
+    speech-corpus segmentation move, with the samples closed-form in
+    the id so the oracle hash-checks the energies the decoder must
+    have read."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_active_frames,
+        media_table_synthetic_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    act = decode_active_frames(media_table_synthetic_audio(docs))
+    iv = act.select(
+        "media_id",
+        F.col("frame_idx").alias("__s"),
+        (F.col("frame_idx") + 1).alias("__e"),
+    )
+    seg = W.coalesce_intervals(iv, ["media_id"], "__s", "__e")
+    return seg.select(
+        "media_id",
+        F.col("island_id").alias("segment_id"),
+        F.col("window_start").alias("start_frame"),
+        (F.col("window_end") - 1).alias("end_frame"),
+        F.col("n_intervals").alias("n_frames"),
+    )
+
+
+MM09_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(40 + doc_id % 113 AS BIGINT) AS n
+  FROM documents
+), fr AS (
+  SELECT media_id, fs.f AS frame_idx, n,
+         CAST(list_sum(list_transform(
+                generate_series(fs.f * 16, least(fs.f * 16 + 15, n - 1)),
+                i -> ((media_id * 31 + i * 17) % 2001 - 1000)
+                     * ((media_id * 31 + i * 17) % 2001 - 1000)))
+              AS BIGINT) AS e
+  FROM m, unnest(generate_series(0, (n + 15) // 16 - 1)) fs(f)
+), tot AS (
+  SELECT media_id, SUM(e) AS total, CAST(COUNT(*) AS BIGINT) AS nf
+  FROM fr GROUP BY 1
+), act AS (
+  SELECT fr.media_id, frame_idx
+  FROM fr JOIN tot USING (media_id)
+  WHERE e * nf > total
+), marked AS (
+  SELECT media_id, frame_idx,
+         CASE WHEN lag(frame_idx) OVER w IS NULL
+                OR frame_idx > lag(frame_idx) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM act
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+), grp AS (
+  SELECT media_id, frame_idx,
+         SUM(is_new) OVER (PARTITION BY media_id ORDER BY frame_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS seg
+  FROM marked
+)
+SELECT media_id, CAST(seg AS BIGINT) AS segment_id,
+       MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM grp GROUP BY 1, 2
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -7984,15 +8059,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 13 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 14 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04 sit just below the line
-    # (positions 51-55, front of the r11 queue) — all thirteen are
+    # r11; sim06/t19/mm08/j14/pipe04/mm09 sit just below the line
+    # (positions 51-56, front of the r11 queue) — all fourteen are
     # pinned green at BOTH sf0.01 and sf0.1 by scripts/check_oracle.py
     # this round.
     # ---- new in r10 ----
@@ -8063,6 +8138,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
     "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
     "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
+    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -817,3 +817,36 @@ def decode_perceptual_hash(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_phash, schema=_PHASH_SCHEMA)
+
+
+_ACTIVE_FRAME_SCHEMA = "media_id long, frame_idx long"
+
+
+def decode_active_frames(media: DataFrame, frame: int = 16) -> DataFrame:
+    """MM09 stage 1 — energy-gated frame detection FROM THE DECODED
+    SAMPLES (the VAD shape every speech-corpus pipeline fronts): the
+    RIFF parser decodes each clip's PCM array, frames of ``frame``
+    samples reduce to exact integer energies (sum of squares), and a
+    frame is ACTIVE when its energy exceeds the clip average — the
+    cross-multiplied comparison ``e * n_frames > total`` (mm08's trick:
+    no division, any engine restates it). Emits one row per active
+    frame; segmentation into maximal runs belongs to the caller
+    (windows.coalesce_intervals over [f, f+1] — see mm09)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, samples = decode_wav(bytes(payload))
+                energies = [
+                    sum(s * s for s in samples[f: f + frame])
+                    for f in range(0, len(samples), frame)
+                ]
+                total, nf = sum(energies), len(energies)
+                for f, e in enumerate(energies):
+                    if e * nf > total:
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(f)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, schema=_ACTIVE_FRAME_SCHEMA)

@@ -2453,3 +2453,33 @@ def test_pit_lookup_half_open_semantics(spark):
         for r in pit_lookup(facts, dim, "user_id").collect()
     }
     assert got == {10: "A", 11: "B", 12: None, 13: "B", 14: None}
+
+
+def test_energy_segments_known_runs(spark):
+    """Hand-built WAV: 64 samples where frames 1,2 and 4 are loud —
+    expect two segments, [1,2] and [4,4]."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_active_frames,
+        encode_wav,
+    )
+    from db_loganalyzer_spark.operators.windows import coalesce_intervals
+
+    quiet, loud = [1] * 16, [900] * 16
+    samples = quiet + loud + loud + quiet + loud  # frames: q L L q L
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_wav(8000, samples)))],
+        "media_id long, payload binary",
+    ).select(
+        "media_id", "payload", F.lit("audio").alias("media_type"),
+        F.create_map().alias("meta"),
+    )
+    act = decode_active_frames(media)
+    iv = act.select(
+        "media_id", F.col("frame_idx").alias("s"),
+        (F.col("frame_idx") + 1).alias("e"),
+    )
+    segs = {
+        (r.window_start, r.window_end - 1): r.n_intervals
+        for r in coalesce_intervals(iv, ["media_id"], "s", "e").collect()
+    }
+    assert segs == {(1, 2): 2, (4, 4): 1}
