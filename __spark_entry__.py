@@ -8036,6 +8036,48 @@ FROM grp GROUP BY 1, 2
 
 
 
+def d17_slo_burn(spark, sf_dir):
+    """D17 — multi-window multi-burn SLO alerting (detectors.
+    slo_burn_alerts): bad = event_type = 'error' against an SLO budget
+    of 0.25; an alert needs burn > 1.2 in a 5-minute window AND burn >
+    1.05 in its enclosing hour (fast AND sustained — the SRE-workbook
+    policy that kills both paging lag and blip alerts). One scan, two
+    bucket-level aggregates, one bucket-arithmetic equi join; every
+    ratio is a single division of exact integer counts."""
+    from db_loganalyzer_spark.detectors.detectors import slo_burn_alerts
+
+    ev = _t(spark, sf_dir, "events")
+    return slo_burn_alerts(ev, F.col("event_type") == "error")
+
+
+D17_SQL = """
+WITH tagged AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 300000000.0) AS BIGINT) AS short_bucket,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+  FROM events
+), s AS (
+  SELECT short_bucket, CAST(COUNT(*) AS BIGINT) AS n_short,
+         CAST(SUM(bad) AS BIGINT) AS bad_short
+  FROM tagged GROUP BY 1
+), l AS (
+  SELECT CAST(FLOOR(short_bucket / 12.0) AS BIGINT) AS long_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_long,
+         CAST(SUM(bad) AS BIGINT) AS bad_long
+  FROM tagged GROUP BY 1
+)
+SELECT short_bucket,
+       CAST(FLOOR(short_bucket / 12.0) AS BIGINT) AS long_bucket,
+       n_short, bad_short,
+       bad_short / n_short / 0.25 AS burn_short,
+       n_long, bad_long,
+       bad_long / n_long / 0.25 AS burn_long
+FROM s JOIN l ON l.long_bucket = CAST(FLOOR(short_bucket / 12.0) AS BIGINT)
+WHERE bad_short / n_short / 0.25 > 1.2
+  AND bad_long / n_long / 0.25 > 1.05
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8059,15 +8101,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 14 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 15 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09 sit just below the line
-    # (positions 51-56, front of the r11 queue) — all fourteen are
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17 sit just below the
+    # line (positions 51-57, front of the r11 queue) — all fifteen are
     # pinned green at BOTH sf0.01 and sf0.1 by scripts/check_oracle.py
     # this round.
     # ---- new in r10 ----
@@ -8139,6 +8181,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
     "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
     "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
+    "d17_slo_burn": (d17_slo_burn, D17_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -12,7 +12,7 @@ detector runs unchanged over 100 TB of events.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import bucket_start
@@ -1216,4 +1216,74 @@ def seasonal_anomalies(
             "event_id", "event_type", "hod", "value",
             "hod_mean", "hod_std", "z",
         )
+    )
+
+
+def slo_burn_alerts(
+    events: DataFrame,
+    is_bad: Column,
+    budget: float = 0.25,
+    short_seconds: int = 300,
+    long_seconds: int = 3600,
+    short_burn: float = 1.2,
+    long_burn: float = 1.05,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """D17 — multi-window multi-burn-rate SLO alerting (the Google SRE
+    workbook policy): an alert fires only when the error-budget burn
+    rate exceeds its threshold in BOTH a short window (fast detection)
+    and the enclosing long window (sustained, not a blip) — the
+    standard cure for both paging lag and flappy alerts. burn =
+    (bad/total) / budget per window.
+
+    One scan, two bucket-level aggregates (map-side combined), one
+    equi join on the enclosing long bucket (``short div ratio`` —
+    exact integer arithmetic; ``long_seconds`` must be a multiple of
+    ``short_seconds``). All ratios are single divisions of exact
+    integer counts — correctly rounded doubles, engine-portable with
+    no rounding step. Output: one row per alerting short bucket with
+    both windows' counts and burns.
+
+    reference: the closest reference analogue is the fixed-threshold
+    severity hotspotting (hotspot_selector.py); the two-window burn
+    policy is the production SRE generalization.
+    """
+    if long_seconds % short_seconds:
+        raise ValueError("long_seconds must be a multiple of short_seconds")
+    epoch = F.unix_micros(F.col(ts_col))
+    sb = F.floor(epoch / (short_seconds * 1_000_000)).cast("long")
+    tagged = events.select(
+        sb.alias("short_bucket"),
+        is_bad.cast("int").alias("__bad"),
+    )
+    short = tagged.groupBy("short_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_short"),
+        F.sum("__bad").cast("long").alias("bad_short"),
+    )
+    ratio = long_seconds // short_seconds
+    long_ = (
+        tagged.withColumn(
+            "long_bucket",
+            F.floor(F.col("short_bucket") / ratio).cast("long"),
+        )
+        .groupBy("long_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_long"),
+            F.sum("__bad").cast("long").alias("bad_long"),
+        )
+    )
+    joined = short.withColumn(
+        "long_bucket", F.floor(F.col("short_bucket") / ratio).cast("long")
+    ).join(long_, "long_bucket")
+    bs = F.col("bad_short") / F.col("n_short") / budget
+    bl = F.col("bad_long") / F.col("n_long") / budget
+    return joined.filter((bs > short_burn) & (bl > long_burn)).select(
+        "short_bucket",
+        "long_bucket",
+        "n_short",
+        "bad_short",
+        bs.alias("burn_short"),
+        "n_long",
+        "bad_long",
+        bl.alias("burn_long"),
     )

@@ -388,3 +388,42 @@ def test_seasonal_anomalies_baseline_absorbs_daily_peak(spark):
     # only the off-hour spike fires; all 40 nightly peaks stay silent
     assert [r.event_id for r in flagged] == [eid]
     assert flagged[0].hod == 10 and flagged[0].z > 3
+
+
+def test_slo_burn_multiwindow_policy(spark):
+    """Planted buckets: a short spike inside a healthy hour must NOT
+    alert (long window vetoes the blip); a spike inside a bad hour
+    must; a healthy bucket inside a bad hour must not."""
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.detectors.detectors import slo_burn_alerts
+
+    def mk(hour, minute, n_bad, n_ok):
+        base = f"2024-01-01 {hour:02d}:{minute:02d}:00"
+        return [(base, "error")] * n_bad + [(base, "view")] * n_ok
+
+    rows = (
+        # hour 10: one spiky 5-min bucket (80% bad), rest clean -> long
+        # burn 8/110/0.25 = 0.29 < 1.05: NO alert
+        mk(10, 0, 8, 2) + mk(10, 10, 0, 50) + mk(10, 20, 0, 50)
+        # hour 11: sustained badness -> its spike buckets alert, its
+        # clean bucket does not
+        + mk(11, 0, 40, 10) + mk(11, 10, 40, 10) + mk(11, 20, 0, 10)
+    )
+    ev = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = slo_burn_alerts(ev, F.col("event_type") == "error")
+    alerts = {(r.short_bucket, r.long_bucket) for r in out.collect()}
+    # short bucket index = epoch // 300; compute from the fixture times
+    import datetime
+
+    def sbucket(hour, minute):
+        t = datetime.datetime(2024, 1, 1, hour, minute, tzinfo=datetime.timezone.utc)
+        return int(t.timestamp()) // 300
+
+    assert (sbucket(10, 0), sbucket(10, 0) // 12) not in alerts
+    assert (sbucket(11, 0), sbucket(11, 0) // 12) in alerts
+    assert (sbucket(11, 10), sbucket(11, 10) // 12) in alerts
+    assert (sbucket(11, 20), sbucket(11, 20) // 12) not in alerts
+    assert len(alerts) == 2
