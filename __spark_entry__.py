@@ -8078,6 +8078,60 @@ WHERE bad_short / n_short / 0.25 > 1.2
 
 
 
+def s12_schema_evolution(spark, sf_dir):
+    """S12 — schema-evolution-tolerant parquet ingest: a landing
+    directory holding TWO exporter generations (the old one predates
+    the ``props`` payload column; the new one carries it) reads back as
+    ONE table via ``mergeSchema`` — missing columns surface as NULL,
+    nothing is dropped, nothing fails. The lakehouse reality every
+    long-lived trace pipeline hits: the writer fleet upgrades
+    gradually, the reader must take both generations in one scan. The
+    entry splits events by id parity, writes each half under its
+    generation's schema, merge-reads, and aggregates; the oracle
+    aggregates straight from parquet with the parity rule restated, so
+    a dropped row, a mis-defaulted column, or a failed merge breaks
+    the hash."""
+    import os as _os
+
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".scratch")
+    root = _os.path.join(
+        base, "s12_evo_" + _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    ev = _t(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).drop("props").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(root, "gen=v1"))
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        _os.path.join(root, "gen=v2")
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("props").cast("long").alias("n_props"),
+        F.unix_micros(F.min("ts")).alias("min_us"),
+        F.unix_micros(F.max("ts")).alias("max_us"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_value_micro"),
+    )
+
+
+S12_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN event_id % 2 = 1 THEN props END) AS BIGINT)
+         AS n_props,
+       epoch_us(MIN(ts)) AS min_us, epoch_us(MAX(ts)) AS max_us,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events GROUP BY 1
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8101,15 +8155,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 15 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 16 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17 sit just below the
-    # line (positions 51-57, front of the r11 queue) — all fifteen are
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12 sit just below the
+    # line (positions 51-58, front of the r11 queue) — all sixteen are
     # pinned green at BOTH sf0.01 and sf0.1 by scripts/check_oracle.py
     # this round.
     # ---- new in r10 ----
@@ -8182,6 +8236,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
     "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
     "d17_slo_burn": (d17_slo_burn, D17_SQL),
+    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

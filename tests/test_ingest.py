@@ -287,3 +287,23 @@ def test_csv_corrupt_lane_requires_referenced_column(spark, tmp_path):
         F.col("event_id"), F.col("_corrupt_record").isNotNull().alias("bad")
     ).collect()
     assert {(r.event_id, r.bad) for r in split} == {(None, True), (1, False)}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Two writer generations in one landing tree: mergeSchema surfaces
+    the missing column as NULL for old-generation rows and keeps every
+    row; a plain read of either generation alone would miss the other's
+    column or rows."""
+    old = spark.createDataFrame([(1, "click")], "event_id long, event_type string")
+    new = spark.createDataFrame(
+        [(2, "error", "p")], "event_id long, event_type string, props string"
+    )
+    old.write.parquet(str(tmp_path / "gen=v1"))
+    new.write.parquet(str(tmp_path / "gen=v2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path))
+    )
+    rows = {r.event_id: (r.event_type, r.props) for r in merged.collect()}
+    assert rows == {1: ("click", None), 2: ("error", "p")}
