@@ -345,6 +345,14 @@ def test_no_reinlined_hash_chains(audit):
     the always-true guard reference)."""
     bad = {}
     for n, p in audit.items():
+        if "InMemoryRelation" in p:
+            # CacheManager substitution (an entry persist()ed and a prior
+            # test materialized it): the cached child plan is SERIALIZED
+            # into the explain text once per use site, inflating the
+            # count without any re-evaluation — the cached data is
+            # reused, which is the opposite of this lint's target.
+            # Observed full-suite-only on m03/m03e (12 -> 42+ copies).
+            continue
         hits = p.count("aggregate(split(")
         if hits > 12:
             bad[n] = hits
