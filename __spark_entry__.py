@@ -8132,6 +8132,44 @@ FROM events GROUP BY 1
 
 
 
+def st20_streaming_pit_enrich(spark, sf_dir):
+    """ST20 — streaming point-in-time enrichment (j14's streaming twin):
+    arriving events join the STANDING SCD2 dimension (w14's intervals,
+    built batch-side from history) for the state their user was in an
+    hour earlier — a stream-static equi join with the half-open
+    containment as a band condition, stateless like st12/st18 (the
+    dimension lives in storage; no state store rows). The
+    training-feature lookup at INGEST time: the same versioned
+    dimension serves the batch backfill (j14) and the live stream,
+    which is exactly how a feature store keeps online/offline skew at
+    zero. Same oracle as j14."""
+    from db_loganalyzer_spark.operators.joins import pit_lookup
+    from db_loganalyzer_spark.operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    scd = scd2_intervals(ev, "event_type", ["user_id"]).select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+    stream = ST.read_events_stream(spark, sf_dir)
+    facts = stream.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - 3600 * 1000000).alias("probe_us"),
+    )
+    out = pit_lookup(facts, scd, "user_id").select(
+        "event_id", "user_id", "probe_us",
+        F.col("state").alias("state_1h_ago"),
+    )
+    return _drain(out, "st20")
+
+
+ST20_SQL = J14_SQL
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8155,17 +8193,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 16 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 17 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12 sit just below the
-    # line (positions 51-58, front of the r11 queue) — all sixteen are
-    # pinned green at BOTH sf0.01 and sf0.1 by scripts/check_oracle.py
-    # this round.
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20 sit just below
+    # the line (positions 51-59, front of the r11 queue) — all
+    # seventeen are pinned green at BOTH sf0.01 and sf0.1 by
+    # scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -8237,6 +8275,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
     "d17_slo_burn": (d17_slo_burn, D17_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
+    "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),
