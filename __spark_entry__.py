@@ -8170,6 +8170,63 @@ ST20_SQL = J14_SQL
 
 
 
+def cl05_silhouette(spark, sf_dir):
+    """CL05 — per-cluster simplified silhouette (clustering.
+    simplified_silhouette) over the deterministic quantizer path (cl04's
+    seeds and integer-quantized vectors): a = distance to the assigned
+    centroid, b = to the nearest other, s = (b-a)/max(a,b) — the
+    clustering-quality score Spark ML's ClusteringEvaluator computes,
+    here with t16's micro-unit rounding so the per-cluster mean is
+    engine-exact. Completes the clustering family: assign (cl04),
+    representatives (cl02), summaries (cl03), and now quality."""
+    from db_loganalyzer_spark.operators.clustering import (
+        simplified_silhouette,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), "embedding"
+    )
+    return simplified_silhouette(emb, seeds)
+
+
+CL05_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 10000)) AS v
+  FROM embeddings
+), seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+ranked AS (
+  SELECT e.vec_id, s.cid,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])))) AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(range(1, 65),
+                     i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), s.cid) AS rn
+  FROM e CROSS JOIN seeds s
+), pp AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         MIN(CASE WHEN rn = 1 THEN d END) AS a,
+         MIN(CASE WHEN rn = 2 THEN d END) AS b
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+), sm AS (
+  SELECT cluster,
+         CAST(FLOOR(ROUND(
+           CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                ELSE 0.0 END, 6) * 1000000 + 0.5) AS BIGINT) AS s_micro
+  FROM pp
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(s_micro) AS BIGINT) AS sum_sil_micro,
+       CAST(SUM(s_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+         AS mean_silhouette
+FROM sm GROUP BY 1
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8193,16 +8250,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 17 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 18 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20 sit just below
-    # the line (positions 51-59, front of the r11 queue) — all
-    # seventeen are pinned green at BOTH sf0.01 and sf0.1 by
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05 sit just
+    # below the line (positions 51-60, front of the r11 queue) — all
+    # eighteen are pinned green at BOTH sf0.01 and sf0.1 by
     # scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
@@ -8276,6 +8333,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d17_slo_burn": (d17_slo_burn, D17_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
+    "cl05_silhouette": (cl05_silhouette, CL05_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

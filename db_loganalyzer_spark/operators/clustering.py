@@ -282,3 +282,62 @@ def cluster_summary_table(
         .withColumn("sample_comment", F.coalesce("sample_comment", F.lit("")))
         .orderBy(cluster_col)
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    seeds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_id_col: str = "cluster",
+) -> DataFrame:
+    """CL05 — simplified silhouette per cluster (the centroid form:
+    a = distance to the assigned centroid, b = distance to the nearest
+    OTHER centroid, s = (b - a) / max(a, b) in [-1, 1]) — the standard
+    clustering-quality score at the O(n*k) cost the full O(n^2)
+    silhouette can't offer at corpus scale; it is what Spark ML's own
+    ClusteringEvaluator computes, restated engine-portably.
+
+    Same plan as ``seed_centroid_assign`` (tiny broadcast seed frame,
+    one narrow crossJoin, one per-point window) but keeping rank 1 AND
+    2 distances. Float discipline: each point's s is rounded to 6
+    decimals and scaled to an exact integer micro-unit BEFORE the
+    per-cluster sum (t16's rule), so the mean is one correctly-rounded
+    division — no accumulation-order hazard.
+    """
+    s = seeds.select(
+        F.col(seed_id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("__cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("__d2", "__cid")
+    ranked = (
+        df.crossJoin(F.broadcast(s))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+    )
+    per_point = ranked.groupBy(id_col).agg(
+        F.min(F.when(F.col("__rn") == 1, F.col("__cid"))).alias("cluster"),
+        F.min(F.when(F.col("__rn") == 1, F.sqrt("__d2"))).alias("__a"),
+        F.min(F.when(F.col("__rn") == 2, F.sqrt("__d2"))).alias("__b"),
+    )
+    sil = F.when(
+        F.greatest("__a", "__b") > 0,
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"),
+    ).otherwise(F.lit(0.0))
+    s_micro = F.floor(F.round(sil, 6) * 1000000 + 0.5).cast("long")
+    return per_point.select("cluster", s_micro.alias("__sm")).groupBy(
+        "cluster"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__sm").cast("long").alias("sum_sil_micro"),
+        (F.sum("__sm") / (F.count(F.lit(1)) * 1000000.0)).alias(
+            "mean_silhouette"
+        ),
+    )

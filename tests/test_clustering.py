@@ -99,3 +99,34 @@ def test_cluster_summary_shape_and_truncation(spark, blobs):
     for r in summ:
         assert r["size"] == 20
         assert len(r["sample_comment"]) == 200
+
+
+def test_simplified_silhouette_known_geometry(spark):
+    """Two tight clusters far apart: silhouette ~1; a point midway
+    scores ~0."""
+    from pyspark.sql import functions as F
+
+    from db_loganalyzer_spark.operators.clustering import (
+        simplified_silhouette,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]),          # cluster 0 region
+        (2, [100.0, 0.0]), (3, [101.0, 0.0]),      # cluster 1 region
+        (4, [50.0, 0.0]),                          # midway: s ~ 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 0.0])],
+        "cluster long, embedding array<double>",
+    )
+    out = {r.cluster: r for r in simplified_silhouette(emb, seeds).collect()}
+    # cluster 0: point 0 sits ON the centroid (s=1), point 1 is 1 vs 99
+    # away (s ~ 0.9899); point 4 joins cluster 0 by tie-break (50 vs 50
+    # -> lowest cid) with s = 0
+    assert out[0].n == 3
+    assert abs(out[0].mean_silhouette - (1.0 + (99 - 1) / 99 + 0.0) / 3) < 1e-5
+    # cluster 1: point 2 on the centroid (s=1); point 3 is 1 away from
+    # its own centroid and 101 from the other -> s = 100/101
+    assert out[1].n == 2
+    assert abs(out[1].mean_silhouette - (1.0 + (101 - 1) / 101) / 2) < 1e-5
