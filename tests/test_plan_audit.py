@@ -170,6 +170,8 @@ BROADCAST_OK = {
         2, "hot-shingle stop lists on both sides (same bound)"),
     ("db_loganalyzer_spark/operators/clustering.py", "seed_centroid_assign"): (
         1, "k-row centroid frame"),
+    ("db_loganalyzer_spark/operators/clustering.py", "simplified_silhouette"): (
+        1, "k-row centroid frame (same bound as seed_centroid_assign)"),
     ("db_loganalyzer_spark/operators/clustering.py", "cluster_representatives"): (
         2, "k-row centroid + k-row size frames"),
     ("db_loganalyzer_spark/operators/joins.py", "equi_join"): (
