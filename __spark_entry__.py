@@ -8227,6 +8227,77 @@ FROM sm GROUP BY 1
 
 
 
+def f12_json_schema_profile(spark, sf_dir):
+    """F12 — semi-structured payload schema discovery, the profiling
+    twin of f08's single-field probe: per JSON key across a
+    heterogeneous payload corpus, how often it appears, how often its
+    value parses numeric, and its distinct-value count — the first
+    query anyone runs against a dynamic-payload log table before
+    writing extraction rules (the reference's fields_json column IS
+    this shape, SURVEY §1.3). The heterogeneous payloads are derived
+    deterministically per event type (click/view carry k+value, error
+    adds code+msg, purchase adds amount, signup only k) and the probe
+    runs the full semi-structured plumbing — map build, to_json,
+    from_json(map<string,string>), explode — so a quoting, casting, or
+    key-pruning bug anywhere in that round trip breaks the hash. The
+    oracle restates the expected profile from the derivation rules
+    directly, never trusting the round trip."""
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    full = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("code"), F.floor("value").cast("long").cast("string"),
+        F.lit("msg"), F.lit("e"),
+        F.lit("amount"), F.col("value").cast("string"),
+    )
+    keep = F.map_filter(
+        full,
+        lambda k, v: (k == "k")
+        | ((k == "value") & et.isin("click", "view"))
+        | ((k == "code") & (et == "error"))
+        | ((k == "msg") & (et == "error"))
+        | ((k == "amount") & (et == "purchase")),
+    )
+    js = F.to_json(keep)
+    parsed = F.from_json(js, "map<string,string>")
+    kv = ev.select(F.explode(parsed).alias("key", "val"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.expr("try_cast(val AS double)")).cast("long").alias("n_numeric"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+    )
+
+
+F12_SQL = """
+WITH base AS (
+  SELECT event_type, value,
+         json_extract_string(props::JSON, '$.k') AS k
+  FROM events
+)
+SELECT 'k' AS key, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(TRY_CAST(k AS DOUBLE)) AS BIGINT) AS n_numeric,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+FROM base
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM base WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT 'code', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+FROM base WHERE event_type = 'error'
+UNION ALL
+SELECT 'msg', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+FROM base WHERE event_type = 'error'
+UNION ALL
+SELECT 'amount', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT)
+FROM base WHERE event_type = 'purchase'
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8250,16 +8321,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 18 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 19 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05 sit just
-    # below the line (positions 51-60, front of the r11 queue) — all
-    # eighteen are pinned green at BOTH sf0.01 and sf0.1 by
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12 sit
+    # just below the line (positions 51-61, front of the r11 queue) —
+    # all nineteen are pinned green at BOTH sf0.01 and sf0.1 by
     # scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
@@ -8334,6 +8405,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
     "cl05_silhouette": (cl05_silhouette, CL05_SQL),
+    "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -2483,3 +2483,27 @@ def test_energy_segments_known_runs(spark):
         for r in coalesce_intervals(iv, ["media_id"], "s", "e").collect()
     }
     assert segs == {(1, 2): 2, (4, 4): 1}
+
+
+def test_json_schema_profile_roundtrip(spark):
+    """The profiler must survive the full map -> to_json -> from_json
+    round trip with values that stress quoting and numeric parsing."""
+    import __spark_entry__ as entry_mod
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(entry_mod.F12_SQL).fetchall()
+    }
+    got = {
+        r.key: (r.n, r.n_numeric, r.n_distinct)
+        for r in entry_mod.f12_json_schema_profile(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want and set(got) == {"k", "value", "code", "msg", "amount"}
