@@ -1583,3 +1583,48 @@ def duplicated_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
     )
+
+
+def plan_lsh_bands(
+    threshold: float, num_hashes: int, grid: int = 1000
+) -> dict:
+    """Pick the (bands, rows) split of a MinHash signature that best
+    matches a target Jaccard ``threshold`` — the tuning every LSH
+    deployment hand-waves. For b bands of r rows the candidate
+    probability at similarity s is ``1 - (1 - s^r)^b``; the planner
+    scores every divisor split by the total misclassification mass
+    (integral of the curve below the threshold = expected false-
+    candidate rate under a uniform similarity prior, plus the integral
+    of (1 - curve) above it = expected miss rate) on a fixed grid, so
+    the choice is deterministic and engine-independent. Returns the
+    winning split, its crossover point ((1/b)^(1/r) — the rule-of-thumb
+    threshold the split natively encodes), and the per-split scores for
+    the caller's records.
+
+    Driver-side pure math (microseconds): the OUTPUT feeds
+    ``minhash_lsh_dedup(bands=...)``; nothing here touches data.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    splits = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    scored = []
+    for b in splits:
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        scored.append(
+            {
+                "bands": b,
+                "rows": r,
+                "crossover": (1.0 / b) ** (1.0 / r),
+                "error_mass": (fp + fn) / grid,
+            }
+        )
+    best = min(scored, key=lambda d: (d["error_mass"], d["bands"]))
+    return {**best, "candidates": scored}

@@ -2507,3 +2507,27 @@ def test_json_schema_profile_roundtrip(spark):
         ).collect()
     }
     assert got == want and set(got) == {"k", "value", "code", "msg", "amount"}
+
+
+def test_plan_lsh_bands_sane():
+    from db_loganalyzer_spark.operators.dedup import plan_lsh_bands
+
+    p50 = DD.plan_lsh_bands(0.5, 32)
+    # the chosen split's native crossover should sit near the target
+    assert abs(p50["crossover"] - 0.5) < 0.2
+    assert p50["bands"] * p50["rows"] == 32
+    # higher target threshold -> fewer, longer bands (more selective)
+    p80 = DD.plan_lsh_bands(0.8, 32)
+    assert p80["bands"] <= p50["bands"] and p80["rows"] >= p50["rows"]
+    # lower threshold -> more, shorter bands (more permissive)
+    p20 = DD.plan_lsh_bands(0.2, 32)
+    assert p20["bands"] >= p50["bands"]
+    # error mass of the winner is minimal among its candidates
+    assert all(
+        p50["error_mass"] <= c["error_mass"] for c in p50["candidates"]
+    )
+    # degenerate inputs rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.plan_lsh_bands(1.5, 32)
