@@ -8298,6 +8298,84 @@ FROM base WHERE event_type = 'purchase'
 
 
 
+def pipe05_rag_ingest(spark, sf_dir):
+    """PIPE05 — RAG ingestion + retrieval end to end, text in /
+    neighbors out: documents embed through the deterministic
+    hashing-trick encoder (cl01's mapInPandas path, integer-exact
+    arithmetic), the corpus becomes a standing LSH bucket index (sim02's
+    seeded hyperplanes), and every evaluation document (doc_id % 100 =
+    0) probes its bucket for exact-cosine top-5 neighbors. The
+    retrieval stack the agentic layer's L5 uses, composed as ONE
+    oracle-paired flow — encoder arithmetic, plane signs, bucket
+    candidate generation, and ranking all hash-checked together, recall
+    loss included (a real encoder swaps in as the same pandas stage;
+    sim02's pytest separately pins recall vs brute force)."""
+    from db_loganalyzer_spark.operators.clustering import (
+        embed_texts,
+        valid_embeddings,
+    )
+    from db_loganalyzer_spark.operators.similarity import lsh_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = valid_embeddings(embed_texts(docs)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=6)
+
+
+PIPE05_SQL = f"""
+WITH {_planes_cte()},
+base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) % 64) AS buckets
+  FROM base
+), v AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        j -> CAST(len(list_filter(buckets, b -> b = j)) AS DOUBLE)) AS vec
+  FROM th
+), nn AS (
+  SELECT doc_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v
+), e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 64), j -> vec[j + 1] / nrm) AS v
+  FROM nn WHERE nrm > 1e-6 AND NOT isnan(nrm)
+), cb AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.v[i] * p.p[i])) > 0
+                       THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id, {_COS_SQL} AS cosine
+  FROM cb qb
+  JOIN cb ob ON ob.bucket = qb.bucket
+  JOIN e a ON a.vec_id = qb.vec_id
+  JOIN e b ON b.vec_id = ob.vec_id AND b.vec_id <> a.vec_id
+  WHERE qb.vec_id % 100 = 0
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8321,17 +8399,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 19 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 20 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
     # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12 sit
-    # just below the line (positions 51-61, front of the r11 queue) —
-    # all nineteen are pinned green at BOTH sf0.01 and sf0.1 by
-    # scripts/check_oracle.py this round.
+    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12/
+    # pipe05 sit just below the line (positions 51-62, front of the
+    # r11 queue) — all twenty are pinned green at BOTH sf0.01 and
+    # sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -8406,6 +8484,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
     "cl05_silhouette": (cl05_silhouette, CL05_SQL),
     "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
+    "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),
