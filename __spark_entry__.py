@@ -8376,6 +8376,72 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 
 
+def t21_heaps_fit(spark, sf_dir):
+    """T21 — Heaps'-law vocabulary-growth fit (textstats.heaps_fit):
+    log-log regression of cumulative distinct terms vs cumulative
+    tokens over id-bucketed corpus prefixes (100 docs per bucket) — the
+    corpus-scaling companion to t16's Zipf slope: beta near 0 =
+    saturated/duplicated vocabulary, near 1 = token soup, 0.4-0.6 =
+    natural text; and the curve that predicts the vocabulary the next
+    10x of corpus brings. t16's float discipline throughout."""
+    from db_loganalyzer_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+T21_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), pb AS (
+  SELECT CAST(FLOOR(doc_id / 100.0) AS BIGINT) AS bucket,
+         CAST(SUM(len(toks)) AS BIGINT) AS toks
+  FROM base GROUP BY 1
+), fb AS (
+  SELECT CAST(FLOOR(MIN(doc_id) / 100.0) AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+  GROUP BY token
+), nv AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_vocab FROM fb GROUP BY 1
+), cum AS (
+  SELECT CAST(SUM(pb.toks) OVER w AS BIGINT) AS cum_toks,
+         CAST(SUM(COALESCE(nv.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM pb LEFT JOIN nv USING (bucket)
+  WINDOW w AS (ORDER BY pb.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT CAST(FLOOR(ROUND(ln(CAST(cum_toks AS DOUBLE)), 6) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ROUND(ln(CAST(cum_vocab AS DOUBLE)), 6) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM cum WHERE cum_toks > 0 AND cum_vocab > 0
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+)
+SELECT k AS n_points,
+       CASE WHEN (k * sxx - CAST(sx AS HUGEINT) * sx) > 0
+            THEN CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS beta,
+       (CAST(sy AS DOUBLE) / 1000000.0 / k)
+         - (CASE WHEN (k * sxx - CAST(sx AS HUGEINT) * sx) > 0
+                 THEN CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END)
+           * (CAST(sx AS DOUBLE) / 1000000.0 / k) AS log_k,
+       CASE WHEN (k * sxx - CAST(sx AS HUGEINT) * sx) > 0
+              AND (k * syy - CAST(sy AS HUGEINT) * sy) > 0
+            THEN (CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / sqrt(CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+                 / sqrt(CAST(k * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END AS r
+FROM s
+"""
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8399,7 +8465,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 20 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 21 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
@@ -8407,9 +8473,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
     # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12/
-    # pipe05 sit just below the line (positions 51-62, front of the
-    # r11 queue) — all twenty are pinned green at BOTH sf0.01 and
-    # sf0.1 by scripts/check_oracle.py this round.
+    # pipe05/t21 sit just below the line (positions 51-63, front of
+    # the r11 queue) — all twenty-one are pinned green at BOTH sf0.01
+    # and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -8485,6 +8551,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cl05_silhouette": (cl05_silhouette, CL05_SQL),
     "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
     "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
+    "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -651,3 +651,92 @@ def char_entropy(
     return h1.join(h2, id_col, "left").select(
         id_col, "n_chars", "h_char", "n_bigrams", "h_bigram"
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """T21 — Heaps'-law fit of vocabulary growth: least-squares slope of
+    log(distinct terms) vs log(total tokens) over id-ordered corpus
+    prefixes. Natural text grows as V ~ K * n^beta with beta in
+    ~0.4-0.6; beta near 0 means the vocabulary has saturated (template
+    floods, heavy duplication) and beta near 1 means near-random token
+    soup — the corpus-scaling companion to t16's Zipf slope, and the
+    curve that predicts how much NEW vocabulary the next 10x of corpus
+    will bring.
+
+    Scale shape: prefixes are id-BUCKETS (``bucket_width`` docs each),
+    never per-document — per-bucket token sums and per-token first
+    buckets are two partial-agg shuffles, and the only ordered window
+    runs over the bounded bucket frame (one row per bucket), the a31
+    pattern. Float discipline is t16's verbatim: logs rounded to
+    micro-units before exact integer sums, normal equations in
+    DECIMAL(38,0), one final division per statistic.
+    """
+    bucket = F.floor(F.col(id_col) / bucket_width).cast("long")
+    per_bucket = (
+        df.select(bucket.alias("bucket"), token_count(text_col).alias("nt"))
+        .groupBy("bucket")
+        .agg(F.sum("nt").cast("long").alias("toks"))
+    )
+    firsts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.min(id_col).alias("first_id"))
+        .select(
+            F.floor(F.col("first_id") / bucket_width)
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    joined = per_bucket.join(firsts, "bucket", "left").select(
+        "bucket",
+        "toks",
+        F.coalesce("new_vocab", F.lit(0).cast("long")).alias("new_vocab"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.select(
+        F.sum("toks").over(w).cast("long").alias("cum_toks"),
+        F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
+    )
+    x = F.floor(
+        F.round(F.log(F.col("cum_toks").cast("double")), 6) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    y = F.floor(
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    pts = cum.filter(
+        (F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)
+    ).select(x.alias("x"), y.alias("y"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    num = (d("k") * F.col("sxy") - d("sx") * F.col("sy")).cast("double")
+    denx = (d("k") * F.col("sxx") - d("sx") * F.col("sx")).cast("double")
+    deny = (d("k") * F.col("syy") - d("sy") * F.col("sy")).cast("double")
+    beta = F.when(denx > 0, num / denx)
+    mean_x = F.col("sx").cast("double") / 1_000_000.0 / F.col("k")
+    mean_y = F.col("sy").cast("double") / 1_000_000.0 / F.col("k")
+    return s.select(
+        F.col("k").alias("n_points"),
+        beta.alias("beta"),
+        (mean_y - beta * mean_x).alias("log_k"),
+        F.when(
+            (denx > 0) & (deny > 0), (num / F.sqrt(denx)) / F.sqrt(deny)
+        ).alias("r"),
+    )

@@ -2531,3 +2531,20 @@ def test_plan_lsh_bands_sane():
 
     with _pytest.raises(ValueError):
         DD.plan_lsh_bands(1.5, 32)
+
+
+def test_heaps_fit_extremes(spark):
+    """All-new vocabulary per doc -> beta ~ 1; identical docs -> beta ~ 0."""
+    fresh = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(400)],
+        "doc_id long, text string",
+    )
+    b_fresh = TS.heaps_fit(fresh).collect()[0]
+    assert b_fresh.n_points == 4 and abs(b_fresh.beta - 1.0) < 0.01
+
+    dup = spark.createDataFrame(
+        [(i, "the same twenty words repeated " * 4) for i in range(400)],
+        "doc_id long, text string",
+    )
+    b_dup = TS.heaps_fit(dup).collect()[0]
+    assert abs(b_dup.beta) < 0.01

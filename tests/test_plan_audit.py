@@ -63,6 +63,7 @@ GLOBAL_WINDOW_OK = {
     "d10_recovery_episodes",  # episode-level
     "t11_tfidf_terms",  # per-term rank over vocab-bounded frame
     "t12_bm25_search",  # top-k over per-doc score frame
+    "t21_heaps_fit",  # cumulative window over one row per id-bucket
 }
 
 def plan_str(spark, df, mode: str = "simple") -> str:
