@@ -49,6 +49,7 @@ BNLJ_OK = {
     "cl02_cluster_reps",
     "cl03_cluster_summary",
     "cl04_kmeans_sizes",
+    "cl05_silhouette",  # k-row centroid frame (rank 1+2 distances)
     "sim01_bruteforce_topk",
 }
 
