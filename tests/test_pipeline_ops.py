@@ -2548,3 +2548,90 @@ def test_heaps_fit_extremes(spark):
     )
     b_dup = TS.heaps_fit(dup).collect()[0]
     assert abs(b_dup.beta) < 0.01
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_span_stats_matches_bruteforce(texts, n):
+    """m22 vs a pure-Python reference on tiny random corpora: the
+    covered-position union must match exactly."""
+    spark = test_duplicated_span_stats_matches_bruteforce._spark
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.covered_toks)
+        for r in DD.duplicated_span_stats(docs, n=n, min_count=2).collect()
+    }
+
+    grams = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p: p + n]), []).append((i, p))
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if len(grams[tuple(toks[p: p + n])]) >= 2:
+                covered.update(range(p, p + n))
+        want[i] = (len(toks), len(covered))
+    assert got == want
+
+
+@pytest.fixture(autouse=True)
+def _bind_spark_for_hypothesis(spark):
+    # hypothesis forbids function-scoped fixtures inside @given bodies;
+    # stash the module-scoped session on the test functions instead
+    test_duplicated_span_stats_matches_bruteforce._spark = spark
+    test_sorted_batching_never_pads_more._spark = spark
+    yield
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=24),
+    st.integers(min_value=2, max_value=5),
+)
+def test_sorted_batching_never_pads_more(lengths, bsz):
+    """Classic result: grouping consecutive after a sort minimizes the
+    sum of batch maxima, so length-sorted padding <= arrival-order
+    padding on EVERY input."""
+    spark = test_sorted_batching_never_pads_more._spark
+    from db_loganalyzer_spark.operators.sampling import padded_batches
+
+    docs = spark.createDataFrame(
+        [(i, "w " * ln, "s") for i, ln in enumerate(lengths)],
+        "doc_id long, text string, source string",
+    )
+    pad_sorted = sum(
+        r.pad_toks
+        for r in padded_batches(docs, batch_size=bsz, by=["source"]).collect()
+    )
+    pad_naive = sum(
+        r.pad_toks
+        for r in padded_batches(
+            docs, batch_size=bsz, by=["source"], length_sorted=False
+        ).collect()
+    )
+    assert 0 <= pad_sorted <= pad_naive
+
+
+def test_zorder_key_bijective_on_grid(spark):
+    from db_loganalyzer_spark.operators.layout import zorder_key
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    out = df.select(zorder_key(F.col("x"), F.col("y"), bits=6).alias("z"))
+    assert out.distinct().count() == 4096
+    mm = out.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
+    assert mm.lo == 0 and mm.hi == 4095
