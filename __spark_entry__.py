@@ -8442,6 +8442,31 @@ FROM s
 
 
 
+def st21_streaming_energy_segments(spark, sf_dir):
+    """ST21 — mm09's streaming form: clips arrive WHOLE on the landing
+    stream, so active-frame detection AND maximal-run coalescing happen
+    inside one stateless pandas stage (multimodal.
+    decode_energy_segments) — segments land per micro-batch with no
+    watermark and no state store, unlike event-interval coalescing
+    (st15) where the islands span micro-batches and need carried state.
+    The contrast IS the lesson: per-ROW payloads keep streaming
+    segmentation free; per-STREAM timelines pay for state. Same oracle
+    as mm09, pinning the single-stage form equal to the batch
+    two-stage (decode + coalesce_intervals) one."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_energy_segments,
+        media_table_synthetic_audio,
+    )
+
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    out = decode_energy_segments(media_table_synthetic_audio(stream))
+    return _drain(out, "st21")
+
+
+ST21_SQL = MM09_SQL
+
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: ordered by staleness of each
@@ -8465,7 +8490,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
     # the FULL local gate at sf0.01 and sf0.1 and pinned by
     # scripts/check_oracle.py.
-    # r10 session 2 added 21 more new entries (m22 exact-substring spans,
+    # r10 session 2 added 22 more new entries (m22 exact-substring spans,
     # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
     # round-trip, st18 streaming decontamination, st19 streaming CSV
     # ingest, pack02 padded-batch accounting, opt01 z-order layout
@@ -8473,9 +8498,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # r6-stale block so the verdict-flagged rotation still happens;
     # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
     # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12/
-    # pipe05/t21 sit just below the line (positions 51-63, front of
-    # the r11 queue) — all twenty-one are pinned green at BOTH sf0.01
-    # and sf0.1 by scripts/check_oracle.py this round.
+    # pipe05/t21/st21 sit just below the line (positions 51-64, front
+    # of the r11 queue) — all twenty-two are pinned green at BOTH
+    # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
     # ---- new in r10 ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
@@ -8552,6 +8577,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
     "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
     "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
+    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
     # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
     "f06_event_class": (f06_event_class, F06_SQL),
     "f08_json_field": (f08_json_field, F08_SQL),

@@ -850,3 +850,57 @@ def decode_active_frames(media: DataFrame, frame: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_frames, schema=_ACTIVE_FRAME_SCHEMA)
+
+
+_SEGMENT_SCHEMA = (
+    "media_id long, segment_id long, start_frame long, end_frame long, "
+    "n_frames long"
+)
+
+
+def decode_energy_segments(media: DataFrame, frame: int = 16) -> DataFrame:
+    """MM09's single-stage form, built for streams: a clip's payload
+    arrives WHOLE in one row, so active-frame detection AND the
+    maximal-run coalescing happen inside the same stateless pandas
+    stage — no state store, no shuffle, segments out per micro-batch.
+    Batch mm09 keeps the two-stage form (decode_active_frames +
+    windows.coalesce_intervals) because its interval operator is shared
+    with the event family; both produce identical segments (st21 pins
+    that via the shared oracle)."""
+
+    def _segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "segment_id": [], "start_frame": [],
+                "end_frame": [], "n_frames": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, _, samples = decode_wav(bytes(payload))
+                energies = [
+                    sum(s * s for s in samples[f: f + frame])
+                    for f in range(0, len(samples), frame)
+                ]
+                total, nf = sum(energies), len(energies)
+                seg, start, prev = 0, None, None
+                for f, e in enumerate(energies):
+                    if e * nf > total:
+                        if start is None:
+                            start = f
+                        elif f > prev + 1:
+                            out["media_id"].append(int(mid))
+                            out["segment_id"].append(seg)
+                            out["start_frame"].append(start)
+                            out["end_frame"].append(prev)
+                            out["n_frames"].append(prev - start + 1)
+                            seg += 1
+                            start = f
+                        prev = f
+                if start is not None:
+                    out["media_id"].append(int(mid))
+                    out["segment_id"].append(seg)
+                    out["start_frame"].append(start)
+                    out["end_frame"].append(prev)
+                    out["n_frames"].append(prev - start + 1)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_segments, schema=_SEGMENT_SCHEMA)
