@@ -1250,10 +1250,14 @@ def slo_burn_alerts(
     """
     if long_seconds % short_seconds:
         raise ValueError("long_seconds must be a multiple of short_seconds")
-    epoch = F.unix_micros(F.col(ts_col))
-    sb = F.floor(epoch / (short_seconds * 1_000_000)).cast("long")
+    # `div` is exact int64 arithmetic at any magnitude; the former
+    # floor(double-division) form was value-correct only because
+    # epoch-microseconds stay under 2^53. Domains here are
+    # nonnegative, so div == floor-division.
     tagged = events.select(
-        sb.alias("short_bucket"),
+        F.expr(
+            f"unix_micros({ts_col}) div {short_seconds * 1_000_000}"
+        ).alias("short_bucket"),
         is_bad.cast("int").alias("__bad"),
     )
     short = tagged.groupBy("short_bucket").agg(
@@ -1263,8 +1267,7 @@ def slo_burn_alerts(
     ratio = long_seconds // short_seconds
     long_ = (
         tagged.withColumn(
-            "long_bucket",
-            F.floor(F.col("short_bucket") / ratio).cast("long"),
+            "long_bucket", F.expr(f"short_bucket div {ratio}")
         )
         .groupBy("long_bucket")
         .agg(
@@ -1273,7 +1276,7 @@ def slo_burn_alerts(
         )
     )
     joined = short.withColumn(
-        "long_bucket", F.floor(F.col("short_bucket") / ratio).cast("long")
+        "long_bucket", F.expr(f"short_bucket div {ratio}")
     ).join(long_, "long_bucket")
     bs = F.col("bad_short") / F.col("n_short") / budget
     bl = F.col("bad_long") / F.col("n_long") / budget

@@ -1515,9 +1515,14 @@ def duplicated_span_stats(
     """
     from db_loganalyzer_spark.operators.windows import coalesce_intervals
 
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    # n_toks from the bare split — NEVER from size(tp): that would
-    # evaluate the whole token-hash chain once more per row
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    # n_toks from the filtered split — NEVER from size(tp): that would
+    # evaluate the whole token-hash chain once more per row. The
+    # filter matters only for empty/whitespace-only documents (split
+    # of '' yields [''] -> size 1, but the corpus has zero tokens
+    # there); the oracle counts list_filter(..., x <> '') the same way.
     sizes = df.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_toks")
     )

@@ -409,6 +409,10 @@ def quantized_gemm_topk(
     import numpy as np
 
     qrows = queries.select(query_id, query_vec).collect()
+    out_schema = "query_id long, vec_id long, cosine double, rank int"
+    if not qrows:
+        # np.array([]) is 1-D; the axis=1 norm below would raise.
+        return emb.sparkSession.createDataFrame([], out_schema)
     qids = [int(r[0]) for r in qrows]
     qmat = np.array(
         [np.floor(np.asarray(r[1], dtype="float64") * scale + 0.5) for r in qrows],

@@ -2220,6 +2220,20 @@ def test_duplicated_span_stats(spark):
     assert out[4] == (2, 0, 0.0)
 
 
+def test_duplicated_span_stats_empty_doc(spark):
+    # split('') -> [''] (size 1); the oracle filters empty tokens and
+    # counts 0 — the Spark side must agree (r11 ADVICE fix).
+    rows = [(0, ""), (1, "   "), (2, "a b c a b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_toks, r.covered_toks, r.dup_fraction)
+        for r in DD.duplicated_span_stats(docs, n=3, min_count=2).collect()
+    }
+    assert out[0] == (0, 0, 0.0)
+    assert out[1] == (0, 0, 0.0)
+    assert out[2] == (6, 6, 1.0)
+
+
 def test_classifier_gate(spark, docs):
     weights = spark.createDataFrame(
         [("quick", 500), ("lazy", -2000), ("spark", 1000)],
@@ -2362,6 +2376,20 @@ def test_quantized_gemm_topk_matches_reference_computation(spark):
     assert [r[2] for r in got] == [1, 2, 3]
     # doc 3's cosine reflects the quantized (500,500) vector, not the raw one
     assert got[1][0] == 3 and abs(got[1][1] - 500 / math.sqrt(500**2 + 500**2) * 1) < 1e-12
+
+
+def test_quantized_gemm_topk_empty_queries(spark):
+    # an empty rerank batch must return an empty frame with the output
+    # schema, not raise from a 1-D np.array (r11 ADVICE fix)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.quantized_gemm_topk(emb, queries, k=3)
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out.count() == 0
 
 
 def test_char_entropy_known_values(spark):
