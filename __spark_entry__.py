@@ -2468,16 +2468,19 @@ FROM all_chunks GROUP BY doc_id
 
 def mm01_decode_media(spark, sf_dir):
     """MM01 — REAL image decode through the mapInPandas plumbing: the
-    media table's payloads are actual byte streams of two real formats
-    (24-bit BMP for even ids, binary P6 PPM for odd — built by
-    multimodal.synth_image_payload in a pandas stage, the binaryFile-
-    source shape), and pure_python_decode_backend parses the headers AND
-    validates/decodes the pixel arrays — no codec stub in this path.
-    Dimensions and byte lengths are pure functions of the id, so the
-    oracle restates what the decoder must extract from the bytes: a
-    wrong header offset, row-padding rule, or channel order fails the
-    hash. (fake_decode_backend remains only for media this container
-    truly cannot decode — video/audio, see mm03.)"""
+    media table's payloads are actual byte streams of three real
+    formats (ids cycle 24-bit BMP / binary P6 PPM / 8-bit PNG — built
+    by multimodal.synth_image_payload in a pandas stage, the
+    binaryFile-source shape), and pure_python_decode_backend parses the
+    headers AND validates/decodes the pixel arrays — for PNG that means
+    a real zlib inflate plus reversal of all five row filters (the
+    encoder cycles the filter per row). No codec stub in this path.
+    Dimensions and byte lengths are pure functions of the id (PNG uses
+    stored-block zlib framing, so even ITS byte length is closed-form),
+    and the oracle restates what the decoder must extract from the
+    bytes: a wrong header offset, row-padding rule, filter reversal, or
+    channel order fails the hash. (fake_decode_backend remains only for
+    codecs this container truly cannot decode — JPEG/MP3/MP4.)"""
     from db_loganalyzer_spark.operators.multimodal import (
         decode_media,
         media_table_synthetic_images,
@@ -2490,28 +2493,34 @@ def mm01_decode_media(spark, sf_dir):
 
 
 # byte_len restated from the real encodings: BMP = 54-byte headers +
-# 4-aligned BGR rows; PPM = "P6\n{w} {h}\n255\n" + 3wh raw bytes.
+# 4-aligned BGR rows; PPM = "P6\n{w} {h}\n255\n" + 3wh raw bytes; PNG =
+# 8 sig + 25 IHDR + 12 IEND + (12 + idat) IDAT where idat wraps the
+# h*(1+3w) filtered scanline bytes in stored zlib blocks (2 hdr + 5
+# block hdr + 4 adler; single block — payloads stay far under 64 KiB),
+# i.e. 68 + h*(1+3w) total.
 MM01_SQL = """
 WITH m AS (
   SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
   FROM documents
 )
 SELECT media_id, 'image' AS media_type,
-       CAST(CASE WHEN media_id % 2 = 0
-                 THEN 54 + ((3 * w + 3) // 4) * 4 * h
-                 ELSE 9 + length(CAST(w AS VARCHAR))
-                        + length(CAST(h AS VARCHAR)) + 3 * w * h
+       CAST(CASE media_id % 3
+                 WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                 WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+                             + length(CAST(h AS VARCHAR)) + 3 * w * h
+                 ELSE 68 + h * (1 + 3 * w)
             END AS BIGINT) AS byte_len,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        1 AS n_frames,
-       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+       CASE media_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS format
 FROM m
 """
 
 
 def mm02_resize_plan(spark, sf_dir):
     """MM02 — resize planning over REALLY-decoded dimensions (the mm01
-    path: real BMP/PPM bytes through pure_python_decode_backend), then
+    path: real BMP/PPM/PNG bytes through pure_python_decode_backend), then
     pure JVM column math for the scale plan. max_side=8 sits inside the
     synthetic dimension range (w in 4..16, h in 3..9) so both branches
     of the scale rule are exercised and hash-checked."""
@@ -2550,7 +2559,7 @@ FROM d
 
 def mm04_pixel_stats(spark, sf_dir):
     """MM04 — pixel statistics THROUGH the real decoder: each payload's
-    actual BMP/PPM pixel array is parsed inside a mapInPandas stage
+    actual BMP/PPM/PNG pixel array is parsed inside a mapInPandas stage
     (multimodal.decode_pixel_stats) and reduced to exact integer
     channel sums. The synthetic payloads' pixels are a closed-form
     function of the id, so the oracle restates the sums the decoder
@@ -2578,7 +2587,8 @@ WITH m AS (
   FROM documents
 )
 SELECT media_id,
-       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CASE media_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS format,
        width, height,
        CAST(width * height AS BIGINT) AS n_pixels,
        CAST(list_sum(list_transform(generate_series(0, width * height - 1),
@@ -3929,19 +3939,26 @@ def sim05_embedding_dedup_groups(spark, sf_dir):
     propagation; component label = min vec_id = the keeper). The full
     semantic-dedup shape for a training corpus — and the oracle restates
     the LSH bucketing, cosine filter, AND the component fixpoint as a
-    recursive transitive closure."""
+    recursive transitive closure.
+
+    n_planes is pinned at 12 — the auto_n_planes occupancy dial's
+    answer for the corpus scale this entry targets (one plane per
+    corpus doubling; measured r10: planes 12 -> sim03 pairs 10.0 s at
+    sf10r where the 6-plane form was quadratic-regime). The 6-plane
+    contrast lives as a pytest pin (test_plans.
+    test_lsh_plane_dial_contrast), not as the certified config."""
     from db_loganalyzer_spark.operators.dedup import dedup_components
     from db_loganalyzer_spark.operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = embedding_near_dups(emb, threshold=0.25, n_planes=6)
+    pairs = embedding_near_dups(emb, threshold=0.25, n_planes=12)
     return dedup_components(pairs).select("id", "component_id")
 
 
 SIM05_SQL = f"""
-WITH RECURSIVE {_planes_cte()},
+WITH RECURSIVE {_planes_cte(12)},
 {_LSH_CTES},
 pairs AS (
   SELECT id_a, id_b FROM (
@@ -7353,7 +7370,8 @@ def pipe03_vlm_manifest(spark, sf_dir):
 PIPE03_SQL = r"""
 WITH d AS (
   SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              ELSE 'png' END AS format,
          source,
          CAST(4 + doc_id % 13 AS INT) AS width,
          CAST(3 + doc_id % 7 AS INT) AS height,
@@ -7738,7 +7756,7 @@ FROM up LEFT JOIN bp USING (doc_id)
 def mm08_phash_dedup(spark, sf_dir):
     """MM08 — near-dup IMAGE detection via perceptual hash over the
     REAL decode path (multimodal.decode_perceptual_hash): block-pooled
-    average-hash bits computed from actually-decoded BMP/PPM pixel
+    average-hash bits computed from actually-decoded BMP/PPM/PNG pixel
     arrays (exact integer pooling — the cross-multiplied mean
     comparison never divides), then dedup grouping by identical hash:
     group size and keeper (min id) via one window over the 12-bit key.
@@ -7792,7 +7810,8 @@ WITH m AS (
   GROUP BY 1
 )
 SELECT media_id,
-       CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CASE media_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS format,
        phash,
        CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same,
        CAST(MIN(media_id) OVER (PARTITION BY phash) AS BIGINT) AS keeper_id
@@ -8309,7 +8328,13 @@ def pipe05_rag_ingest(spark, sf_dir):
     oracle-paired flow — encoder arithmetic, plane signs, bucket
     candidate generation, and ranking all hash-checked together, recall
     loss included (a real encoder swaps in as the same pandas stage;
-    sim02's pytest separately pins recall vs brute force)."""
+    sim02's pytest separately pins recall vs brute force).
+
+    n_planes pinned at 12, the occupancy-dial value (see sim05): with
+    queries = 1% of the corpus, a FIXED small plane count makes bucket
+    occupancy — and with it candidate traffic — grow quadratically
+    across scale decades. The certified config is now the dialed one;
+    the 6-plane form survives only as the pytest contrast."""
     from db_loganalyzer_spark.operators.clustering import (
         embed_texts,
         valid_embeddings,
@@ -8324,11 +8349,11 @@ def pipe05_rag_ingest(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return lsh_topk(emb, queries, k=5, n_planes=6)
+    return lsh_topk(emb, queries, k=5, n_planes=12)
 
 
 PIPE05_SQL = f"""
-WITH {_planes_cte()},
+WITH {_planes_cte(12)},
 base AS (
   SELECT doc_id,
          list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),

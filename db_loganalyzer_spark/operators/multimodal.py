@@ -174,28 +174,242 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple]]:
     return width, height, pixels
 
 
+# ---------------------------------------------------------------------------
+# PNG: the first real COMPRESSED codec, stdlib-only (zlib inflate +
+# the five per-row filters). Encoder cycles the filter type per row so
+# every filter reversal is exercised on every image; the deflate
+# stream defaults to hand-rolled STORED blocks, whose length is a
+# closed form of the dimensions (so oracle SQL can restate byte_len —
+# a level-9 stream's length depends on the compressor implementation).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A valid zlib stream using only STORED (uncompressed) deflate
+    blocks — byte length is exactly ``2 + 5*n_blocks + len(data) + 4``,
+    deterministic by construction (zlib.compress(level=0) happens to
+    produce the same shape, but hand-rolling removes the dependency on
+    that implementation detail). Any inflate implementation reads it."""
+    import zlib
+
+    out = bytearray(b"\x78\x01")  # CMF/FLG: 32K window, check bits ok
+    pos = 0
+    n = len(data)
+    while True:
+        block = data[pos: pos + 65535]
+        pos += len(block)
+        final = 1 if pos >= n else 0
+        out += bytes((final,))
+        out += struct.pack("<HH", len(block), len(block) ^ 0xFFFF)
+        out += block
+        if final:
+            break
+    out += struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[tuple],
+    compress_level: int | None = None,
+) -> bytes:
+    """Encode RGB pixels (top-down row-major (r, g, b)) as an 8-bit
+    truecolor PNG. Row y uses filter type y % 5, so a decoder must
+    implement None/Sub/Up/Average/Paeth to read any image taller than
+    4 rows. ``compress_level=None`` wraps the filtered scanlines in
+    stored deflate blocks (deterministic length: see _zlib_stored);
+    pass 1-9 to run real zlib compression (pytest exercises this path;
+    the synthetic fixtures use the stored form so the oracle can
+    restate byte_len)."""
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must hold width*height RGB tuples")
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(bpp * width)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixels[y * width + x])
+        ftype = y % 5
+        raw += bytes((ftype,))
+        if ftype == 0:
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ftype == 2:  # Up
+            raw += bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(len(row))
+            )
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prev = bytes(row)
+    idat = (
+        _zlib_stored(bytes(raw))
+        if compress_level is None
+        else zlib.compress(bytes(raw), compress_level)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Decode an 8-bit truecolor (color type 2) or grayscale (0) PNG:
+    signature + chunk walk, zlib inflate of the concatenated IDATs,
+    then reversal of the per-row filter (all five types). Returns
+    (width, height, pixels) as top-down row-major (r, g, b) — gray
+    replicated to three channels. Interlace, palettes, and other bit
+    depths raise ValueError (route to a codec library)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color_type not in (0, 2):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color_type})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/interlace")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3 if color_type == 2 else 1
+    stride = bpp * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1: base + 1 + stride])
+        if ftype == 1:
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = bytes(row)
+    if bpp == 3:
+        pixels = [
+            (out[3 * i], out[3 * i + 1], out[3 * i + 2])
+            for i in range(width * height)
+        ]
+    else:
+        pixels = [(out[i], out[i], out[i]) for i in range(width * height)]
+    return width, height, pixels
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Sniff + decode a real image payload (BMP / binary PNM) down to
-    its pixel values."""
+    """Sniff + decode a real image payload (BMP / binary PNM / PNG)
+    down to its pixel values."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError("unknown image magic")
 
 
 def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
-    """A REAL decode backend needing no wheels: parses 24-bit BMP and
-    binary PPM/PGM image streams plus RIFF/WAVE PCM audio — header
-    fields AND the full pixel/sample payload (truncation raises).
-    Audio maps to the shared metadata schema as width=height=0,
-    n_frames=sample count; uncompressed RIFF/AVI video decodes every
-    DIB frame. Unknown magics (compressed codecs) raise ValueError —
-    route those to a codec-library backend."""
+    """A REAL decode backend needing no wheels: parses 24-bit BMP,
+    binary PPM/PGM, and 8-bit PNG (zlib inflate + all five row
+    filters — the first genuinely COMPRESSED format) image streams
+    plus RIFF/WAVE PCM audio — header fields AND the full pixel/sample
+    payload (truncation raises). Audio maps to the shared metadata
+    schema as width=height=0, n_frames=sample count; uncompressed
+    RIFF/AVI video decodes every DIB frame. Unknown magics (JPEG/MP4
+    and other codecs needing libraries) raise ValueError — route those
+    to a codec-library backend."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
         w, h, _ = decode_bmp(payload)
         fmt = "bmp"
+    elif payload[:8] == _PNG_SIG:
+        w, h, _ = decode_png(payload)
+        fmt = "png"
     elif payload[:2] in (b"P6", b"P5"):
         _, w, h, _, _ = _ppm_header(payload)
         # full pixel validation (and gray replication) via the decoder
@@ -221,10 +435,14 @@ def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
 
 
 def synth_image_payload(media_id: int) -> bytes:
-    """Deterministic REAL image bytes for a media id: even ids encode as
-    24-bit BMP, odd as P6 PPM; dimensions and pixel values are pure
-    functions of the id, so the decoded metadata is restatable in the
-    oracle SQL while the bytes themselves exercise the real codecs."""
+    """Deterministic REAL image bytes for a media id: ids cycle through
+    the three real codecs — id % 3 == 0 encodes as 24-bit BMP, == 1 as
+    P6 PPM, == 2 as 8-bit PNG (stored-block zlib framing so byte_len
+    stays a closed form of the dimensions, with the per-row filter
+    cycle exercising all five PNG filters on decode). Dimensions and
+    pixel values are pure functions of the id, so the decoded metadata
+    AND pixel sums are restatable in the oracle SQL while the bytes
+    themselves exercise the real codecs."""
     w = 4 + media_id % 13
     h = 3 + media_id % 7
     pixels = [
@@ -232,7 +450,7 @@ def synth_image_payload(media_id: int) -> bytes:
          (media_id + 3 * i + 2) % 256)
         for i in range(w * h)
     ]
-    enc = encode_bmp if media_id % 2 == 0 else encode_ppm
+    enc = (encode_bmp, encode_ppm, encode_png)[media_id % 3]
     return enc(w, h, pixels)
 
 
@@ -287,6 +505,7 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                 out["media_id"].append(int(mid))
                 out["format"].append(
                     "bmp" if payload[:2] == b"BM"
+                    else "png" if payload[:8] == _PNG_SIG
                     else ("ppm" if payload[:2] == b"P6" else "pgm")
                 )
                 out["width"].append(w)
@@ -304,11 +523,13 @@ def fake_decode_backend(payload: bytes, media_type: str) -> dict:
     """Deterministic stand-in decoder: metadata derived from the bytes.
     A real backend would call PIL.Image.open / av.open here."""
     n = len(payload)
+    # image -> 'jpeg': PNG graduated to the real decoder in r11, so the
+    # stand-in label is now a codec this container genuinely can't read
     return {
         "width": 16 + n % 640,
         "height": 16 + (n * 7) % 480,
         "n_frames": 1 if media_type == "image" else 1 + n % 300,
-        "format": {"image": "png", "audio": "wav", "video": "mp4"}.get(
+        "format": {"image": "jpeg", "audio": "mp3", "video": "mp4"}.get(
             media_type, "bin"
         ),
     }
@@ -811,6 +1032,7 @@ def decode_perceptual_hash(
                 out["media_id"].append(int(mid))
                 out["format"].append(
                     "bmp" if payload[:2] == b"BM"
+                    else "png" if payload[:8] == _PNG_SIG
                     else ("ppm" if payload[:2] == b"P6" else "pgm")
                 )
                 out["phash"].append(bits)

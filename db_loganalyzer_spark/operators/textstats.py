@@ -633,6 +633,17 @@ def char_entropy(
     # `chars` expression would be re-split by every element_at (two per
     # position -> O(len^2) per document; measured 704 s at sf10r vs
     # seconds for this shape — the m22 generator-pushdown lesson again)
+    #
+    # The two-explode form is KEPT DELIBERATELY (r11): fusing the uni/
+    # bigram scans was hypothesized to halve the dominant explode cost,
+    # and two fused shapes were measured against it at sf100r —
+    # struct-tagged single explode 223.9 s, 2-char-window explode with
+    # derived unigram counts 163.4 s, this form 129.5 s (sf10r: 29.0 /
+    # 21.5 / 18.3). The explode is NOT the bottleneck; per-element
+    # struct/concat materialization costs more than the second scan
+    # saves, and map-side partial aggregation already collapses the
+    # (id, g) shuffle to distinct grams per doc. bench_data/
+    # registry_sf100r_r11.jsonl records the losing variants.
     ch_df = df.select(F.col(id_col), chars.alias("__ch"))
     uni = ch_df.select(F.col(id_col), F.explode("__ch").alias("g"))
     bi_arr = F.transform(

@@ -485,7 +485,7 @@ def test_multimodal_plumbing(spark, docs):
     decoded = decode_media(media, decode_backend=fake_decode_backend)
     rows = {r.media_id: r for r in decoded.collect()}
     assert rows[0].byte_len == len("The quick brown fox jumps over the lazy dog")
-    assert rows[0].format == "png" and rows[0].width >= 16
+    assert rows[0].format == "jpeg" and rows[0].width >= 16
     plan = resize_plan(decoded, max_side=32).collect()
     assert all(max(r.out_width, r.out_height) <= 32 + 1 for r in plan)
     # the honest stub raises until a real codec is provided
@@ -551,6 +551,73 @@ def test_ppm_codec_roundtrip_comments_and_pgm():
         decode_ppm(payload[:-1])
 
 
+def test_png_codec_roundtrip_filters_golden_and_errors():
+    """The stdlib-zlib PNG codec: golden-pin the container layout
+    (signature, IHDR fields, stored-block IDAT framing and its
+    closed-form byte length), verify every one of the five row filters
+    reverses correctly (the encoder cycles them per row), and decode a
+    REAL level-9 deflate stream — the path actual corpus PNGs take."""
+    import struct
+    import zlib
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    # 3x6: six rows exercise filters 0,1,2,3,4,0
+    w, h = 3, 6
+    pix = [((7 + 3 * i) % 256, (11 + 5 * i) % 256, (13 + 7 * i) % 256)
+           for i in range(w * h)]
+    payload = encode_png(w, h, pix)
+    assert payload[:8] == _PNG_SIG
+    # IHDR: width, height, depth 8, color type 2 (truecolor RGB)
+    assert payload[12:16] == b"IHDR"
+    assert struct.unpack_from(">IIBBBBB", payload, 16) == (w, h, 8, 2, 0, 0, 0)
+    # closed-form byte length: 68 + h*(1+3w) (stored-block zlib framing)
+    assert len(payload) == 68 + h * (1 + 3 * w)
+    # the IDAT stream is valid zlib and carries the filtered scanlines
+    (idat_len,) = struct.unpack_from(">I", payload, 33)
+    assert payload[37:41] == b"IDAT"
+    raw = zlib.decompress(payload[41: 41 + idat_len])
+    assert len(raw) == h * (1 + 3 * w)
+    assert [raw[y * (1 + 3 * w)] for y in range(h)] == [0, 1, 2, 3, 4, 0]
+    assert decode_png(payload) == (w, h, pix)
+    # REAL compression: a level-9 stream inflates through the same path
+    packed = encode_png(w, h, pix, compress_level=9)
+    assert decode_png(packed) == (w, h, pix)
+    # grayscale (color type 0): hand-assemble and expect replication
+    gray_raw = b"\x00" + bytes((0, 128, 255))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    gray = (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(gray_raw))
+            + chunk(b"IEND", b""))
+    assert decode_png(gray) == (3, 1, [(0, 0, 0), (128, 128, 128),
+                                       (255, 255, 255)])
+    with pytest.raises(ValueError):
+        decode_png(payload[:-20])  # truncated chunk
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNX" + payload[4:])  # bad signature
+    bad_depth = (_PNG_SIG
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 16, 2, 0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(gray_raw))
+                 + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad_depth)  # 16-bit: route to a codec library
+    short = (_PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(gray_raw))  # one row, two claimed
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
 def test_pure_python_backend_decodes_synth_payloads(spark):
     """mm01's real path end-to-end off-Spark: synth payloads are valid
     BMP/PPM byte streams whose decoded metadata AND pixels match the
@@ -561,12 +628,12 @@ def test_pure_python_backend_decodes_synth_payloads(spark):
         synth_image_payload,
     )
 
-    for mid in (0, 1, 7, 12, 25, 90):
+    for mid in (0, 1, 2, 7, 12, 25, 90, 92):
         payload = synth_image_payload(mid)
         meta = pure_python_decode_backend(payload, "image")
         assert meta["width"] == 4 + mid % 13
         assert meta["height"] == 3 + mid % 7
-        assert meta["format"] == ("bmp" if mid % 2 == 0 else "ppm")
+        assert meta["format"] == ("bmp", "ppm", "png")[mid % 3]
         w, h, pix = decode_image_pixels(payload)
         want = [
             ((mid + 3 * i) % 256, (mid + 3 * i + 1) % 256,
@@ -575,7 +642,7 @@ def test_pure_python_backend_decodes_synth_payloads(spark):
         ]
         assert pix == want
     with pytest.raises(ValueError):
-        pure_python_decode_backend(b"\x89PNG\r\n", "image")
+        pure_python_decode_backend(b"\xff\xd8\xff\xe0JFIF", "image")  # JPEG
 
 
 def test_mm01_real_decode_through_spark(spark, docs):
@@ -596,7 +663,7 @@ def test_mm01_real_decode_through_spark(spark, docs):
     }
     for mid, r in out.items():
         assert r.width == 4 + mid % 13 and r.height == 3 + mid % 7
-        assert r.format == ("bmp" if mid % 2 == 0 else "ppm")
+        assert r.format == ("bmp", "ppm", "png")[mid % 3]
         assert r.n_frames == 1
 
 
@@ -620,7 +687,7 @@ def test_decode_pixel_stats_matches_closed_form(spark, docs):
         assert r.sum_r == sum((mid + 3 * i) % 256 for i in range(n))
         assert r.sum_g == sum((mid + 3 * i + 1) % 256 for i in range(n))
         assert r.sum_b == sum((mid + 3 * i + 2) % 256 for i in range(n))
-        assert r.format == ("bmp" if mid % 2 == 0 else "ppm")
+        assert r.format == ("bmp", "ppm", "png")[mid % 3]
 
 
 def test_patch_plan_tiles_and_clips(spark):
@@ -1415,6 +1482,58 @@ def test_auto_n_planes_tracks_corpus_growth(spark):
         SIM.auto_n_planes(big, target_bucket_size=500)
         == SIM.auto_n_planes(big.union(big), target_bucket_size=500) - 1
     )
+
+
+def test_lsh_plane_dial_contrast(spark):
+    """The demoted 6-plane form, pinned as the quadratic-regime
+    contrast (r11): with a FIXED plane count, same-bucket candidate
+    pairs grow ~quadratically across a 4x corpus growth, while the
+    occupancy dial (+1 plane per doubling) keeps growth ~linear. The
+    certified sim05/pipe05 configs are the dialed 12-plane ones; this
+    test is where the old fixed-plane behavior lives on as a
+    measurement, not a shipped config."""
+    import numpy as np
+
+    def corpus(n, dim=8, seed=7):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, dim))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def candidate_pairs(df, n_planes, dim=8):
+        planes = SIM._hyperplanes(dim, n_planes)
+        occ = (
+            df.select(SIM.lsh_bucket(F.col("embedding"), planes).alias("b"))
+            .groupBy("b")
+            .count()
+        )
+        return occ.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long")
+        ).first()[0]
+
+    small, big = corpus(300), corpus(1200)
+    fixed_small = candidate_pairs(small, 6)
+    fixed_big = candidate_pairs(big, 6)
+    # fixed planes: 4x the corpus -> ~16x the pairs (quadratic regime)
+    assert fixed_big / fixed_small > 10
+    # dialed planes (+2 for the 4x growth): pair growth stays near-linear
+    dialed_big = candidate_pairs(big, 8)
+    assert dialed_big / fixed_small < 8
+
+
+def test_sim05_pipe05_certified_at_dialed_planes():
+    """The oracle-CHECKED configs (the ones the driver certifies) must
+    be the scale-safe dialed plane count, not the quadratic fixed-6
+    form (r11 re-pin). Counts the plane rows embedded in the SQL."""
+    import __spark_entry__ as entry_mod
+
+    import re
+
+    for sql in (entry_mod.SIM05_SQL, entry_mod.PIPE05_SQL):
+        n_rows = len(re.findall(r"\(\d+, \[", sql))
+        assert n_rows == 12, f"expected 12 plane rows, found {n_rows}"
 
 
 def test_lsh_defaults_are_auto_dialed(spark, vectors):
