@@ -1433,3 +1433,139 @@ def test_coverage_at_10_over_scenario_bank(
             misses.append(name)
     coverage = hits / len(indexable)
     assert coverage >= 0.9, f"Coverage@10={coverage:.2f}, missed {misses}"
+
+
+# ---------------------------------------------------------------------------
+# Loop-level RCA ACCURACY over the whole scenario bank (r11; reference
+# log_analysis/evaluate_ai.py:24-91 + README acceptance: >=3 failure
+# modes diagnosed with confidence >= 0.7). The LLM slot is filled by a
+# deterministic EVIDENCE READER: it sees only the text the loop
+# assembled AFTER the question (top events, histograms, detector
+# verdicts, timeline) — never the knowledge-base section, never the
+# fixture, never the scenario name — and applies the interpretation
+# rules the problem-summary docs state (proxy/resolver terminations =
+# Cluster 7 regardless of secondary rollback/storage noise;
+# QuietDatabase/BuildTeams/audit failures = Cluster 9; quorum loss =
+# Cluster 8; throttle+storage metrics = Cluster 6; retrying recruit
+# storms without terminations = Cluster 0). If the loop failed to
+# surface the discriminating evidence for a scenario, the reader
+# mislabels it and accuracy drops — that is what makes this a test of
+# the LOOP, not of the stub.
+# ---------------------------------------------------------------------------
+
+
+def _evidence_reader_llm(prompt: str) -> str:
+    import re as _re
+
+    evidence = prompt.split("QUESTION:", 1)[1]
+
+    def detector_fired(name):
+        return bool(_re.search(
+            rf'"{name}":\s*\{{[^{{}}]*"detected":\s*true', evidence
+        ))
+
+    if "CommitProxyTerminated" in evidence or "ResolverTerminated" in evidence:
+        cid, cname, conf = 7, "commit_proxy_pipeline_crash", 0.8
+        why = ("proxy/resolver termination events precede MasterTerminated; "
+               "the commit pipeline is broken")
+    elif ("QuietDatabaseStartFail" in evidence
+          or "BuildTeamsLastBuildTeamsFailed" in evidence
+          or "AuditUtilCheckAuditProgressNotFinished" in evidence):
+        cid, cname, conf = 9, "configuration_change_recovery", 0.8
+        why = ("QuietDatabase/BuildTeams/audit progress failures mark a "
+               "configuration or migration in progress")
+    elif ("CoordinatorConnectionFailed" in evidence
+          or "QuorumNotReachable" in evidence
+          or detector_fired("coordination_loss")):
+        cid, cname, conf = 8, "network_partition_recovery", 0.8
+        why = "coordinator connectivity and quorum lost during the window"
+    elif ("RatekeeperThrottle" in evidence
+          or detector_fired("storage_engine_pressure")):
+        cid, cname, conf = 6, "storage_engine_pressure", 0.75
+        why = ("versionlag and throttle metrics show storage pressure; "
+               "metric degradation dominates the window")
+    elif ("ClusterRecoveryRetrying" in evidence
+          or "RecruitStorageNotAvailable" in evidence
+          or detector_fired("recovery_loop")):
+        cid, cname, conf = 0, "recovery_restart_cascade", 0.75
+        why = ("recovery retries and storage recruitment failures repeat "
+               "without reaching fully_recovered")
+    else:
+        cid, cname, conf = 15, "cascading_failure_recovery", 0.4
+        why = "no single discriminating signal surfaced"
+    return json.dumps({
+        "hypothesis": f"CLUSTER {cid}: {cname}",
+        "confidence": conf,
+        "reasoning": why,
+    })
+
+
+def test_rca_accuracy_over_scenario_bank(
+    spark,
+    clogged_sideband,
+    clog_with_rollbacks,
+    storage_pressure,
+    configure_test,
+    sideband_with_status,
+    clogged_cycle,
+    clogged_storefront,
+    storage_migration,
+    clog_unclog,
+    clogged_cycle_kills,
+    cycle_rollback_clogged,
+):
+    from db_loganalyzer_spark.operators.evaluation import (
+        eval_accuracy,
+        score_predictions,
+    )
+
+    # canonical PRIMARY labels, per the problem-summary docs (and, for
+    # the three 0-byte docs, the fixture-header derivations)
+    bank = {
+        "CloggedSideband": (clogged_sideband, 7, "commit_proxy_pipeline_crash"),
+        "ClogWithRollbacks": (clog_with_rollbacks, 0, "recovery_restart_cascade"),
+        "StoragePressure": (storage_pressure, 6, "storage_engine_pressure"),
+        "ConfigureTest": (configure_test, 9, "configuration_change_recovery"),
+        "SidebandWithStatus": (sideband_with_status, 7, "commit_proxy_pipeline_crash"),
+        "CloggedCycleTest": (clogged_cycle, 7, "commit_proxy_pipeline_crash"),
+        "CloggedStorefront": (clogged_storefront, 7, "commit_proxy_pipeline_crash"),
+        "ConfigureStorageMigrationTest": (storage_migration, 9, "configuration_change_recovery"),
+        "ClogUnclog": (clog_unclog, 8, "network_partition_recovery"),
+        "CloggedCycleWithKills": (clogged_cycle_kills, 7, "commit_proxy_pipeline_crash"),
+        "CycleRollbackClogged": (cycle_rollback_clogged, 7, "commit_proxy_pipeline_crash"),
+    }
+    rows, confident_modes = [], set()
+    for name, (events, cid, cname) in bank.items():
+        agent = PhasedInvestigationAgent(
+            _evidence_reader_llm,
+            max_iterations=4,
+            max_llm_calls=2,
+            confidence_threshold=0.7,
+            sleep=lambda _: None,
+        )
+        res = agent.investigate(events, "what failure is being tested?")
+        truth = f"CLUSTER {cid}: {cname}"
+        rows.append((name, res.hypothesis, truth, float(res.confidence)))
+        if res.confidence >= 0.7 and res.hypothesis == truth:
+            confident_modes.add(cid)
+
+    scored = score_predictions(
+        spark.createDataFrame(
+            rows, "scenario string, pred string, truth string, conf double"
+        ),
+        pred_col="pred",
+        truth_col="truth",
+        threshold=0.6,
+    )
+    acc_row = eval_accuracy(scored).collect()[0]
+    wrong = [r.scenario for r in scored.collect() if not r.is_correct]
+    # the reference prints accuracy over its bank; its README acceptance
+    # bar is >=3 failure modes diagnosed at confidence >= 0.7
+    assert acc_row.n == len(bank)
+    assert acc_row.accuracy >= 0.8, f"RCA accuracy {acc_row.accuracy:.2f}, missed {wrong}"
+    assert len(confident_modes) >= 3, confident_modes
+    # pin the actual strength: every scenario lands its EXACT primary
+    # label (the >0.6-ratio gate above is the reference's contract; this
+    # engine's loop currently clears it with room)
+    exact_misses = [(n, p, t) for n, p, t, _ in rows if p != t]
+    assert not exact_misses, exact_misses
