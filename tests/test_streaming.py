@@ -1289,3 +1289,133 @@ def test_pipe04_streaming_corpus_accounting(spark, tmp_path_factory):
     # collapse to one 'web' group (keeper id 1); doc 5 stands alone
     n_good = len(good.split())
     assert got == {"web": (2, 3, 1, 2 * n_good + 18)}
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order landing contracts (r11): what a DISORDERED file sequence
+# does to (a) a watermarked window aggregate and (b) the watermark-less
+# interval-coalesce state machine. Pins the drop-vs-carry line exactly;
+# BASELINE.md records the contract in prose.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_rollup_out_of_order_watermark_drop_vs_carry(
+    spark, tmp_path, tmp_path_factory
+):
+    """st01's late-data line, pinned with a deliberately shuffled
+    landing order (measured on this engine, not assumed): the
+    watermark that filters batch N's input is the one computed from
+    data through batch N-2 — a ONE-BATCH PROPAGATION LAG, so a late
+    row landing in the batch immediately after the watermark-advancing
+    data still merges, while a row arriving one batch later is DROPPED
+    (its window was already emitted without it, and append mode never
+    re-emits a window — a duplicate window_start row in the sink would
+    betray a leak). Late rows whose window is still open are CARRIED;
+    the open frontier never emits."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(i, secs, val):
+        return (i, base + dt.timedelta(seconds=secs), float(val))
+
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 0: w0=[0,60) gets one row; 150s sets watermark 140 (takes
+    # effect as batch 2's input filter — the measured one-batch lag)
+    spark.createDataFrame(
+        [ev(1, 5, 1.0), ev(2, 150, 2.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    # batch 1: spacer inside the open w2=[120,180) window (carried
+    # late-ish row: 160s < previous max 150+10s delay is fine)
+    spark.createDataFrame([ev(3, 160, 2.5)], schema).coalesce(
+        1
+    ).write.parquet(f"{src}/b2")
+    # batch 2: the 10s row is TWO batches behind the 150s row that
+    # closed its window -> dropped by the (now effective) watermark;
+    # 300s advances the watermark further
+    spark.createDataFrame(
+        [ev(4, 10, 100.0), ev(5, 300, 4.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/b3")
+    # batch 3: far-future row flushes closed windows; its own window
+    # [600,660) stays open and never emits
+    spark.createDataFrame([ev(6, 600, 5.0)], schema).coalesce(1).write.parquet(
+        f"{src}/b4"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_ooo_rollup"))
+    base_epoch = int(base.timestamp())
+    rows = sorted(
+        (r.window_start - base_epoch, r.n, r.max_value)
+        for r in run_available_now(
+            streaming_rollup(
+                stream, 60, [], "value", watermark_delay="10 seconds"
+            ),
+            "st01_ooo",
+            ck,
+        ).collect()
+    )
+    # w0 WITHOUT the dropped 100.0 row (n=1, and emitted exactly once);
+    # w2 WITH the carried 160s row; [300,360) closed by the 600s row;
+    # [600,660) is the open frontier and never emits
+    assert rows == [(0, 1, 1.0), (120, 2, 2.5), (300, 1, 4.0)]
+
+
+def test_streaming_interval_coalesce_disordered_landing_contract(
+    spark, tmp_path, tmp_path_factory
+):
+    """st15's documented ordered-landing PRECONDITION, violated on
+    purpose: an interval landing after its island already emitted
+    cannot retract the emitted row (append mode), so it emits as its
+    own SPLIT island — over-segmentation, never data loss (every input
+    interval is counted exactly once across emitted + open islands).
+    An out-of-order arrival that overlaps the OPEN island still merges
+    exactly (min-start fold)."""
+    import os
+
+    from db_loganalyzer_spark.streaming import streaming_interval_coalesce
+
+    schema = "user_id long, start_us long, end_us long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: [100,200] emits as island 0 when disjoint [300,400] opens
+    spark.createDataFrame(
+        [(1, 100, 200), (1, 300, 400)], schema
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    # batch 2: [150,180] is LATE — inside already-emitted island 0 and
+    # disjoint from the open [300,400] -> emits as split island 1;
+    # [350,500] overlaps the open island -> folds into it
+    spark.createDataFrame(
+        [(1, 150, 180), (1, 350, 500)], schema
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    # batch 3: [250,320] is out-of-order-but-OVERLAPPING the open
+    # island -> merges by min(start): open becomes [250,500] n=3
+    spark.createDataFrame([(1, 250, 320)], schema).coalesce(1).write.parquet(
+        f"{src}/b3"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    ck = str(tmp_path_factory.mktemp("ck_ooo_st15"))
+    rows = sorted(
+        (r.island_id, r.window_start, r.window_end, r.n_intervals)
+        for r in run_available_now(
+            streaming_interval_coalesce(stream, "user_id"),
+            "st15_ooo",
+            ck,
+        ).collect()
+    )
+    # island 0 emitted before the late row arrived; the late row became
+    # split island 1; batch coalesce would have produced [100,200] n=2.
+    assert rows == [(0, 100, 200, 1), (1, 150, 180, 1)]
+    # no loss: emitted counts (1+1) + the open island's 3 = 5 inputs
