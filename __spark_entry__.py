@@ -8494,39 +8494,90 @@ ST21_SQL = MM09_SQL
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
-    # after every edit). Policy since r5: ordered by staleness of each
-    # entry's latest driver row — entries whose IMPLEMENTATION changed
-    # this round first, then the stalest rows, oldest first. Round-10
-    # window = 11 new (mm07 video stats through a real RIFF/AVI
-    # parser; m19c bucket-capped title dedup (the scale shape);
-    # m20 winnowing fingerprints + m21 overlap pairs over the
-    # winnowed index; mm06 audio stats through a real RIFF/WAVE PCM
-    # parser; st16 its streaming form; pipe02 end-to-end near-dup
-    # corpus assembly; mm04 pixel stats through the real decoder;
-    # mm05 patch plan; m19 title edit-distance dedup; w22 half-open
-    # coalescing) + 7 changed (mm03 frame sampling now counts REAL
-    # decoded AVI frames with a new oracle; m03e non-vacuous estimate
-    # threshold 0.25; j13 via salted_join's same-name key drop;
-    # w21/st15 NULL+NaN value filter in entry AND oracle; mm01/mm02
-    # now decode REAL BMP/PPM bytes via pure_python_decode_backend
-    # with new oracles) + the 23 r6-stale rows the r9 verdict flagged
-    # (w18/w19/a34/m18/j12 + the 18-row r6 backlog) + the 9 oldest r7
-    # rows. Queued for r11: the remaining 32 r7 rows
-    # (w06/w09/s07/a05/a06/a10/c01/cl01..st03, below the line) — all green in
-    # the FULL local gate at sf0.01 and sf0.1 and pinned by
-    # scripts/check_oracle.py.
-    # r10 session 2 added 22 more new entries (m22 exact-substring spans,
-    # t18 classifier gate, pipe03 VLM manifest, s11 CSV quarantine
-    # round-trip, st18 streaming decontamination, st19 streaming CSV
-    # ingest, pack02 padded-batch accounting, opt01 z-order layout
-    # audit, sim06 quantized-GEMM rerank) placed BELOW the 23-row
-    # r6-stale block so the verdict-flagged rotation still happens;
-    # they displace eight r7 rows (f06/f08/f10/f11/j01/j02/j05/w02) to
-    # r11; sim06/t19/mm08/j14/pipe04/mm09/d17/s12/st20/cl05/f12/
-    # pipe05/t21/st21 sit just below the line (positions 51-64, front
-    # of the r11 queue) — all twenty-two are pinned green at BOTH
-    # sf0.01 and sf0.1 by scripts/check_oracle.py this round.
-    # ---- new in r10 ----
+    # after every edit). Policy since r5: entries whose implementation
+    # or oracle changed this round first-priority, then the stalest
+    # driver rows, oldest first.
+    #
+    # Round-11 window (verified: exactly 50 above the line):
+    #   1-14  the 14 entries NO driver round has ever sampled (added
+    #         after the r10 sample was taken; all judge-green via
+    #         scripts/check_oracle.py in r10 and re-checked this round)
+    #  15-21  the 7 entries whose oracle or implementation changed in
+    #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
+    #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
+    #         route PNG payloads through the real zlib codec (new
+    #         oracles), m22 counts empty docs as 0 tokens
+    #  22-50  the 29 OLDEST r7-latest-row entries (f06..m01)
+    # Still on r7 rows after this window, queued for r12 (12):
+    #   m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02 st03
+    # ---- never driver-sampled (r10 tail additions) ----
+    "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
+    "t19_char_entropy": (t19_char_entropy, T19_SQL),
+    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
+    "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
+    "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
+    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
+    "d17_slo_burn": (d17_slo_burn, D17_SQL),
+    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
+    "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
+    "cl05_silhouette": (cl05_silhouette, CL05_SQL),
+    "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
+    "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
+    "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
+    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
+    # ---- oracle/impl changed in r11 (re-certify) ----
+    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
+    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
+    "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
+    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
+    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
+    # ---- latest driver row: r7 (the 29 oldest) ----
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    "s07_processes": (s07_processes, S07_SQL),
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r7 — the r12 rotation queue (12) ----
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
+    # ---- fresher rows (r8-r10), stable order; rotate by staleness ----
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
     "m19c_title_edit_distance_capped": (
@@ -8540,22 +8591,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         st17_streaming_winnowing_probe, ST17_SQL,
     ),
     "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
-    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
-    "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
     "m19_title_edit_distance": (m19_title_edit_distance, M19_SQL),
     "w22_interval_coalesce_half_open": (
         w22_interval_coalesce_half_open, W22_SQL,
     ),
-    # ---- changed in r10 (impl and/or oracle; hashes re-verified) ----
     "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
     "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
     "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
     "st15_streaming_interval_coalesce": (
         st15_streaming_interval_coalesce, ST15_SQL,
     ),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
-    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    # ---- latest driver row: r6 — the 23 the r9 verdict flagged ----
     "w18_event_sequences": (w18_event_sequences, W18_SQL),
     "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
     "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
@@ -8579,77 +8624,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
     "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
     "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
-    # ---- new in r10 session 2 (below the r6-stale block so those
-    # rows still rotate; displaces five r7 rows instead) ----
-    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
     "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
-    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
     "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
     "st18_streaming_decontaminate": (st18_streaming_decontaminate, ST18_SQL),
     "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
     "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
     "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
-    "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
-    "t19_char_entropy": (t19_char_entropy, T19_SQL),
-    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
-    "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
-    "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
-    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
-    "d17_slo_burn": (d17_slo_burn, D17_SQL),
-    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
-    "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
-    "cl05_silhouette": (cl05_silhouette, CL05_SQL),
-    "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
-    "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
-    "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
-    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
-    # ---- latest driver row: r7 (the oldest; rest queue for r11) ----
-    "f06_event_class": (f06_event_class, F06_SQL),
-    "f08_json_field": (f08_json_field, F08_SQL),
-    "f10_exclusion": (f10_exclusion, F10_SQL),
-    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
-    "j01_equi_join": (j01_equi_join, J01_SQL),
-    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
-    "w02_value_resets": (w02_value_resets, W02_SQL),
-    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
-    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
-    "s07_processes": (s07_processes, S07_SQL),
-    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
-    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r11 rotation queue ----
-    # (cl01..cl04 displaced from the window by the mm04/mm05/m19/w22
-    # r10 additions — the window holds exactly 50)
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
-    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
-    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
-    "f07_field_probe": (f07_field_probe, F07_SQL),
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    # ---- latest driver row: r8 ----
     "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
     "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
     "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
@@ -8693,14 +8673,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m12_budget_select": (m12_budget_select, M12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
-    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (
         st06_streaming_sliding_rollup, ST06_SQL,
     ),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
-    # ---- latest driver row: r9 ----
     "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
     "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
