@@ -7659,6 +7659,62 @@ FROM z GROUP BY 1
 """
 
 
+def opt02_zorder_skip_estimate(spark, sf_dir):
+    """OPT02 — the layout decision as ONE queryable row (layout.
+    zorder_skip_estimate over opt01's audit): for the middle-1/32
+    predicate slice on each grid dimension, how many z-key buckets
+    (files of the rewrite) a min/max-stats reader scans under the
+    x-only / y-only / 2-D predicates, and the rows inside the 2-D scan
+    set. Bounded aggregate over <= 256 audit rows; the overlap rule is
+    exactly parquet's row-group rule, validated against REAL footers in
+    scripts/bench_zorder.py (z-order: user-slice scans 14/64 files
+    where the linear ts-sort scanned 64/64)."""
+    from db_loganalyzer_spark.operators.layout import (
+        zorder_layout_audit,
+        zorder_skip_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    audit = zorder_layout_audit(ev, "user_id", "ts_us")
+    return zorder_skip_estimate(audit, (32768, 34815), (32768, 34815))
+
+
+OPT02_SQL = r"""
+WITH b AS (
+  SELECT CAST(MIN(user_id) AS BIGINT) AS xmin, CAST(MAX(user_id) AS BIGINT) AS xmax,
+         MIN(epoch_us(ts)) AS ymin, MAX(epoch_us(ts)) AS ymax
+  FROM events
+), g AS (
+  SELECT ((user_id - xmin) * 65535) // greatest(xmax - xmin, 1) AS gx,
+         ((epoch_us(ts) - ymin) * 65535) // greatest(ymax - ymin, 1) AS gy
+  FROM events, b
+), z AS (
+  SELECT gx, gy,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(0, 15), k ->
+             (((gx >> k) & 1) << (2 * k + 1)) + (((gy >> k) & 1) << (2 * k)))),
+           (a, x) -> a + x) AS zk
+  FROM g
+), a AS (
+  SELECT zk >> 24 AS bucket, COUNT(*) AS n,
+         MIN(gx) AS x_lo, MAX(gx) AS x_hi, MIN(gy) AS y_lo, MAX(gy) AS y_hi
+  FROM z GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(count_if(x_hi >= 32768 AND x_lo <= 34815) AS BIGINT) AS scan_x,
+       CAST(count_if(y_hi >= 32768 AND y_lo <= 34815) AS BIGINT) AS scan_y,
+       CAST(count_if(x_hi >= 32768 AND x_lo <= 34815
+                 AND y_hi >= 32768 AND y_lo <= 34815) AS BIGINT) AS scan_xy,
+       CAST(COALESCE(SUM(CASE WHEN x_hi >= 32768 AND x_lo <= 34815
+                           AND y_hi >= 32768 AND y_lo <= 34815
+                          THEN n ELSE 0 END), 0) AS BIGINT) AS rows_xy
+FROM a
+"""
+
+
 
 def sim06_quantized_gemm_topk(spark, sf_dir):
     """SIM06 — exact rerank top-k via blocked integer GEMM (similarity.
@@ -8499,17 +8555,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-11 window (verified: exactly 50 above the line):
-    #   1-14  the 14 entries NO driver round has ever sampled (added
+    #   1     opt02 z-order skip estimate, new this round
+    #   2-15  the 14 entries NO driver round has ever sampled (added
     #         after the r10 sample was taken; all judge-green via
     #         scripts/check_oracle.py in r10 and re-checked this round)
-    #  15-21  the 7 entries whose oracle or implementation changed in
+    #  16-22  the 7 entries whose oracle or implementation changed in
     #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
     #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
     #         route PNG payloads through the real zlib codec (new
     #         oracles), m22 counts empty docs as 0 tokens
-    #  22-50  the 29 OLDEST r7-latest-row entries (f06..m01)
-    # Still on r7 rows after this window, queued for r12 (12):
-    #   m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02 st03
+    #  23-50  the 28 OLDEST r7-latest-row entries (f06..l02)
+    # Still on r7 rows after this window, queued for r12 (13):
+    #   m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02 st03
+    # ---- new in r11 ----
+    "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     # ---- never driver-sampled (r10 tail additions) ----
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
@@ -8562,9 +8621,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r12 rotation queue (12) ----
+    # ---- latest driver row: r7 — the r12 rotation queue (13) ----
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),

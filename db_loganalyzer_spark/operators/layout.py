@@ -111,3 +111,41 @@ def zorder_layout_audit(
         F.min("gy").alias("y_lo"),
         F.max("gy").alias("y_hi"),
     )
+
+
+def zorder_skip_estimate(
+    audit: DataFrame,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+) -> DataFrame:
+    """OPT02 — the skip-estimate the audit exists to answer, as ONE
+    queryable row: given a predicate box on the normalized grid, how
+    many key-range buckets (= output files of the z-ordered rewrite)
+    must a min/max-stats reader scan under an x-only predicate, a
+    y-only predicate, and the 2-D box — plus the rows inside the 2-D
+    scan set. A bucket is scanned iff its bounding box OVERLAPS the
+    predicate range on every bounded dimension (exactly the parquet
+    row-group rule; scripts/bench_zorder.py validated the estimate
+    against real footers: z-order took user-predicate scans from 64/64
+    files to 14/64 where the linear sort skipped nothing).
+
+    Input is :func:`zorder_layout_audit` output (<= 2^bucket_bits
+    rows), so this is a bounded single-row aggregate — the layout
+    decision becomes a query, not a script run.
+    """
+    xlo, xhi = (int(v) for v in x_range)
+    ylo, yhi = (int(v) for v in y_range)
+    hit_x = (F.col("x_hi") >= xlo) & (F.col("x_lo") <= xhi)
+    hit_y = (F.col("y_hi") >= ylo) & (F.col("y_lo") <= yhi)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return audit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.when(hit_x, one).otherwise(zero)).alias("scan_x"),
+        F.sum(F.when(hit_y, one).otherwise(zero)).alias("scan_y"),
+        F.sum(F.when(hit_x & hit_y, one).otherwise(zero)).alias("scan_xy"),
+        F.sum(F.when(hit_x & hit_y, F.col("n")).otherwise(zero))
+        .cast("long")
+        .alias("rows_xy"),
+    )

@@ -2431,6 +2431,43 @@ def test_zorder_layout_audit_clusters_both_dims(spark):
         assert (r.y_hi - r.y_lo) < 65536 / 4
 
 
+def test_zorder_skip_estimate_matches_overlap_rule(spark):
+    """OPT02 on the diagonal fixture: the scan sets follow the parquet
+    overlap rule exactly, and on a diagonal BOTH single-dimension
+    predicates prune to the same small bucket set (the symmetry a
+    linear sort cannot have)."""
+    from db_loganalyzer_spark.operators.layout import (
+        zorder_layout_audit,
+        zorder_skip_estimate,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    audit = zorder_layout_audit(df, "x", "y", bits=16, bucket_bits=4)
+    boxes = audit.collect()
+    box = (20000, 30000)
+    want_x = sum(1 for r in boxes if r.x_hi >= box[0] and r.x_lo <= box[1])
+    want_y = sum(1 for r in boxes if r.y_hi >= box[0] and r.y_lo <= box[1])
+    want_xy = sum(
+        1 for r in boxes
+        if r.x_hi >= box[0] and r.x_lo <= box[1]
+        and r.y_hi >= box[0] and r.y_lo <= box[1]
+    )
+    got = zorder_skip_estimate(audit, box, box).first()
+    assert got.n_buckets == len(boxes) and got.total_rows == n
+    assert (got.scan_x, got.scan_y, got.scan_xy) == (want_x, want_y, want_xy)
+    # the predicate is a ~15% slice; a diagonal z-layout must prune
+    # most buckets on EITHER dimension alone
+    assert got.scan_x < len(boxes) / 2 and got.scan_y < len(boxes) / 2
+    assert got.rows_xy == sum(
+        r.n for r in boxes
+        if r.x_hi >= box[0] and r.x_lo <= box[1]
+        and r.y_hi >= box[0] and r.y_lo <= box[1]
+    )
+
+
 def test_padded_batches_accounting(spark):
     from db_loganalyzer_spark.operators.sampling import padded_batches
 

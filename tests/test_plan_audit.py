@@ -44,6 +44,7 @@ BNLJ_OK = {
     "a32_hll_overlap",  # three 1-row estimate frames
     "m16_domain_mixture",  # 1-row n_min attach onto the per-source counts
     "opt01_zorder_layout",  # 1-row min/max bounds frame (four longs)
+    "opt02_zorder_skip_estimate",  # same 1-row bounds attach as opt01
     "a31_cumulative_hll",  # day-buckets x distinct-registers grid (sketch-bounded)
     # <=k-row centroid / query frames
     "cl02_cluster_reps",
