@@ -57,26 +57,22 @@ _LAG_KEYS = ["VersionLag", "versionLag", "VersionLagValue", "Lag", "lag"]
 def extract_metrics(events: DataFrame) -> dict[str, DataFrame]:
     """Reference :528-605 as five DataFrame derivations. Each output is
     unmaterialized; the formatter takes bounded heads."""
-    # higher-order form on purpose: the old
-    # ``coalesce(py_float(element_at(fields, k)) for k in KEYS)`` spelled
-    # `fields` ~20 times (py_float references its argument ~4x, times 5
-    # keys), and predicate pushdown SUBSTITUTES aliases with no cost
-    # check — when `fields` is itself a synthetic map expression (the
-    # oracle fixtures build one), the filter condition re-inlined it
-    # 20+ times and the generated method passed 64 KB, silently
-    # dropping the whole stage out of codegen (r11 gate logs). Lambda
-    # variables don't duplicate: this form references `fields` exactly
-    # ONCE, and the first-parseable-key semantics (reference
-    # investigation_agent.py:546-552 — try keys in order, skip
-    # unparseable) are preserved: F.get returns NULL past the end.
-    keys_arr = F.array(*[F.lit(k) for k in _LAG_KEYS])
-    raw_vals = F.transform(
-        keys_arr, lambda k: F.element_at(F.col("fields"), k)
-    )  # the ONLY `fields` reference; py_float runs on the lambda var
-    parsed = F.filter(
-        F.transform(raw_vals, py_float), lambda x: x.isNotNull()
-    )
-    with_lag = events.withColumn("version_lag", F.get(parsed, 0))
+    # Known + MEASURED codegen disposition (r11): when `fields` is a
+    # synthetic map expression (the oracle fixtures build one),
+    # predicate pushdown substitutes it into the >100k filter ~20 times
+    # (py_float references its argument several times, across 5 keys),
+    # the generated method passes Janino's 64 KB limit, and the stage
+    # falls back to interpreted eval with an ERROR CodeGenerator log
+    # line. That fallback is HARMLESS here and faster than the "fix":
+    # a higher-order rewrite (transform/filter/get, `fields` referenced
+    # once) compiles — and ran 5.5x SLOWER at sf100r (29.3 s vs 5.3 s,
+    # bench_data/registry_sf100r_r11.jsonl) because it materializes two
+    # arrays per row and evaluates all five parses eagerly, while
+    # coalesce short-circuits and the interpreted filter is pushed all
+    # the way into the scan. On a real ingest table `fields` is a
+    # stored column and the expression is small anyway. Keep coalesce.
+    lag = F.coalesce(*[py_float(F.element_at("fields", F.lit(k))) for k in _LAG_KEYS])
+    with_lag = events.withColumn("version_lag", lag)
 
     version_lag_spikes = with_lag.filter(F.col("version_lag") > 100_000).select(
         "event_id", "ts", F.col("event").alias("event_type"),
