@@ -6815,6 +6815,45 @@ FROM b GROUP BY 1, 2
 """
 
 
+def a37_skew_report(spark, sf_dir):
+    """A37 — shuffle-key skew profile (aggregates.skew_report over
+    events.user_id): the decision input for j13/a33 salting and AQE's
+    skew thresholds AS A QUERY — top-10 hottest keys, each row carrying
+    the global summary (distinct keys, total rows, max-per-key,
+    skew_ratio = max x n_keys / total, and the count of keys hotter
+    than 2x the mean via the cross-multiplied integer comparison). One
+    map-side-combined groupBy + a 1-row broadcast-back + a
+    TakeOrdered top-k; the only floats are two single divisions of
+    exact longs. At 100 TB you run THIS before committing a join
+    strategy, not the shuffle that dies."""
+    from db_loganalyzer_spark.operators.aggregates import skew_report
+
+    return skew_report(_events(spark, sf_dir), ["user_id"], top_k=10)
+
+
+A37_SQL = """
+WITH cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS total_rows,
+         CAST(MAX(n) AS BIGINT) AS max_rows
+  FROM cnt
+), hot AS (
+  SELECT CAST(count_if(cnt.n * s.n_keys > 2 * s.total_rows) AS BIGINT)
+           AS n_hot_keys
+  FROM cnt, s
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank,
+       user_id, n AS n_rows, n_keys, total_rows, max_rows,
+       CAST(total_rows AS DOUBLE) / n_keys AS mean_rows,
+       CAST(max_rows AS DOUBLE) * n_keys / total_rows AS skew_ratio,
+       n_hot_keys
+FROM cnt, s, hot
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
 def w20_trending_topk(spark, sf_dir):
     """W20 — per-day trending leaderboard (windows.trending_topk): top-3
     event types by trailing-3-day count. Events reduce to the
@@ -8555,20 +8594,22 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-11 window (verified: exactly 50 above the line):
-    #   1     opt02 z-order skip estimate, new this round
-    #   2-15  the 14 entries NO driver round has ever sampled (added
+    #   1-2   opt02 z-order skip estimate + a37 skew report, new this round
+    #   3-16  the 14 entries NO driver round has ever sampled (added
     #         after the r10 sample was taken; all judge-green via
     #         scripts/check_oracle.py in r10 and re-checked this round)
-    #  16-22  the 7 entries whose oracle or implementation changed in
+    #  17-23  the 7 entries whose oracle or implementation changed in
     #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
     #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
     #         route PNG payloads through the real zlib codec (new
     #         oracles), m22 counts empty docs as 0 tokens
-    #  23-50  the 28 OLDEST r7-latest-row entries (f06..l02)
-    # Still on r7 rows after this window, queued for r12 (13):
-    #   m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02 st03
+    #  24-50  the 27 OLDEST r7-latest-row entries (f06..j06)
+    # Still on r7 rows after this window, queued for r12 (14):
+    #   l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02
+    #   st03
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
+    "a37_skew_report": (a37_skew_report, A37_SQL),
     # ---- never driver-sampled (r10 tail additions) ----
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
@@ -8620,9 +8661,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r12 rotation queue (13) ----
+    # ---- latest driver row: r7 — the r12 rotation queue (14) ----
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
     "m07_similarity_eval": (m07_similarity_eval, M07_SQL),

@@ -587,3 +587,64 @@ def equidepth_bins(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_k: int = 10, hot_factor: int = 2
+) -> DataFrame:
+    """A37 — the shuffle-planning diagnostic the salting tools (j13
+    salted join, a33 salted agg) and AQE's skew thresholds consume:
+    the per-key volume profile of a prospective shuffle key. One row
+    per top-``top_k`` hottest key, each carrying the global summary —
+    total rows, distinct keys, max-per-key, skew_ratio (hottest key's
+    rows over the mean, the quantity AQE's skewed-join factor tests),
+    and how many keys run hotter than ``hot_factor``x the mean (the
+    cross-multiplied integer comparison, so no float threshold).
+
+    Scale shape: per-key counts are ONE map-side-combined groupBy
+    (shuffle moves distinct keys, not rows); the summary is a 1-row
+    reduce of those counts broadcast back (the j02 pattern); top-k is
+    TakeOrdered-shaped. The only floats are two single divisions of
+    exact longs. The point of making it a QUERY: at 100 TB you profile
+    the key BEFORE committing the join strategy, with one cheap pass —
+    not by watching the real shuffle die.
+    """
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the hot-key count needs n_keys/total first: second pass over the
+    # (distinct-key-sized) counts frame with the 1-row summary attached
+    summary = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+    )
+    enriched = cnt.crossJoin(F.broadcast(summary))
+    hot = enriched.agg(
+        F.sum(
+            F.when(
+                F.col("n") * F.col("n_keys")
+                > hot_factor * F.col("total_rows"),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("n_hot_keys")
+    )
+    # top-k first via orderBy+limit (TakeOrderedAndProject — no global
+    # shuffle); the rank window then runs over a <= top_k row frame
+    w = Window.orderBy(F.desc("n"), *keys)
+    top = (
+        enriched.orderBy(F.desc("n"), *keys)
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return top.crossJoin(F.broadcast(hot)).select(
+        "rank",
+        *keys,
+        F.col("n").alias("n_rows"),
+        "n_keys",
+        "total_rows",
+        "max_rows",
+        (F.col("total_rows") / F.col("n_keys")).alias("mean_rows"),
+        (
+            F.col("max_rows") * F.col("n_keys") / F.col("total_rows")
+        ).alias("skew_ratio"),
+        "n_hot_keys",
+    )

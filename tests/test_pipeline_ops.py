@@ -1954,6 +1954,25 @@ def test_rolling_active_users_window_edges(spark):
     assert len(rel) == 6
 
 
+def test_skew_report_values(spark):
+    """A37 on a hand-skewed frame: exact counts, ratios, hot-key flags,
+    and the (count desc, key) tiebreak."""
+    from db_loganalyzer_spark.operators.aggregates import skew_report
+
+    rows = [(1,)] * 12 + [(2,)] * 4 + [(3,)] * 2 + [(4,)] * 1 + [(5,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, ["k"], top_k=3, hot_factor=2).orderBy("rank").collect()
+    assert [(r.rank, r.k, r.n_rows) for r in out] == [(1, 1, 12), (2, 2, 4), (3, 3, 2)]
+    top = out[0]
+    assert (top.n_keys, top.total_rows, top.max_rows) == (5, 20, 12)
+    assert top.mean_rows == 4.0 and top.skew_ratio == 3.0
+    # hot keys (> 2x mean = > 8 rows): only key 1
+    assert top.n_hot_keys == 1
+    # equal counts tiebreak by key: keys 4 and 5 both have 1 row
+    full = skew_report(df, ["k"], top_k=5).orderBy("rank").collect()
+    assert [r.k for r in full] == [1, 2, 3, 4, 5]
+
+
 def test_equidepth_bins_balanced_counts(spark):
     from db_loganalyzer_spark.operators.aggregates import equidepth_bins
 

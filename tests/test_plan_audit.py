@@ -45,6 +45,7 @@ BNLJ_OK = {
     "m16_domain_mixture",  # 1-row n_min attach onto the per-source counts
     "opt01_zorder_layout",  # 1-row min/max bounds frame (four longs)
     "opt02_zorder_skip_estimate",  # same 1-row bounds attach as opt01
+    "a37_skew_report",  # 1-row summary + 1-row hot-count attaches
     "a31_cumulative_hll",  # day-buckets x distinct-registers grid (sketch-bounded)
     # <=k-row centroid / query frames
     "cl02_cluster_reps",
@@ -66,6 +67,7 @@ GLOBAL_WINDOW_OK = {
     "t11_tfidf_terms",  # per-term rank over vocab-bounded frame
     "t12_bm25_search",  # top-k over per-doc score frame
     "t21_heaps_fit",  # cumulative window over one row per id-bucket
+    "a37_skew_report",  # rank window over the LIMIT top_k (<=10-row) frame
 }
 
 def plan_str(spark, df, mode: str = "simple") -> str:
@@ -163,6 +165,8 @@ BROADCAST_OK = {
         1, "1-row t0 frame"),
     ("db_loganalyzer_spark/operators/aggregates.py", "per_group_zscores"): (
         1, "stats frame: one row per metric-name group (bounded vocabulary)"),
+    ("db_loganalyzer_spark/operators/aggregates.py", "skew_report"): (
+        2, "1-row summary frame + 1-row hot-key-count frame"),
     ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_pairs"): (
         1, "hot-shingle stop list: <= shingle_instances/cap rows by definition"),
     ("db_loganalyzer_spark/operators/dedup.py", "winnowing_overlap_pairs"): (
