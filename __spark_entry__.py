@@ -6815,6 +6815,45 @@ FROM b GROUP BY 1, 2
 """
 
 
+def opt03_compaction_plan(spark, sf_dir):
+    """OPT03 — small-files compaction planning (layout.compaction_plan):
+    the OPTIMIZE decision step over a synthetic manifest derived from
+    documents (8 partition dirs by doc_id % 8, file size = text
+    length): sorted fill per partition dir — new output group whenever
+    the running total crosses the 4 KiB target, assignment =
+    cum_bytes_before div target, exact int64. The manifest is one row
+    per FILE and the only window is the per-partition-dir cumulative
+    sum, so nothing here is data-sized and no global order exists —
+    with opt01/opt02 (clustering) this completes the layout-maintenance
+    trio a 100 TB table runs continuously."""
+    from db_loganalyzer_spark.operators.layout import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = docs.select(
+        (F.col("doc_id") % 8).alias("part_key"),
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    return compaction_plan(manifest, 4096, ["part_key"])
+
+
+OPT03_SQL = """
+WITH m AS (
+  SELECT doc_id % 8 AS part_key, doc_id AS file_id,
+         CAST(length(text) AS BIGINT) AS bytes
+  FROM documents
+)
+SELECT part_key, file_id, bytes,
+       CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part_key ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS cum_bytes_before,
+       CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part_key ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+            AS BIGINT) AS out_group
+FROM m
+"""
+
+
 def a37_skew_report(spark, sf_dir):
     """A37 — shuffle-key skew profile (aggregates.skew_report over
     events.user_id): the decision input for j13/a33 salting and AQE's
@@ -8594,22 +8633,24 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-11 window (verified: exactly 50 above the line):
-    #   1-2   opt02 z-order skip estimate + a37 skew report, new this round
-    #   3-16  the 14 entries NO driver round has ever sampled (added
+    #   1-3   opt02 skip estimate + a37 skew report + opt03 compaction
+    #         plan, new this round
+    #   4-17  the 14 entries NO driver round has ever sampled (added
     #         after the r10 sample was taken; all judge-green via
     #         scripts/check_oracle.py in r10 and re-checked this round)
-    #  17-23  the 7 entries whose oracle or implementation changed in
+    #  18-24  the 7 entries whose oracle or implementation changed in
     #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
     #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
     #         route PNG payloads through the real zlib codec (new
     #         oracles), m22 counts empty docs as 0 tokens
-    #  24-50  the 27 OLDEST r7-latest-row entries (f06..j06)
-    # Still on r7 rows after this window, queued for r12 (14):
-    #   l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01 st02
-    #   st03
+    #  25-50  the 26 OLDEST r7-latest-row entries (f06..j03)
+    # Still on r7 rows after this window, queued for r12 (15):
+    #   j06 l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01
+    #   st02 st03
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "a37_skew_report": (a37_skew_report, A37_SQL),
+    "opt03_compaction_plan": (opt03_compaction_plan, OPT03_SQL),
     # ---- never driver-sampled (r10 tail additions) ----
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
@@ -8660,9 +8701,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f01_time_window": (f01_time_window, F01_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r12 rotation queue (14) ----
+    # ---- latest driver row: r7 — the r12 rotation queue (15) ----
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
     "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),

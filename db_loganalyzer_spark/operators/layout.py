@@ -18,7 +18,7 @@ that IS the skipping effectiveness.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,4 +148,50 @@ def zorder_skip_estimate(
         F.sum(F.when(hit_x & hit_y, F.col("n")).otherwise(zero))
         .cast("long")
         .alias("rows_xy"),
+    )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    part_keys: list[str],
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """OPT03 — small-files compaction planning (the decision step of a
+    Delta/Iceberg ``OPTIMIZE`` rewrite): assign each input file to an
+    output group so groups fill to ~``target_bytes``, by sorted fill —
+    walk the partition's files in (file id) order and cut a new group
+    whenever the running total crosses the target:
+    ``out_group = cum_bytes_before div target``. Deterministic, exact
+    int64, restatable by any engine; a file larger than the target gets
+    its own group by construction. (pack01's length-sorted best-fit is
+    the tighter packing when re-ordering is allowed; sorted fill keeps
+    the existing order — what compaction of time-ordered logs wants.)
+
+    Scale shape: the input is a MANIFEST (one row per FILE, not per
+    data row) and the only window is the per-partition-dir cumulative
+    sum — compaction is planned per partition directory, so no global
+    order exists anywhere. Output: one row per file with its group and
+    the group-relative fill, ready to drive ``repartitionByRange`` +
+    per-group writes.
+    """
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(bytes_col).over(w).cast("long"), F.lit(0).cast("long")
+    )
+    staged = manifest.select(
+        *part_keys,
+        F.col(file_col),
+        F.col(bytes_col).cast("long").alias(bytes_col),
+        cum_before.alias("cum_bytes_before"),
+    )
+    # `div` keeps the group id exact int64 at any manifest size
+    return staged.withColumn(
+        "out_group",
+        F.expr(f"cum_bytes_before div {int(target_bytes)}"),
     )

@@ -1954,6 +1954,30 @@ def test_rolling_active_users_window_edges(spark):
     assert len(rel) == 6
 
 
+def test_compaction_plan_sorted_fill(spark):
+    """OPT03: groups fill to the target in file order, cut exactly when
+    the running total crosses it; an oversized file gets its own group;
+    partition dirs plan independently."""
+    from db_loganalyzer_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("a", 1, 3000), ("a", 2, 2000), ("a", 3, 500), ("a", 4, 9000),
+        ("a", 5, 100), ("b", 1, 4096), ("b", 2, 1),
+    ]
+    m = spark.createDataFrame(rows, "part_key string, file_id long, bytes long")
+    out = {
+        (r.part_key, r.file_id): (r.cum_bytes_before, r.out_group)
+        for r in compaction_plan(m, 4096, ["part_key"]).collect()
+    }
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (3000, 0)      # 3000 < 4096: still group 0
+    assert out[("a", 3)] == (5000, 1)      # crossed the target
+    assert out[("a", 4)] == (5500, 1)      # 9000-byte file joins then owns
+    assert out[("a", 5)] == (14500, 3)     # oversize file skipped group 2
+    assert out[("b", 1)] == (0, 0)         # partition dirs independent
+    assert out[("b", 2)] == (4096, 1)      # exactly-at-target boundary
+
+
 def test_skew_report_values(spark):
     """A37 on a hand-skewed frame: exact counts, ratios, hot-key flags,
     and the (count desc, key) tiebreak."""
