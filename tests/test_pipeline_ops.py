@@ -2814,12 +2814,68 @@ def test_duplicated_span_stats_matches_bruteforce(texts, n):
     assert got == want
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=4, max_value=10),   # width
+            st.integers(min_value=1, max_value=9),    # height
+        ),
+        min_size=1, max_size=4,
+    ),
+    st.sampled_from([None, 1, 9]),                    # zlib level
+)
+def test_png_roundtrip_property(dims, level):
+    """PNG codec round-trips arbitrary small images under stored-block
+    AND real-deflate framing; the per-row filter cycle means any image
+    taller than 4 rows exercises every filter type."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for seed, (w, h) in enumerate(dims):
+        pix = [((seed + 7 * i) % 256, (3 * i) % 256, (251 * i + seed) % 256)
+               for i in range(w * h)]
+        payload = encode_png(w, h, pix, compress_level=level)
+        assert decode_png(payload) == (w, h, pix)
+        if level is None:
+            assert len(payload) == 68 + h * (1 + 3 * w)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=8),
+)
+def test_compaction_plan_property(sizes, target):
+    """OPT03 vs the sequential fill it claims to be: identical group
+    assignment for every input, and no group except oversize-file
+    groups STARTS beyond the target boundary it belongs to."""
+    spark = test_compaction_plan_property._spark
+    from db_loganalyzer_spark.operators.layout import compaction_plan
+
+    m = spark.createDataFrame(
+        [("p", i, s) for i, s in enumerate(sizes)],
+        "part_key string, file_id long, bytes long",
+    )
+    got = {
+        r.file_id: (r.cum_bytes_before, r.out_group)
+        for r in compaction_plan(m, target, ["part_key"]).collect()
+    }
+    cum = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == (cum, cum // target)
+        cum += s
+
+
 @pytest.fixture(autouse=True)
 def _bind_spark_for_hypothesis(spark):
     # hypothesis forbids function-scoped fixtures inside @given bodies;
     # stash the module-scoped session on the test functions instead
     test_duplicated_span_stats_matches_bruteforce._spark = spark
     test_sorted_batching_never_pads_more._spark = spark
+    test_compaction_plan_property._spark = spark
     yield
 
 
