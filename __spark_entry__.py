@@ -6815,6 +6815,46 @@ FROM b GROUP BY 1, 2
 """
 
 
+def a38_incremental_rollup(spark, sf_dir):
+    """A38 — incremental materialized-view maintenance (aggregates.
+    rollup_partials + merge_rollup_partials): the standing hourly
+    rollup (events with event_id % 10 != 0 as "history") absorbs a
+    delta batch (% 10 == 0) by MERGING PARTIALS — counts and micro-unit
+    sums add, max takes max, avg derives at read time — instead of
+    rescanning history. The oracle is the FULL recompute over all
+    events, so the hash proves merge == recompute (associativity made
+    checkable). This is the shape the reference's per-refresh CTAS
+    rollups (tools/storage.py:328-352) need at 100 TB, where the
+    history rescan IS the cost; the work here is O(delta + touched
+    buckets)."""
+    from db_loganalyzer_spark.operators.aggregates import (
+        merge_rollup_partials,
+        rollup_partials,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = rollup_partials(
+        ev.filter(F.col("event_id") % 10 != 0), 3600, ["event_type"], "value"
+    )
+    delta = rollup_partials(
+        ev.filter(F.col("event_id") % 10 == 0), 3600, ["event_type"], "value"
+    )
+    return merge_rollup_partials(base, delta, ["event_type"])
+
+
+A38_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS BIGINT)
+         AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / count(*) AS avg_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def opt03_compaction_plan(spark, sf_dir):
     """OPT03 — small-files compaction planning (layout.compaction_plan):
     the OPTIMIZE decision step over a synthetic manifest derived from
@@ -8633,24 +8673,25 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-11 window (verified: exactly 50 above the line):
-    #   1-3   opt02 skip estimate + a37 skew report + opt03 compaction
-    #         plan, new this round
-    #   4-17  the 14 entries NO driver round has ever sampled (added
+    #   1-4   opt02 skip estimate + a37 skew report + opt03 compaction
+    #         plan + a38 incremental rollup merge, new this round
+    #   5-18  the 14 entries NO driver round has ever sampled (added
     #         after the r10 sample was taken; all judge-green via
     #         scripts/check_oracle.py in r10 and re-checked this round)
-    #  18-24  the 7 entries whose oracle or implementation changed in
+    #  19-25  the 7 entries whose oracle or implementation changed in
     #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
     #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
     #         route PNG payloads through the real zlib codec (new
     #         oracles), m22 counts empty docs as 0 tokens
-    #  25-50  the 26 OLDEST r7-latest-row entries (f06..j03)
-    # Still on r7 rows after this window, queued for r12 (15):
-    #   j06 l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04 st01
-    #   st02 st03
+    #  26-50  the 25 OLDEST r7-latest-row entries (f06..f07)
+    # Still on r7 rows after this window, queued for r12 (16):
+    #   j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04
+    #   st01 st02 st03
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "a37_skew_report": (a37_skew_report, A37_SQL),
     "opt03_compaction_plan": (opt03_compaction_plan, OPT03_SQL),
+    "a38_incremental_rollup": (a38_incremental_rollup, A38_SQL),
     # ---- never driver-sampled (r10 tail additions) ----
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
@@ -8700,9 +8741,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
     "f01_time_window": (f01_time_window, F01_SQL),
     "f07_field_probe": (f07_field_probe, F07_SQL),
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r12 rotation queue (15) ----
+    # ---- latest driver row: r7 — the r12 rotation queue (16) ----
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
     "m01_dedup_exact": (m01_dedup_exact, M01_SQL),

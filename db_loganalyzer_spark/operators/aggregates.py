@@ -648,3 +648,73 @@ def skew_report(
         ).alias("skew_ratio"),
         "n_hot_keys",
     )
+
+
+def rollup_partials(
+    df: DataFrame,
+    window_seconds: int,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The MERGEABLE per-bucket state of a rollup: exact integer count,
+    the dsum micro-unit integer sum (order-independent, exact), and
+    max. Everything here combines associatively, which is what makes
+    :func:`merge_rollup_partials` correct — derived stats (avg) come
+    out only at read time. (p95 is deliberately absent: an exact
+    percentile does not merge; at scale the sketch family
+    (a24/percentile_approx) is the mergeable stand-in.)"""
+    micros = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return df.groupBy(
+        bucket_start(ts_col, window_seconds).alias("window_start"), *keys
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(micros).cast("long").alias("sum_micros"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_rollup_partials(
+    base: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """A38 — incremental materialized-view maintenance: fold a delta's
+    rollup partials into the standing rollup WITHOUT rescanning
+    history — union the two partial tables and combine per bucket
+    (counts and sums add, max takes max), then derive avg with one
+    exact division. By associativity this equals the full recompute
+    over (base events UNION delta events) — the oracle states exactly
+    that — while the work done is O(|delta| + touched buckets), not
+    O(history): the reference re-ran CTAS over the whole table per
+    refresh (tools/storage.py:328-352); at 100 TB the re-scan IS the
+    cost, and this is the shape that deletes it.
+
+    Scale shape: one groupBy over two bucket-level tables (partial
+    aggregation collapses the union map-side); nothing here touches
+    event-level rows.
+    """
+    cols = ["window_start", *keys, "n", "sum_micros", "max_value"]
+    merged = (
+        base.select(cols)
+        .unionByName(delta.select(cols))
+        .groupBy("window_start", *keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_micros").cast("long").alias("sum_micros"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    # davg's exact read-out: integer micros -> double -> two IEEE
+    # divisions in a fixed order (bitwise cross-engine reproducible)
+    return merged.select(
+        "window_start",
+        *keys,
+        "n",
+        (
+            F.col("sum_micros").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n")
+        ).alias("avg_value"),
+        "max_value",
+    )

@@ -1954,6 +1954,48 @@ def test_rolling_active_users_window_edges(spark):
     assert len(rel) == 6
 
 
+def test_incremental_rollup_merge_equals_recompute(spark):
+    """A38: merging delta partials into the base equals the full
+    recompute — on an arbitrary split, including buckets present only
+    in base, only in delta, and in both."""
+    import datetime as dtm
+
+    from db_loganalyzer_spark.operators.aggregates import (
+        merge_rollup_partials,
+        rollup_partials,
+    )
+
+    t0 = dtm.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, t0 + dtm.timedelta(seconds=900 * i), "a" if i % 3 else "b",
+         float(i) + 0.5)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    base_ev = df.filter(F.col("event_id") % 5 != 0)
+    delta_ev = df.filter(F.col("event_id") % 5 == 0)
+    merged = {
+        (r.window_start, r.event_type): (r.n, r.avg_value, r.max_value)
+        for r in merge_rollup_partials(
+            rollup_partials(base_ev, 3600, ["event_type"], "value"),
+            rollup_partials(delta_ev, 3600, ["event_type"], "value"),
+            ["event_type"],
+        ).collect()
+    }
+    full = {
+        (r.window_start, r.event_type): (r.n, r.avg_value, r.max_value)
+        for r in merge_rollup_partials(
+            rollup_partials(df, 3600, ["event_type"], "value"),
+            rollup_partials(df.filter(F.lit(False)), 3600,
+                            ["event_type"], "value"),
+            ["event_type"],
+        ).collect()
+    }
+    assert merged == full and len(full) > 4
+
+
 def test_compaction_plan_sorted_fill(spark):
     """OPT03: groups fill to the target in file order, cut exactly when
     the running total crosses it; an oversized file gets its own group;
