@@ -2911,6 +2911,31 @@ def test_compaction_plan_property(sizes, target):
         cum += s
 
 
+def test_sorted_batching_ragged_tail_counterexample(spark):
+    """The documented limit of the sorted mitigation: [1,1,2] at batch
+    size 2 — sorted-desc chunks ([2,1],[1]) pad 1 token, arrival order
+    ([1,1],[2]) pads 0. Pinned so the padded_batches docstring's
+    'near-equal lengths' framing can't drift back into an optimality
+    claim for ragged batch counts."""
+    from db_loganalyzer_spark.operators.sampling import padded_batches
+
+    docs = spark.createDataFrame(
+        [(0, "w", "s"), (1, "w", "s"), (2, "w w", "s")],
+        "doc_id long, text string, source string",
+    )
+    pad_sorted = sum(
+        r.pad_toks
+        for r in padded_batches(docs, batch_size=2, by=["source"]).collect()
+    )
+    pad_naive = sum(
+        r.pad_toks
+        for r in padded_batches(
+            docs, batch_size=2, by=["source"], length_sorted=False
+        ).collect()
+    )
+    assert (pad_sorted, pad_naive) == (1, 0)
+
+
 @pytest.fixture(autouse=True)
 def _bind_spark_for_hypothesis(spark):
     # hypothesis forbids function-scoped fixtures inside @given bodies;
@@ -2927,9 +2952,18 @@ def _bind_spark_for_hypothesis(spark):
     st.integers(min_value=2, max_value=5),
 )
 def test_sorted_batching_never_pads_more(lengths, bsz):
-    """Classic result: grouping consecutive after a sort minimizes the
-    sum of batch maxima, so length-sorted padding <= arrival-order
-    padding on EVERY input."""
+    """Classic result, stated PRECISELY (hypothesis falsified the r10
+    over-claim with [1,1,2] @ bsz=2): among partitions into FULL
+    batches, sorted-consecutive grouping minimizes the sum of batch
+    maxima — so with a full-batch count, sorted padding <= arrival
+    order on every input. With a RAGGED tail the guarantee genuinely
+    fails (padding = sum(n_i * max_i) - total, and which batch gets the
+    small n_i matters: sorted puts the small batch on the SHORT
+    sequences, which can lose — see the counterexample test below), so
+    the property restricts to full batches."""
+    lengths = lengths[: (len(lengths) // bsz) * bsz]
+    if not lengths:
+        return
     spark = test_sorted_batching_never_pads_more._spark
     from db_loganalyzer_spark.operators.sampling import padded_batches
 
