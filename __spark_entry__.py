@@ -6919,7 +6919,8 @@ WITH cnt AS (
          CAST(MAX(n) AS BIGINT) AS max_rows
   FROM cnt
 ), hot AS (
-  SELECT CAST(count_if(cnt.n * s.n_keys > 2 * s.total_rows) AS BIGINT)
+  SELECT CAST(count_if(CAST(cnt.n AS DOUBLE) * s.n_keys
+                        > 2.0 * s.total_rows) AS BIGINT)
            AS n_hot_keys
   FROM cnt, s
 )

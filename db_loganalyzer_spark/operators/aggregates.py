@@ -618,11 +618,15 @@ def skew_report(
         F.max("n").cast("long").alias("max_rows"),
     )
     enriched = cnt.crossJoin(F.broadcast(summary))
+    # compared in DOUBLE: n * n_keys as int64 overflows (silently, ANSI
+    # off) once total_rows ~ 1e12 and n_keys ~ 1e9 — exactly the 100 TB
+    # domain this profiler exists for. The double form loses only exact
+    # ties at >2^53, where "is this key hot" is unambiguous anyway.
     hot = enriched.agg(
         F.sum(
             F.when(
-                F.col("n") * F.col("n_keys")
-                > hot_factor * F.col("total_rows"),
+                F.col("n").cast("double") * F.col("n_keys")
+                > F.lit(float(hot_factor)) * F.col("total_rows"),
                 F.lit(1).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         ).alias("n_hot_keys")
@@ -643,8 +647,13 @@ def skew_report(
         "total_rows",
         "max_rows",
         (F.col("total_rows") / F.col("n_keys")).alias("mean_rows"),
+        # max_rows cast to double BEFORE the multiply, mirroring the
+        # oracle's CAST(max_rows AS DOUBLE) * n_keys — the int64 product
+        # overflow window is gone and both engines evaluate identically
         (
-            F.col("max_rows") * F.col("n_keys") / F.col("total_rows")
+            F.col("max_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("total_rows")
         ).alias("skew_ratio"),
         "n_hot_keys",
     )

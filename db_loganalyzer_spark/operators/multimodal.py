@@ -324,6 +324,12 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
         data = payload[pos + 8: pos + 8 + clen]
         if len(data) < clen:
             raise ValueError("truncated PNG chunk")
+        # per-chunk CRC check: a corrupted IHDR/header mis-decodes
+        # silently otherwise (zlib's adler32 only guards IDAT payloads)
+        if pos + 12 + clen <= len(payload):
+            (stored_crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != stored_crc:
+                raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
