@@ -6894,6 +6894,169 @@ FROM m
 """
 
 
+def opt04_compaction_apply(spark, sf_dir):
+    """OPT04 — compaction EXECUTED, not just planned (layout.
+    compaction_apply + compaction_verify): events are first written as
+    a real small-files partition tree (4 partition dirs x 16 parquet
+    files, the anti-pattern a streaming ingest leaves behind), a
+    manifest is read off that tree, opt03's sorted-fill plan is
+    computed over it (target 600 rows/file), and the tree is REWRITTEN
+    so each planned output group lands as exactly one parquet file with
+    rows sorted on the opt01/opt02 Morton z-key (user_id x time, 8-bit
+    grid) inside it. The returned frame is the per-partition
+    equivalence proof read back FROM THE REWRITTEN FILES: row count, an
+    order-independent mix32 content hash over every column, the planned
+    group count, and the REAL output file count via input_file_name().
+    The DuckDB oracle predicts all four from the SOURCE table alone —
+    hash-match means the rewrite lost nothing, duplicated nothing, and
+    produced exactly plan-many files. This is the execution half of the
+    OPTIMIZE loop the reference approximates with B-tree indexes
+    (tools/database.py:22-24); at 100 TB it is the same plan Delta's
+    OPTIMIZE runs: broadcast-joined plan, ONE shuffle keyed by
+    (partition, group), local sort, no driver-sized state."""
+    import shutil
+    import tempfile
+
+    from db_loganalyzer_spark.operators.layout import (
+        compaction_apply,
+        compaction_plan,
+        compaction_verify,
+        zorder_key,
+    )
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    P = 2147483647
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tagged = ev.select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("part_key"),
+        F.pmod(F.col("event_id"), F.lit(16)).cast("long").alias("file_id"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    scratch = tempfile.mkdtemp(prefix="opt04_small_")
+    out_dir = tempfile.mkdtemp(prefix="opt04_compacted_")
+    try:
+        (
+            tagged.repartition(F.col("part_key"), F.col("file_id"))
+            .write.mode("overwrite")
+            .partitionBy("part_key", "file_id")
+            .parquet(scratch)
+        )
+        small = spark.read.parquet(scratch).select(
+            F.col("part_key").cast("long").alias("part_key"),
+            F.col("file_id").cast("long").alias("file_id"),
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        # the manifest comes from the REAL tree (sized in rows so the
+        # oracle can restate the plan without seeing the files)
+        manifest = small.groupBy("part_key", "file_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_f")
+        )
+        plan = compaction_plan(
+            manifest, 600, ["part_key"], bytes_col="n_rows_f"
+        )
+        # 8-bit z-key over (user_id, event time): bounds are one 4-long
+        # collect; the materialized __zkey column rides into the files
+        # as the persisted cluster key the sort realized
+        b = small.agg(
+            F.min("user_id").alias("ul"),
+            F.max("user_id").alias("uh"),
+            F.min(F.unix_micros("ts")).alias("tl"),
+            F.max(F.unix_micros("ts")).alias("th"),
+        ).first()
+        uspan = max(int(b["uh"]) - int(b["ul"]), 1)
+        tspan = max(int(b["th"]) - int(b["tl"]), 1)
+        gx = F.expr(f"(user_id - {int(b['ul'])}) * 255 div {uspan}")
+        gy = F.expr(
+            f"(unix_micros(ts) - {int(b['tl'])}) * 255 div {tspan}"
+        )
+        clustered = small.withColumn(
+            "__zkey", zorder_key(gx.cast("long"), gy.cast("long"), bits=8)
+        )
+        compaction_apply(
+            clustered,
+            plan,
+            ["part_key"],
+            out_dir,
+            sort_cols=["__zkey"],
+        )
+        micro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+        lin = (
+            F.pmod(F.col("event_id"), F.lit(P)) * 1000003
+            + F.pmod(F.col("user_id"), F.lit(P)) * 999983
+            + F.pmod(F.unix_micros("ts"), F.lit(P)) * 1000033
+            + F.pmod(micro, F.lit(P)) * 999979
+            + F.length("event_type").cast("long") * 31
+        )
+        summary = compaction_verify(
+            spark, out_dir, ["part_key"], mix32(lin, salt=7)
+        ).orderBy("part_key")
+        # materialize (<= 4 rows) so the scratch trees can be removed
+        # before the driver consumes the frame
+        rows = summary.collect()
+        return spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_OPT04_LIN = (
+    "((event_id % 2147483647) + 2147483647) % 2147483647 * 1000003"
+    " + ((user_id % 2147483647) + 2147483647) % 2147483647 * 999983"
+    " + ((epoch_us(ts) % 2147483647) + 2147483647) % 2147483647 * 1000033"
+    " + ((CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) % 2147483647)"
+    "    + 2147483647) % 2147483647 * 999979"
+    " + CAST(length(event_type) AS BIGINT) * 31"
+)
+
+OPT04_SQL = f"""
+WITH tagged AS (
+  SELECT ((user_id % 4) + 4) % 4 AS part_key,
+         ((event_id % 16) + 16) % 16 AS file_id,
+         event_id, ts, user_id, event_type, value
+  FROM events
+), manifest AS (
+  SELECT part_key, file_id, CAST(count(*) AS BIGINT) AS n_rows_f
+  FROM tagged GROUP BY 1, 2
+), plan AS (
+  SELECT part_key,
+         CAST(COALESCE(SUM(n_rows_f) OVER (PARTITION BY part_key
+                ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 600
+              AS BIGINT) AS out_group
+  FROM manifest
+), groups AS (
+  SELECT part_key, CAST(count(DISTINCT out_group) AS BIGINT) AS n_groups
+  FROM plan GROUP BY 1
+), h AS (
+  SELECT part_key, h
+  FROM {_mix32_sql_select(
+      _OPT04_LIN,
+      "(SELECT part_key, event_id, ts, user_id, event_type, value"
+      " FROM tagged)",
+      passthrough=["part_key"],
+      salt=7,
+  )} x
+), agg AS (
+  SELECT part_key, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(h) AS BIGINT) AS content_hash
+  FROM h GROUP BY 1
+)
+SELECT CAST(a.part_key AS BIGINT) AS part_key, n_rows, content_hash,
+       n_groups, n_groups AS n_files_out
+FROM agg a JOIN groups g ON g.part_key = a.part_key
+"""
+
+
 def a37_skew_report(spark, sf_dir):
     """A37 — shuffle-key skew profile (aggregates.skew_report over
     events.user_id): the decision input for j13/a33 salting and AQE's
@@ -8688,6 +8851,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Still on r7 rows after this window, queued for r12 (16):
     #   j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04
     #   st01 st02 st03
+    # ---- new in r12 ----
+    "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "a37_skew_report": (a37_skew_report, A37_SQL),

@@ -195,3 +195,93 @@ def compaction_plan(
         "out_group",
         F.expr(f"cum_bytes_before div {int(target_bytes)}"),
     )
+
+
+def compaction_apply(
+    data: DataFrame,
+    plan: DataFrame,
+    part_keys: list[str],
+    out_dir: str,
+    file_col: str = "file_id",
+    sort_cols: list[str] | None = None,
+    write_options: dict | None = None,
+) -> None:
+    """OPT04 (write half) — EXECUTE a :func:`compaction_plan`: rewrite
+    the small-files tree so every planned output group lands as exactly
+    ONE parquet file, rows z/sort-clustered inside it.
+
+    Mechanics, and why each step is load-bearing:
+
+    - the plan joins onto the data by (part_keys, file_col). The plan
+      is manifest-sized (one row per FILE), so it broadcasts — the only
+      shuffle of DATA rows is the repartition below.
+    - ``repartition(part_keys..., out_group)`` puts each (partition,
+      group) combo in exactly one task. Two combos sharing a task is
+      fine: the ``partitionBy`` write splits them back into their own
+      leaf directories, and each directory then receives output from
+      exactly one task => exactly one data file per group, which is
+      the whole point of compaction (file count == plan, no
+      maxRecordsPerFile surprises — callers must not set it).
+    - ``sortWithinPartitions(sort_cols)`` clusters rows inside each
+      output file so its parquet row-group min/max stats are tight
+      (pass the opt01/opt02 z-order key here to keep the clustering
+      the skip estimate priced). The sort only pays off if each file
+      holds SEVERAL row groups — at the default 128 MiB block size a
+      modest compaction target is one group and the stats are
+      file-wide; pass ``write_options={"parquet.block.size": ...}``
+      sized to ~target_bytes/16 so the intra-file clustering
+      materializes as prunable footer stats (bench_compaction.py
+      measures exactly this).
+
+    Scale shape: one broadcast-joined projection + one shuffle keyed by
+    (partition, group) + a local sort — the same plan Delta's OPTIMIZE
+    executes. Nothing is driver-sized except the plan manifest.
+    """
+    joined = data.join(
+        F.broadcast(plan.select(*part_keys, file_col, "out_group")),
+        on=[*part_keys, file_col],
+        how="inner",
+    )
+    shaped = joined.repartition(*[F.col(k) for k in part_keys], F.col("out_group"))
+    if sort_cols:
+        # the partition columns LEAD the sort: the partitioned write
+        # requires (part_keys, out_group) ordering and would otherwise
+        # inject its own sort on exactly those columns, silently
+        # discarding the cluster-key order this call exists to produce
+        shaped = shaped.sortWithinPartitions(
+            *part_keys, "out_group", *sort_cols
+        )
+    writer = shaped.write.mode("overwrite")
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy(*part_keys, "out_group").parquet(out_dir)
+
+
+def compaction_verify(
+    spark,
+    out_dir: str,
+    part_keys: list[str],
+    hash_col: Column,
+) -> DataFrame:
+    """OPT04 (verify half) — read the rewritten tree back and reduce it
+    to the per-partition equivalence summary the oracle can restate
+    from the SOURCE table: row count, an order-independent
+    content hash (sum of the caller's engine-portable per-row
+    ``hash_col`` — mix32-based, so any dropped/duplicated/corrupted row
+    moves it; sum of <= 2^32 values stays exact int64 to ~2e9 rows per
+    partition, enough for any sane file-compaction unit), the group
+    count, and the REAL file count via ``input_file_name()``. A correct
+    rewrite has n_files_out == n_groups (one file per group) and
+    (n_rows, content_hash) equal to the source's — which is exactly
+    what the DuckDB oracle predicts without ever seeing the files."""
+    df = spark.read.parquet(out_dir)
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy(*[F.col(k).cast("long").alias(k) for k in part_keys])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(hash_col).cast("long").alias("content_hash"),
+            F.countDistinct("out_group").cast("long").alias("n_groups"),
+            F.countDistinct("__file").cast("long").alias("n_files_out"),
+        )
+    )

@@ -2994,3 +2994,47 @@ def test_zorder_key_bijective_on_grid(spark):
     assert out.distinct().count() == 4096
     mm = out.agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()[0]
     assert mm.lo == 0 and mm.hi == 4095
+
+
+def test_compaction_apply_one_file_per_group_and_sorted(spark, tmp_path):
+    """OPT04: the executed rewrite produces exactly one parquet file per
+    planned output group, loses/duplicates no rows, and preserves the
+    caller's cluster-key order inside each file (the partitioned write
+    would otherwise inject its own partition-column sort and silently
+    discard it)."""
+    import glob as _glob
+
+    from db_loganalyzer_spark.operators.layout import (
+        compaction_apply,
+        compaction_plan,
+    )
+
+    n = 2000
+    data = spark.range(n).select(
+        (F.col("id") % 2).alias("part_key"),
+        (F.col("id") % 10).alias("file_id"),
+        F.col("id").alias("row_id"),
+        # a cluster key deliberately uncorrelated with file_id order
+        ((F.col("id") * 7919) % 1000).alias("ckey"),
+    )
+    manifest = data.groupBy("part_key", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_f")
+    )
+    plan = compaction_plan(manifest, 300, ["part_key"], bytes_col="n_rows_f")
+    out_dir = str(tmp_path / "compacted")
+    compaction_apply(data, plan, ["part_key"], out_dir, sort_cols=["ckey"])
+
+    n_groups = plan.select("part_key", "out_group").distinct().count()
+    files = _glob.glob(out_dir + "/part_key=*/out_group=*/*.parquet")
+    assert len(files) == n_groups
+
+    back = spark.read.parquet(out_dir)
+    assert back.count() == n
+    assert back.select("row_id").distinct().count() == n
+
+    # within every output file, ckey must be non-decreasing
+    import pyarrow.parquet as pq
+
+    for fp in files:
+        ckeys = pq.read_table(fp, columns=["ckey"])["ckey"].to_pylist()
+        assert ckeys == sorted(ckeys), fp
