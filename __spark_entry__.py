@@ -8829,6 +8829,76 @@ def st21_streaming_energy_segments(spark, sf_dir):
 ST21_SQL = MM09_SQL
 
 
+def st22_streaming_rollup_maintenance(spark, sf_dir):
+    """ST22 — a38's LIVE form (streams.streaming_rollup_maintenance):
+    the hourly rollup is maintained as a STANDING TABLE refreshed
+    O(delta) per micro-batch — each batch reduces to mergeable partials
+    (count / micro-unit sum / max per bucket) which foreachBatch folds
+    into a versioned on-disk partials table; history is never
+    rescanned. The events table is split into THREE landing files each
+    spanning the full time range, streamed with maxFilesPerTrigger=1,
+    so every batch after the first delivers rows OLDER than the max
+    event time already absorbed — late data by construction, absorbed
+    without watermarks because the partials monoid is commutative
+    (late rows just re-touch their closed bucket). The oracle is the
+    FULL recompute over all events, so the hash proves
+    drain-of-3-merges == recompute. This is the production complement
+    of the reference's per-refresh CTAS rollups
+    (tools/storage.py:338-352): at 100 TB the history rescan IS the
+    refresh cost, and this shape deletes it."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    landing = tempfile.mkdtemp(prefix="st22_landing_")
+    standing = tempfile.mkdtemp(prefix="st22_standing_")
+    ck = tempfile.mkdtemp(prefix="st22_ck_")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        for i in range(3):
+            tmp = tempfile.mkdtemp(prefix=f"st22_split{i}_")
+            (
+                ev.filter(F.pmod("event_id", F.lit(3)) == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(landing, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            # pinned mtimes order the file-source pickup (determinism
+            # of the RESULT doesn't need it — merging commutes — but
+            # deterministic batch slicing keeps reruns bit-identical)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        raw = spark.read.parquet(landing)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        versions = ST.streaming_rollup_maintenance(
+            stream, 3600, ["event_type"], "value", standing, ck
+        )
+        if len(versions) < 3:
+            raise AssertionError(
+                f"expected >= 3 micro-batch merges, got {versions}"
+            )
+        out = ST.read_standing_rollup(spark, standing, ["event_type"])
+        # bucket-level (hours x types — fixed time range, SF-invariant):
+        # materialize so the scratch dirs can be removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(standing, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+ST22_SQL = A38_SQL
+
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
@@ -8853,6 +8923,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     #   st01 st02 st03
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
+    "st22_streaming_rollup_maintenance": (
+        st22_streaming_rollup_maintenance, ST22_SQL,
+    ),
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "a37_skew_report": (a37_skew_report, A37_SQL),

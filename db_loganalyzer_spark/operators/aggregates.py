@@ -704,19 +704,31 @@ def merge_rollup_partials(
     event-level rows.
     """
     cols = ["window_start", *keys, "n", "sum_micros", "max_value"]
-    merged = (
-        base.select(cols)
-        .unionByName(delta.select(cols))
-        .groupBy("window_start", *keys)
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("sum_micros").cast("long").alias("sum_micros"),
-            F.max("max_value").alias("max_value"),
-        )
+    merged = combine_rollup_partials(
+        base.select(cols).unionByName(delta.select(cols)), keys
     )
-    # davg's exact read-out: integer micros -> double -> two IEEE
-    # divisions in a fixed order (bitwise cross-engine reproducible)
-    return merged.select(
+    return derive_rollup(merged, keys)
+
+
+def combine_rollup_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a (possibly unioned) partials table back to one row per
+    bucket: counts and micro-unit sums add, max takes max. Associative
+    and commutative — any merge ORDER (batch arrival order included)
+    yields the same standing table, which is what lets the streaming
+    maintenance form (streams.streaming_rollup_maintenance) absorb late
+    data without watermarks: a late row just re-touches its bucket."""
+    return partials.groupBy("window_start", *keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_micros").cast("long").alias("sum_micros"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def derive_rollup(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """The read-time projection over a partials table: davg's exact
+    read-out — integer micros -> double -> two IEEE divisions in a
+    fixed order (bitwise cross-engine reproducible)."""
+    return partials.select(
         "window_start",
         *keys,
         "n",

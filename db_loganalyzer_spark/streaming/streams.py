@@ -1566,3 +1566,92 @@ def streaming_winnowing_probe(
             F.size("shared").cast("long").alias("n_shared"),
         )
     )
+
+
+def streaming_rollup_maintenance(
+    stream: DataFrame,
+    window_seconds: int,
+    keys: list[str],
+    value_col: str,
+    standing_dir: str,
+    checkpoint_dir: str,
+) -> list[str]:
+    """ST22 — a38's LIVE form: incremental materialized-view
+    maintenance as a stream. Each micro-batch reduces to its rollup
+    partials (count / micro-unit sum / max per bucket — O(|batch|)),
+    which MERGE into a standing partials table on disk; history is
+    never rescanned. Because the partials monoid is associative and
+    commutative (operators.aggregates.combine_rollup_partials), the
+    drained standing table equals the full recompute no matter how the
+    batches sliced the data — LATE rows need no watermark, they simply
+    re-touch their (closed) bucket, which is the semantics a
+    materialized view wants and an append-mode windowed aggregate
+    cannot give. The reference re-ran CTAS over the whole table per
+    refresh (tools/storage.py:328-352); at 100 TB this is the shape
+    that deletes the rescan: per refresh the work is
+    O(|delta| + standing buckets), and the standing table is
+    bucket-level (days x keys), orders of magnitude smaller than the
+    event stream.
+
+    The standing table is VERSIONED (one subdirectory per micro-batch,
+    parquet): each merge reads v[last] and writes v[batch_id] — the
+    read-what-you-overwrite hazard is gone, a crashed batch leaves the
+    previous version intact, and foreachBatch's replay-on-recovery
+    rewrites the SAME version id idempotently. Returns the version
+    list; read the rollup with ``read_standing_rollup``.
+    """
+    from ..operators.aggregates import (
+        combine_rollup_partials,
+        rollup_partials,
+    )
+
+    spark = stream.sparkSession
+    cols = ["window_start", *keys, "n", "sum_micros", "max_value"]
+
+    def _versions() -> list[str]:
+        if not os.path.isdir(standing_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(standing_dir) if d.startswith("v")
+        )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = rollup_partials(batch_df, window_seconds, keys, value_col)
+        vs = _versions()
+        if vs:
+            base = spark.read.parquet(os.path.join(standing_dir, vs[-1]))
+            merged = combine_rollup_partials(
+                base.select(cols).unionByName(delta.select(cols)), keys
+            )
+        else:
+            merged = delta.select(cols)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(standing_dir, f"v{batch_id:09d}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _versions()
+
+
+def read_standing_rollup(
+    spark: SparkSession, standing_dir: str, keys: list[str]
+) -> DataFrame:
+    """Read-time projection over the LATEST standing-rollup version:
+    derived avg comes out only here (aggregates.derive_rollup), the
+    stored state stays mergeable partials."""
+    from ..operators.aggregates import derive_rollup
+
+    versions = sorted(
+        d for d in os.listdir(standing_dir) if d.startswith("v")
+    )
+    if not versions:
+        raise ValueError(f"no standing rollup versions in {standing_dir}")
+    return derive_rollup(
+        spark.read.parquet(os.path.join(standing_dir, versions[-1])), keys
+    )

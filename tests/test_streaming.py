@@ -1419,3 +1419,81 @@ def test_streaming_interval_coalesce_disordered_landing_contract(
     # split island 1; batch coalesce would have produced [100,200] n=2.
     assert rows == [(0, 100, 200, 1), (1, 150, 180, 1)]
     # no loss: emitted counts (1+1) + the open island's 3 = 5 inputs
+
+
+def test_st22_rollup_maintenance_merges_late_batches(
+    spark, tmp_path_factory
+):
+    """ST22: one standing-table version per micro-batch; the drained
+    table equals the batch recompute even when a later batch delivers
+    rows for buckets that earlier batches already closed (late data);
+    replaying a version id (crash recovery) is idempotent."""
+    import datetime as dt
+
+    from db_loganalyzer_spark.operators.aggregates import (
+        derive_rollup,
+        rollup_partials,
+    )
+    from db_loganalyzer_spark.streaming.streams import (
+        read_standing_rollup,
+        streaming_rollup_maintenance,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(hours, typ, v):
+        return (t0 + dt.timedelta(hours=hours), typ, v)
+
+    src = str(tmp_path_factory.mktemp("st22_src"))
+    # batch 1 fills hours 0 and 1; batch 2 is entirely LATE (hour 0
+    # again, after hour 1 was seen); batch 3 mixes new hour 2 + late 0
+    batches = [
+        [row(0, "a", 1.0), row(0, "a", 3.0), row(1, "b", 10.0)],
+        [row(0, "a", 5.0), row(0, "b", 2.0)],
+        [row(2, "a", 7.0), row(0, "a", 11.0)],
+    ]
+    all_rows = []
+    for i, b in enumerate(batches):
+        all_rows += b
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    standing = str(tmp_path_factory.mktemp("st22_standing"))
+    ck = str(tmp_path_factory.mktemp("st22_ck"))
+    versions = streaming_rollup_maintenance(
+        stream, 3600, ["event_type"], "value", standing, ck
+    )
+    assert len(versions) == 3
+
+    got = sorted(
+        (r.window_start, r.event_type, r.n, r.avg_value, r.max_value)
+        for r in read_standing_rollup(
+            spark, standing, ["event_type"]
+        ).collect()
+    )
+    want = sorted(
+        (r.window_start, r.event_type, r.n, r.avg_value, r.max_value)
+        for r in derive_rollup(
+            rollup_partials(
+                spark.createDataFrame(all_rows, schema),
+                3600,
+                ["event_type"],
+                "value",
+            ),
+            ["event_type"],
+        ).collect()
+    )
+    assert got == want
+    # hour 0 (the bucket every batch touched) absorbed late rows from
+    # all three: type 'a' saw values 1,3 (batch 1), 5 (batch 2, late),
+    # 11 (batch 3, late) -> n=4
+    hour0 = min(w[0] for w in want)
+    h0a = [w for w in want if w[1] == "a" and w[0] == hour0]
+    assert h0a and h0a[0][2] == 4
