@@ -2604,6 +2604,57 @@ FROM m
 """
 
 
+def mm10_jpeg_pixel_stats(spark, sf_dir):
+    """MM10 — pixel statistics THROUGH the real baseline-JPEG decoder
+    (multimodal.decode_jpeg): each payload is an actual ITU T.81
+    sequential-DCT byte stream — JFIF/DQT/SOF0/DHT/SOS markers,
+    canonical huffman entropy coding, byte stuffing — decoded by the
+    full pipeline (huffman -> dequantize -> inverse zigzag -> IDCT ->
+    level shift -> crop) inside a mapInPandas stage and reduced to
+    exact integer channel sums. The synthetic images are grayscale
+    constant 8x8 tiles at EVEN offsets from 128 — the codec's exact
+    fixed point (DC = 16k quantizes by the Annex-K luma quantum 16 to
+    k losslessly; the DC-only IDCT returns 2k + 128 bit-for-bit) — so
+    the oracle restates the decoded VALUES as a closed form of the id
+    even though the codec is lossy on general inputs: a wrong huffman
+    table, zigzag order, predictor reset, dequant index, or crop
+    off-by-one fails the hash. Retires the fake backend for images
+    entirely (the reference has no image path at all; brief:
+    multimodal columns first-class)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_pixel_stats,
+        media_table_synthetic_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_pixel_stats(media_table_synthetic_jpeg(docs))
+
+
+# gray value at pixel (x, y) of media id m: the 8x8 tile constant
+# 128 + 2*(((m + 5*(x div 8) + 11*(y div 8)) % 61) - 30); sums restated
+# per pixel over i in [0, w*h) with x = i % w, y = i div w
+MM10_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(6 + doc_id % 17 AS INT) AS width,
+         CAST(5 + doc_id % 11 AS INT) AS height
+  FROM documents
+), s AS (
+  SELECT media_id, width, height,
+         CAST(list_sum(list_transform(
+             generate_series(0, width * height - 1),
+             i -> 128 + 2 * (((media_id + 5 * ((i % width) // 8)
+                               + 11 * ((i // width) // 8)) % 61) - 30)
+         )) AS BIGINT) AS sum_gray
+  FROM m
+)
+SELECT media_id, 'jpeg' AS format, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       sum_gray AS sum_r, sum_gray AS sum_g, sum_gray AS sum_b
+FROM s
+"""
+
+
 def mm05_patch_plan(spark, sf_dir):
     """MM05 — ViT-style patch tiling over REALLY-decoded dimensions
     (multimodal.patch_plan): one row per patch with clipped pixel
@@ -8926,6 +8977,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st22_streaming_rollup_maintenance": (
         st22_streaming_rollup_maintenance, ST22_SQL,
     ),
+    "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
     # ---- new in r11 ----
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "a37_skew_report": (a37_skew_report, A37_SQL),

@@ -5,22 +5,26 @@ The Spark-side contract is real and tested — schema, partition-preserving
 mapInPandas, batch shapes. Three decode backends:
 
 * ``pure_python_decode_backend`` — a REAL decoder for actual formats in
-  all three modalities, none needing wheels: 24-bit uncompressed BMP and
-  binary PPM/PGM images (header + bottom-up padded pixel rows), RIFF/
-  WAVE PCM-16 audio (chunk walk + full int16 sample decode), and
+  all three modalities, none needing wheels: 24-bit uncompressed BMP,
+  binary PPM/PGM, 8-bit PNG (stdlib zlib inflate + all five row
+  filters), and BASELINE SEQUENTIAL JPEG (full ITU T.81 path: marker
+  walk, canonical huffman entropy decode, dequantize, inverse zigzag,
+  IDCT, YCbCr->RGB — the first LOSSY codec here) images, RIFF/WAVE
+  PCM-16 audio (chunk walk + full int16 sample decode), and
   uncompressed RIFF/AVI video (chunk tree + per-frame DIB decode). It
   parses the byte stream, validates the full payload, and can return
   the pixel/sample arrays themselves (``decode_image_pixels``,
   ``decode_wav``, ``decode_avi``).
 * ``fake_decode_backend`` — deterministic metadata stand-in for
-  compressed codecs this container genuinely cannot decode (JPEG/H.264/
-  MP3 need codec libraries).
+  compressed codecs this container genuinely cannot decode (the IMAGE
+  path no longer needs it at all; H.264/MP3/webp still do).
 * ``unavailable_decode_backend`` — the honest NotImplementedError slot
   for wiring PIL/av in production.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Callable, Iterator
 
@@ -387,28 +391,657 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
     return width, height, pixels
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU T.81, sequential DCT, huffman) — wheel-free codec
+# ---------------------------------------------------------------------------
+# Constants below are the PUBLIC tables of ITU T.81 Annex K (the example
+# quantization matrices and the "typical" huffman tables virtually every
+# encoder ships). The zigzag order is Figure A.6 of the same spec.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_Q_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_Q_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_JPEG_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_LUMA_VALS = list(range(12))
+_JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_CHROMA_VALS = list(range(12))
+_JPEG_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_JPEG_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_JPEG_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_quality_scale(table: list[int], quality: int) -> list[int]:
+    """libjpeg's public quality->scale mapping (quality 50 returns the
+    Annex K table verbatim — the property the exact-tile oracle path
+    relies on)."""
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (t * s + 50) // 100)) for t in table]
+
+
+def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical huffman codes (T.81 C.2): value -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+_JPEG_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_JPEG_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct8x8(block: list[int]) -> list[float]:
+    """Forward 8x8 DCT-II (T.81 A.3.3), separable, float."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            tmp[y * 8 + u] = sum(
+                block[y * 8 + x] * _JPEG_COS[x][u] for x in range(8)
+            )
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = sum(tmp[y * 8 + v] * _JPEG_COS[y][u] for y in range(8))
+            out[u * 8 + v] = 0.25 * _JPEG_C[u] * _JPEG_C[v] * s
+    return out
+
+
+def _idct8x8(coefs: list[float]) -> list[int]:
+    """Inverse 8x8 DCT (T.81 A.3.3), separable, float; DC-only blocks
+    short-circuit to the exact constant (what every real decoder does —
+    and the path that makes the even-tile oracle payloads bit-exact)."""
+    if not any(coefs[1:]):
+        v = int(round(coefs[0] / 8.0 + 128.0))
+        return [max(0, min(255, v))] * 64
+    tmp = [0.0] * 64
+    for u in range(8):
+        row = coefs[u * 8: u * 8 + 8]
+        for x in range(8):
+            tmp[u * 8 + x] = sum(
+                _JPEG_C[v] * row[v] * _JPEG_COS[x][v] for v in range(8)
+            )
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = sum(
+                _JPEG_C[u] * tmp[u * 8 + x] * _JPEG_COS[y][u]
+                for u in range(8)
+            )
+            v = int(round(s * 0.25 + 128.0))
+            out[y * 8 + x] = max(0, min(255, v))
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3 fill)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _jpeg_encode_block(
+    w: _JpegBitWriter,
+    block: list[int],
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+    qtab: list[int],
+) -> int:
+    coefs = _fdct8x8(block)
+    # qtab is in NATURAL order; q[] is the zigzag scan, so both the
+    # coefficient and its quantum are looked up through the zigzag map
+    # (the DQT segment then stores the quanta in the same scan order,
+    # as T.81 B.2.4.1 requires)
+    q = [
+        int(round(coefs[_JPEG_ZIGZAG[i]] / qtab[_JPEG_ZIGZAG[i]]))
+        for i in range(64)
+    ]
+    cat, bits = _jpeg_magnitude(q[0] - pred)
+    code, length = dc_codes[cat]
+    w.write(code, length)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        cat, bits = _jpeg_magnitude(q[i])
+        code, length = ac_codes[(run << 4) | cat]
+        w.write(code, length)
+        w.write(bits, cat)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return q[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: list[tuple],
+    quality: int = 50,
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential-DCT JFIF encoder (ITU T.81): level shift,
+    float FDCT, Annex-K quantization scaled by ``quality``, canonical
+    huffman entropy coding with the Annex-K typical tables, byte
+    stuffing. 3 components are encoded 4:4:4 (no subsampling);
+    ``grayscale=True`` emits a 1-component scan from the red channel.
+    Edges of non-multiple-of-8 images pad by edge replication.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (predictor resets included), the resync structure real
+    encoders use for error resilience."""
+    qly = _jpeg_quality_scale(_JPEG_Q_LUMA, quality)
+    qch = _jpeg_quality_scale(_JPEG_Q_CHROMA, quality)
+    dcl = _jpeg_build_codes(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+    acl = _jpeg_build_codes(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    dcc = _jpeg_build_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+    acc_ = _jpeg_build_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+
+    ncomp = 1 if grayscale else 3
+    # component planes, level-shifted
+    planes = [[0] * (width * height) for _ in range(ncomp)]
+    for i, px in enumerate(pixels):
+        r, g, b = px
+        if grayscale:
+            planes[0][i] = r - 128
+        else:
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            planes[0][i] = int(round(y)) - 128
+            planes[1][i] = max(0, min(255, int(round(cb)))) - 128
+            planes[2][i] = max(0, min(255, int(round(cr)))) - 128
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0]) + bytes(qly[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    if ncomp == 3:
+        out += seg(
+            0xDB,
+            bytes([1]) + bytes(qch[_JPEG_ZIGZAG[i]] for i in range(64)),
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+    out += dht(1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    if ncomp == 3:
+        out += dht(0, 1, _JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+        out += dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+
+    w = _JpegBitWriter()
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    preds = [0] * ncomp
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.emit_marker(0xD0 + ((mcu // restart_interval - 1) % 8))
+                preds = [0] * ncomp
+            mcu += 1
+            for c in range(ncomp):
+                block = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        block[yy * 8 + xx] = planes[c][sy * width + sx]
+                preds[c] = _jpeg_encode_block(
+                    w,
+                    block,
+                    preds[c],
+                    dcl if c == 0 else dcc,
+                    acl if c == 0 else acc_,
+                    qly if c == 0 else qch,
+                )
+    out += w.flush()
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers
+    (RSTn handled by the caller via ``sync_restart``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _JpegMarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an expected RSTn marker and realign to a byte."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected JPEG restart marker")
+
+
+class _JpegMarkerHit(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _jpeg_decode_huff(reader: _JpegBitReader, table: dict) -> int:
+    """Canonical huffman decode: (code,length) lookup per T.81 F.2.2.3."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((code, length))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits >> (cat - 1):
+        return bits
+    return bits - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Decode a BASELINE sequential-DCT JPEG (ITU T.81): marker walk
+    (DQT 8/16-bit, DHT, SOF0, DRI, SOS; APPn/COM skipped), canonical
+    huffman entropy decode with restart-marker support, dequantize,
+    inverse zigzag, float IDCT (DC-only short-circuit), level shift +
+    clamp, JFIF YCbCr->RGB for 3-component scans, crop to the SOF
+    dimensions. 1 and 3 component 4:4:4 scans are supported;
+    progressive (SOF2), arithmetic coding, 12-bit precision, and
+    subsampled scans raise ValueError — route those to a codec
+    library. Grayscale replicates to (r, g, b) like the other image
+    decoders here; reference parity anchor: the decode half the
+    reference has no image path for at all (brief: multimodal
+    columns first-class)."""
+    d = bytes(payload)
+    if d[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    restart_interval = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", d, pos + 2)
+        if pos + 2 + ln > len(d):
+            raise ValueError("truncated JPEG segment")
+        body = d[pos + 4: pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if pq:
+                    tab = [
+                        struct.unpack_from(">H", body, bp + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    bp += 128
+                else:
+                    tab = list(body[bp: bp + 64])
+                    bp += 64
+                qtabs[tq] = tab
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1: bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17: bp + 17 + n])
+                # decoder-side map: (code, length) -> value
+                inv = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        inv[(code, length)] = vals[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                htabs[(tc, th)] = inv
+                bp += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision")
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c: 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (route to codec lib)"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG unsupported (route to codec lib)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(
+                    i for i, (x, _, _) in enumerate(comps) if x == cid
+                )
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            break
+        # APPn / COM / others: skipped
+    if width is None or not scan:
+        raise ValueError("JPEG missing SOF or SOS")
+
+    ncomp = len(scan)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    planes = [[0] * (bw * 8 * bh * 8) for _ in range(ncomp)]
+    reader = _JpegBitReader(d, pos)
+    preds = [0] * ncomp
+    mcu = 0
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.sync_restart()
+                    preds = [0] * ncomp
+                mcu += 1
+                for s, (ci, dct, act) in enumerate(scan):
+                    dc_tab = htabs[(0, dct)]
+                    ac_tab = htabs[(1, act)]
+                    qtab = qtabs[comps[ci][2]]
+                    zz = [0] * 64
+                    cat = _jpeg_decode_huff(reader, dc_tab)
+                    diff = _jpeg_extend(reader.read_bits(cat), cat)
+                    preds[s] += diff
+                    zz[0] = preds[s] * qtab[0]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(reader, ac_tab)
+                        r, c = rs >> 4, rs & 0xF
+                        if c == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = (
+                            _jpeg_extend(reader.read_bits(c), c) * qtab[k]
+                        )
+                        k += 1
+                    coefs = [0.0] * 64
+                    for i in range(64):
+                        coefs[_JPEG_ZIGZAG[i]] = zz[i]
+                    blk = _idct8x8(coefs)
+                    plane = planes[s]
+                    row0 = by * 8
+                    col0 = bx * 8
+                    for yy in range(8):
+                        dst = (row0 + yy) * bw * 8 + col0
+                        plane[dst: dst + 8] = blk[yy * 8: yy * 8 + 8]
+    except _JpegMarkerHit as hit:
+        if hit.marker != 0xD9:
+            raise ValueError(f"unexpected JPEG marker 0x{hit.marker:02X}")
+
+    stride = bw * 8
+    pixels = []
+    if ncomp == 1:
+        for y in range(height):
+            base = y * stride
+            for x in range(width):
+                g = planes[0][base + x]
+                pixels.append((g, g, g))
+    else:
+        for y in range(height):
+            base = y * stride
+            for x in range(width):
+                yv = planes[0][base + x]
+                cb = planes[1][base + x] - 128
+                cr = planes[2][base + x] - 128
+                r = max(0, min(255, int(round(yv + 1.402 * cr))))
+                g = max(
+                    0,
+                    min(
+                        255,
+                        int(round(yv - 0.344136 * cb - 0.714136 * cr)),
+                    ),
+                )
+                b = max(0, min(255, int(round(yv + 1.772 * cb))))
+                pixels.append((r, g, b))
+    return width, height, pixels
+
+
+def synth_jpeg_payload(media_id: int) -> bytes:
+    """Deterministic REAL baseline-JPEG bytes whose DECODE is exact:
+    grayscale images tiled from constant 8x8 blocks whose values sit an
+    EVEN offset from 128 — the DC coefficient 8*(v-128) = 16k is then
+    divided exactly by the Annex-K luma DC quantum 16 at quality 50,
+    every AC is zero, and the DC-only IDCT returns the constant
+    2k + 128 = v bit-for-bit. The bitstream, huffman tables, dequant,
+    IDCT, and crop paths are all fully real — only the INPUTS are
+    chosen inside the codec's fixed point, so the oracle can restate
+    the decoded pixel values as a closed form of the id (the same
+    trick the PNG/BMP synth uses, adapted to a lossy codec)."""
+    w = 6 + media_id % 17
+    h = 5 + media_id % 11
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    pixels = [(0, 0, 0)] * (w * h)
+    for by in range(bh):
+        for bx in range(bw):
+            v = 128 + 2 * (((media_id + 5 * bx + 11 * by) % 61) - 30)
+            for yy in range(by * 8, min(by * 8 + 8, h)):
+                for xx in range(bx * 8, min(bx * 8 + 8, w)):
+                    pixels[yy * w + xx] = (v, v, v)
+    return encode_jpeg(w, h, pixels, quality=50, grayscale=True)
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Sniff + decode a real image payload (BMP / binary PNM / PNG)
-    down to its pixel values."""
+    """Sniff + decode a real image payload (BMP / binary PNM / PNG /
+    baseline JPEG) down to its pixel values."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return decode_jpeg(payload)
     raise ValueError("unknown image magic")
 
 
 def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     """A REAL decode backend needing no wheels: parses 24-bit BMP,
-    binary PPM/PGM, and 8-bit PNG (zlib inflate + all five row
-    filters — the first genuinely COMPRESSED format) image streams
-    plus RIFF/WAVE PCM audio — header fields AND the full pixel/sample
-    payload (truncation raises). Audio maps to the shared metadata
-    schema as width=height=0, n_frames=sample count; uncompressed
-    RIFF/AVI video decodes every DIB frame. Unknown magics (JPEG/MP4
-    and other codecs needing libraries) raise ValueError — route those
-    to a codec-library backend."""
+    binary PPM/PGM, 8-bit PNG (zlib inflate + all five row filters),
+    and baseline sequential JPEG (huffman + dequant + IDCT — the first
+    LOSSY codec) image streams plus RIFF/WAVE PCM audio — header
+    fields AND the full pixel/sample payload (truncation raises).
+    Audio maps to the shared metadata schema as width=height=0,
+    n_frames=sample count; uncompressed RIFF/AVI video decodes every
+    DIB frame. Unknown magics (MP4/webp and other codecs needing
+    libraries) raise ValueError — route those to a codec-library
+    backend."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
         w, h, _ = decode_bmp(payload)
@@ -416,6 +1049,9 @@ def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     elif payload[:8] == _PNG_SIG:
         w, h, _ = decode_png(payload)
         fmt = "png"
+    elif payload[:2] == b"\xFF\xD8":
+        w, h, _ = decode_jpeg(payload)
+        fmt = "jpeg"
     elif payload[:2] in (b"P6", b"P5"):
         _, w, h, _, _ = _ppm_header(payload)
         # full pixel validation (and gray replication) via the decoder
@@ -484,10 +1120,44 @@ def media_table_synthetic_images(
     return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
 
 
+def media_table_synthetic_jpeg(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A media table whose payloads are REAL baseline-JPEG byte streams
+    (synth_jpeg_payload — grayscale even-offset constant tiles, the
+    codec's exact fixed point, so decoded pixel values stay
+    oracle-restatable while the huffman/dequant/IDCT/crop path is fully
+    exercised). Same mapInPandas shape as the BMP/PPM/PNG table."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [synth_jpeg_payload(int(i)) for i in ids],
+                    "media_type": "image",
+                    "meta": [{"source": "synthetic-jpeg"}] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
+
+
 _PIXEL_STATS_SCHEMA = (
     "media_id long, format string, width int, height int, n_pixels long, "
     "sum_r long, sum_g long, sum_b long"
 )
+
+
+def _sniff_image_format(payload: bytes) -> str:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"\xFF\xD8":
+        return "jpeg"
+    return "ppm" if payload[:2] == b"P6" else "pgm"
 
 
 def decode_pixel_stats(media: DataFrame) -> DataFrame:
@@ -509,11 +1179,7 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
                 payload = bytes(payload)
                 w, h, pixels = decode_image_pixels(payload)
                 out["media_id"].append(int(mid))
-                out["format"].append(
-                    "bmp" if payload[:2] == b"BM"
-                    else "png" if payload[:8] == _PNG_SIG
-                    else ("ppm" if payload[:2] == b"P6" else "pgm")
-                )
+                out["format"].append(_sniff_image_format(payload))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)
@@ -529,13 +1195,14 @@ def fake_decode_backend(payload: bytes, media_type: str) -> dict:
     """Deterministic stand-in decoder: metadata derived from the bytes.
     A real backend would call PIL.Image.open / av.open here."""
     n = len(payload)
-    # image -> 'jpeg': PNG graduated to the real decoder in r11, so the
-    # stand-in label is now a codec this container genuinely can't read
+    # image -> 'webp': JPEG graduated to the real decoder in r12 (PNG
+    # did in r11), so the stand-in label is again a codec this
+    # container genuinely can't read
     return {
         "width": 16 + n % 640,
         "height": 16 + (n * 7) % 480,
         "n_frames": 1 if media_type == "image" else 1 + n % 300,
-        "format": {"image": "jpeg", "audio": "mp3", "video": "mp4"}.get(
+        "format": {"image": "webp", "audio": "mp3", "video": "mp4"}.get(
             media_type, "bin"
         ),
     }
@@ -1036,11 +1703,7 @@ def decode_perceptual_hash(
                     if s * npix > total * n:
                         bits |= 1 << b
                 out["media_id"].append(int(mid))
-                out["format"].append(
-                    "bmp" if payload[:2] == b"BM"
-                    else "png" if payload[:8] == _PNG_SIG
-                    else ("ppm" if payload[:2] == b"P6" else "pgm")
-                )
+                out["format"].append(_sniff_image_format(payload))
                 out["phash"].append(bits)
             yield pd.DataFrame(out)
 

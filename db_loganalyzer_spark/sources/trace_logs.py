@@ -83,15 +83,84 @@ def parse_jsonl(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
 
 def parse_xml(lines: DataFrame, line_col: str = "value") -> DataFrame:
-    """S1 — ``<Event .../>`` elements (FDB trace XML is one element per
-    line). Attribute extraction via regexp over the raw text — a narrow,
-    codegen'd map build; ``spark.read.format("xml")`` would force a
-    schema-inference pass and per-file union schemas for what is an
-    open-ended attribute bag."""
+    """S1 — ``<Event .../>`` elements. CONTRACT: one complete element
+    per LINE (what FDB emits). A pretty-printed / multi-line trace
+    silently degrades here — each opener line yields an empty or
+    truncated attr bag — so route such files through
+    :func:`parse_xml_tolerant`, whose span assembly tolerates arbitrary
+    intra-tag formatting and exposes a quarantine lane instead of
+    dropping. Attribute extraction via regexp over the raw text — a
+    narrow, codegen'd map build; ``spark.read.format("xml")`` would
+    force a schema-inference pass and per-file union schemas for what
+    is an open-ended attribute bag."""
     line = F.trim(F.col(line_col))
     return (
         lines.filter(line.startswith("<Event"))
         .withColumn("attrs", _attrs_to_map(line))
+    )
+
+
+def read_trace_event_spans(spark: SparkSession, paths) -> DataFrame:
+    """S1 (multi-line tolerant form) — ``<Event ... />`` elements that
+    may span LINES (pretty-printed / iterparse-tolerant traces; the
+    reference's ElementTree.iterparse accepts arbitrary intra-tag
+    formatting, tools/parser.py:30-40, where the line-level
+    :func:`parse_xml` would silently drop every event).
+
+    Scale-first assembly, no driver pass: the text source splits
+    records on the ``<Event`` OPENER itself (custom ``lineSep``), so
+    one record = one event's attribute text plus trailing inter-event
+    bytes, still a plain splittable text scan. Each record is then cut
+    at its closing ``/>`` by a QUOTE-AWARE regex (a ``/>`` inside a
+    quoted attribute value does not close the tag), and the attribute
+    bag is extracted exactly like the single-line path.
+
+    Zero silent drops BY CONSTRUCTION: every opener yields exactly one
+    record, and every record either parses (``quarantined`` false) or
+    stays visible with ``quarantined`` true (incomplete tag — e.g.
+    truncated final event). The pre-opener preamble (``<?xml``,
+    ``<Trace>``) is record 1 and is excluded; ``line_no`` numbers
+    events per file in document order (the per-file id the reference
+    derives from enumerate, tools/parser.py:47)."""
+    df = (
+        spark.read.option("lineSep", "<Event").text(paths)
+        .withColumn("trace_file", F.input_file_name())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("trace_file").orderBy("__mid")
+    df = (
+        df.withColumn("rec_no", F.row_number().over(w))
+        .drop("__mid")
+        .filter(F.col("rec_no") > 1)  # record 1 = pre-opener preamble
+        .withColumn("line_no", F.col("rec_no") - 1)
+        .drop("rec_no")
+    )
+    # shortest prefix whose quotes are balanced, ending at '/>': quoted
+    # values are consumed atomically so an embedded '/>' cannot close
+    # the tag; (?s) lets the span cross the newlines this reader exists
+    # to tolerate
+    span = F.regexp_extract(
+        F.col("value"), r'(?s)^((?:[^"/]|"[^"]*"|/(?!>))*?)/>', 1
+    )
+    return (
+        df.withColumn("__span", span)
+        .withColumn("quarantined", (F.col("__span") == "") & (F.length(F.trim("value")) > 0))
+        .withColumn(
+            "attrs",
+            F.when(F.col("__span") != "", _attrs_to_map(F.col("__span"))),
+        )
+        .drop("__span")
+    )
+
+
+def parse_xml_tolerant(spark: SparkSession, paths) -> DataFrame:
+    """The parsed lane of :func:`read_trace_event_spans` in the same
+    shape :func:`parse_xml` produces (value, trace_file, line_no,
+    attrs) — drop-in for pretty-printed traces. Inspect the
+    ``quarantined`` lane of the span reader for what didn't parse."""
+    spans = read_trace_event_spans(spark, paths)
+    return spans.filter(~F.col("quarantined") & F.col("attrs").isNotNull()).select(
+        "value", "trace_file", "line_no", "attrs"
     )
 
 

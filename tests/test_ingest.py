@@ -307,3 +307,65 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     )
     rows = {r.event_id: (r.event_type, r.props) for r in merged.collect()}
     assert rows == {1: ("click", None), 2: ("error", "p")}
+
+
+def test_xml_multiline_tolerant(spark, tmp_path_factory):
+    """S1 tolerant form: a PRETTY-PRINTED trace (attributes across
+    lines, the formatting iterparse accepts) parses with ZERO silent
+    drops — every <Event opener either yields a parsed event or shows
+    up in the quarantine lane; the single-line parser would drop them
+    all. Quote-aware closing: '/>' inside an attribute value does not
+    end the tag."""
+    d = tmp_path_factory.mktemp("pretty")
+    xml = d / "pretty.xml"
+    xml.write_text(
+        '<?xml version="1.0"?>\n<Trace>\n'
+        "<Event\n"
+        '    Severity="10"\n'
+        '    Time="1.0"\n'
+        '    DateTime="2025-11-23T03:37:49Z"\n'
+        '    Type="Net2Starting"\n'
+        '    Machine="172.17.0.3:4500" />\n'
+        '<Event Severity="20" Time="2.0"\n'
+        '       DateTime="2025-11-23T03:37:50Z" Type="Role"\n'
+        '       Comment="weird attr value with /> inside"\n'
+        '       As="Master" Roles="MS" Machine="172.17.0.3:4500"\n'
+        '       PID="42" />\n'
+        '<Event Severity="30" Type="Truncated'  # no closing '/>'
+        "\n</Trace>\n"
+    )
+    spans = TL.read_trace_event_spans(spark, str(xml))
+    rows = sorted(spans.collect(), key=lambda r: r.line_no)
+    # zero silent drops: 3 openers -> 3 visible records
+    assert len(rows) == 3
+    assert [r.quarantined for r in rows] == [False, False, True]
+
+    parsed = TL.parse_xml_tolerant(spark, str(xml))
+    ev = TL.events_from_attrs(parsed).collect()
+    ev = sorted(ev, key=lambda r: r.event_id)
+    assert [r.event for r in ev] == ["Net2Starting", "Role"]
+    assert ev[0].severity == 10 and ev[1].pid == 42
+    # the quoted '/>' did not close the tag early: attrs after it parsed
+    assert ev[1].fields["As"] == "Master"
+    assert ev[1].fields["Comment"] == "weird attr value with /> inside"
+
+    # the line-level parser sees only each opener LINE: attr bags come
+    # out empty or truncated (no Type anywhere here -> every event name
+    # null) — the silent corruption the tolerant reader exists for
+    strict = TL.events_from_attrs(
+        TL.parse_xml(TL.read_trace_lines(spark, str(xml)))
+    )
+    assert strict.filter(F.col("event").isNotNull()).count() == 0
+
+    # single-line traces parse identically through the tolerant path
+    single = d / "single.xml"
+    single.write_text(
+        '<?xml version="1.0"?>\n<Trace>\n'
+        '<Event Severity="10" Time="1.0" Type="A" Machine="m:1" />\n'
+        '<Event Severity="20" Time="2.0" Type="B" Machine="m:2" />\n'
+        "</Trace>\n"
+    )
+    tol = TL.events_from_attrs(
+        TL.parse_xml_tolerant(spark, str(single))
+    ).collect()
+    assert sorted(r.event for r in tol) == ["A", "B"]

@@ -485,7 +485,9 @@ def test_multimodal_plumbing(spark, docs):
     decoded = decode_media(media, decode_backend=fake_decode_backend)
     rows = {r.media_id: r for r in decoded.collect()}
     assert rows[0].byte_len == len("The quick brown fox jumps over the lazy dog")
-    assert rows[0].format == "jpeg" and rows[0].width >= 16
+    # the fake backend's image label moved to webp when JPEG graduated
+    # to the real decoder (r12)
+    assert rows[0].format == "webp" and rows[0].width >= 16
     plan = resize_plan(decoded, max_side=32).collect()
     assert all(max(r.out_width, r.out_height) <= 32 + 1 for r in plan)
     # the honest stub raises until a real codec is provided
@@ -3038,3 +3040,99 @@ def test_compaction_apply_one_file_per_group_and_sorted(spark, tmp_path):
     for fp in files:
         ckeys = pq.read_table(fp, columns=["ckey"])["ckey"].to_pylist()
         assert ckeys == sorted(ckeys), fp
+
+
+def test_jpeg_codec_exact_tiles_golden_lossy_and_errors():
+    """The wheel-free baseline-JPEG codec (ITU T.81 sequential DCT):
+    golden-pin the bitstream and the decode, verify the even-tile
+    EXACT path the mm10 oracle relies on, bound the loss on general
+    content, check restart markers and byte stuffing, and reject the
+    shapes the decoder honestly routes to a codec library."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    # --- exact-tile path: decode equals the closed form bit-for-bit
+    p3 = synth_jpeg_payload(3)
+    assert hashlib.sha256(p3).hexdigest() == (
+        "c695e968c49bf53022c3cb5f9dd8eeea03b2398e82efb440de485703ae59e546"
+    )
+    assert len(p3) == 333
+    w, h, px = decode_jpeg(p3)
+    assert (w, h) == (9, 8)
+    for y in range(h):
+        for x in range(w):
+            v = 128 + 2 * (((3 + 5 * (x // 8) + 11 * (y // 8)) % 61) - 30)
+            assert px[y * w + x] == (v, v, v)
+    # container structure: SOI, JFIF APP0, DQT, SOF0, 2 DHTs, SOS, EOI
+    assert p3[:2] == b"\xFF\xD8" and p3[-2:] == b"\xFF\xD9"
+    assert p3[2:4] == b"\xFF\xE0" and p3[6:10] == b"JFIF"
+    # SOF0 carries precision 8 and the true dims
+    sof = p3.index(b"\xFF\xC0")
+    assert struct.unpack_from(">BHHB", p3, sof + 4) == (8, 8, 9, 1)
+
+    # --- general (lossy) content: golden-pinned bitstream + decode,
+    # bounded reconstruction error
+    img = [((x * 13 + y * 29) % 256,) * 3 for y in range(6) for x in range(10)]
+    pay = encode_jpeg(10, 6, img, quality=75, grayscale=True)
+    assert hashlib.sha256(pay).hexdigest() == (
+        "4e4ebcbf75a9822560fea80b4a4fabaf18789f53a9a0e03912afd935e5911fa7"
+    )
+    dw, dh, dp = decode_jpeg(pay)
+    assert (dw, dh) == (10, 6)
+    assert [dp[i][0] for i in range(10)] == [2, 12, 27, 40, 52, 65, 79, 90,
+                                             98, 116]
+    assert sum(q[0] for q in dp) == 7595
+    # the mod-256 wrap is a sharp edge; q75 ringing reaches ~31 there —
+    # bound it rather than pretend lossy isn't lossy
+    assert max(abs(dp[i][0] - img[i][0]) for i in range(60)) <= 48
+    assert sum(abs(dp[i][0] - img[i][0]) for i in range(60)) / 60 <= 8
+
+    # --- 3-component 4:4:4 color through YCbCr both ways
+    imgc = [((x * 20) % 256, (y * 40) % 256, 128)
+            for y in range(6) for x in range(10)]
+    payc = encode_jpeg(10, 6, imgc, quality=80)
+    assert hashlib.sha256(payc).hexdigest() == (
+        "5e8531a42dc7ebc7ed5565d507c87d356a551f8755ef9cb7c80b0d486f9ea455"
+    )
+    dw, dh, dpc = decode_jpeg(payc)
+    assert (sum(q[0] for q in dpc), sum(q[1] for q in dpc),
+            sum(q[2] for q in dpc)) == (5402, 5995, 7686)
+    errs = [abs(dpc[i][c] - imgc[i][c]) for i in range(60) for c in range(3)]
+    assert max(errs) <= 24
+
+    # --- restart markers: DRI/RSTn resync decodes identically
+    import random
+
+    rng = random.Random(3)
+    big = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(40 * 25)]
+    plain = decode_jpeg(encode_jpeg(40, 25, big, quality=85))
+    with_rst = decode_jpeg(
+        encode_jpeg(40, 25, big, quality=85, restart_interval=4)
+    )
+    assert plain == with_rst
+
+    # --- byte stuffing: entropy data containing 0xFF must round-trip
+    # (white noise at high quality reliably produces stuffed bytes)
+    stuffed = encode_jpeg(16, 16, [(255, 255, 255)] * 128
+                          + [(0, 0, 0)] * 128, quality=99, grayscale=True)
+    decode_jpeg(stuffed)  # must not desync
+
+    # --- honest rejections
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xFF\xD8garbage")
+    with pytest.raises(ValueError):
+        decode_jpeg(p3[:-30])  # truncated entropy segment / missing EOI
+    prog = bytearray(pay)
+    sof_at = bytes(prog).index(b"\xFF\xC0")
+    prog[sof_at + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
