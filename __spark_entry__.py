@@ -7108,6 +7108,96 @@ FROM agg a JOIN groups g ON g.part_key = a.part_key
 """
 
 
+def opt05_zorder_apply(spark, sf_dir):
+    """OPT05 — the z-order rewrite EXECUTED (layout.zorder_apply):
+    events land one parquet file per occupied Morton bucket of
+    (user_id x event time) — the exact layout opt01 audits and opt02
+    prices (bits=16, bucket_bits=8), with rows z-sorted inside each
+    file. Buckets are integer column math (z >> 24), NOT sampled range
+    boundaries, so the layout is deterministic and the oracle can
+    restate all four returned facts from the SOURCE table alone: row
+    count, order-independent mix32 content hash over every column,
+    occupied-bucket count, and (== it) the real file count read back
+    via input_file_name(). Completes the maintenance loop: a37
+    profiles, opt01/opt02 decide, opt03 plans, opt04 compacts, opt05
+    re-clusters — each step a query with an equivalence proof. The
+    skipping this buys was measured against real parquet footers in
+    scripts/bench_zorder.py (64/64 -> 14/64 files on the user
+    predicate); reference anchor: the B-tree indexes the reference
+    leans on instead (tools/database.py:22-24)."""
+    import shutil
+    import tempfile
+
+    from db_loganalyzer_spark.operators.layout import zorder_apply
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    P = 2147483647
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="opt05_zordered_")
+    try:
+        zorder_apply(ev, "user_id", "ts_us", out_dir, bits=16, bucket_bits=8)
+        back = spark.read.parquet(out_dir)
+        micro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+        lin = (
+            F.pmod(F.col("event_id"), F.lit(P)) * 1000003
+            + F.pmod(F.col("user_id"), F.lit(P)) * 999983
+            + F.pmod(F.unix_micros("ts"), F.lit(P)) * 1000033
+            + F.pmod(micro, F.lit(P)) * 999979
+            + F.length("event_type").cast("long") * 31
+        )
+        summary = back.withColumn("__file", F.input_file_name()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(mix32(lin, salt=7)).cast("long").alias("content_hash"),
+            F.countDistinct("zbucket").cast("long").alias("n_buckets_out"),
+            F.countDistinct("__file").cast("long").alias("n_files_out"),
+        )
+        rows = summary.collect()
+        return spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+OPT05_SQL = f"""
+WITH b AS (
+  SELECT CAST(MIN(user_id) AS BIGINT) AS xmin,
+         CAST(MAX(user_id) AS BIGINT) AS xmax,
+         MIN(epoch_us(ts)) AS ymin, MAX(epoch_us(ts)) AS ymax
+  FROM events
+), g AS (
+  SELECT ((user_id - xmin) * 65535) // greatest(xmax - xmin, 1) AS gx,
+         ((epoch_us(ts) - ymin) * 65535) // greatest(ymax - ymin, 1) AS gy
+  FROM events, b
+), z AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(0, 15), k ->
+             (((gx >> k) & 1) << (2 * k + 1)) + (((gy >> k) & 1) << (2 * k)))),
+           (a, x) -> a + x) AS zk
+  FROM g
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT zk >> 24) AS BIGINT) AS n_buckets_out FROM z
+), h AS (
+  SELECT h FROM {_mix32_sql_select(
+      _OPT04_LIN,
+      "(SELECT event_id, ts, user_id, event_type, value FROM events)",
+      salt=7,
+  )} x
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(h) AS BIGINT) AS content_hash
+  FROM h
+)
+SELECT n_rows, content_hash, n_buckets_out, n_buckets_out AS n_files_out
+FROM agg, nb
+"""
+
+
 def a37_skew_report(spark, sf_dir):
     """A37 — shuffle-key skew profile (aggregates.skew_report over
     events.user_id): the decision input for j13/a33 salting and AQE's
@@ -8957,83 +9047,29 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # or oracle changed this round first-priority, then the stalest
     # driver rows, oldest first.
     #
-    # Round-11 window (verified: exactly 50 above the line):
-    #   1-4   opt02 skip estimate + a37 skew report + opt03 compaction
-    #         plan + a38 incremental rollup merge, new this round
-    #   5-18  the 14 entries NO driver round has ever sampled (added
-    #         after the r10 sample was taken; all judge-green via
-    #         scripts/check_oracle.py in r10 and re-checked this round)
-    #  19-25  the 7 entries whose oracle or implementation changed in
-    #         r11: sim05/pipe05 re-pinned at n_planes=12 (pipe05 is in
-    #         the never-sampled block), mm01/mm02/mm04/mm05/pipe03 now
-    #         route PNG payloads through the real zlib codec (new
-    #         oracles), m22 counts empty docs as 0 tokens
-    #  26-50  the 25 OLDEST r7-latest-row entries (f06..f07)
-    # Still on r7 rows after this window, queued for r12 (16):
-    #   j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01 sim02 sim03 sim04
-    #   st01 st02 st03
+    # Round-12 window (verified: exactly 50 above the line):
+    #   1-4   opt04 compaction apply + opt05 z-order apply + st22
+    #         streaming rollup maintenance + mm10 JPEG pixel stats,
+    #         new this round
+    #   5     a37 (hot-key comparison moved to double in BOTH engines
+    #         this round: re-certify)
+    #   6-21  ALL 16 remaining r7-latest-row entries (the r11 verdict's
+    #         top item: j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01-04
+    #         st01-03)
+    #  22-50  the 29 alphabetically-first r8-latest-row entries
+    # Still on r8 rows after this window, queued first for r13 (16):
+    #   st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04 t08 w01
+    #   w05 w08 w10
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
+    "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
     "st22_streaming_rollup_maintenance": (
         st22_streaming_rollup_maintenance, ST22_SQL,
     ),
     "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
-    # ---- new in r11 ----
-    "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
+    # ---- oracle/impl changed in r12 (re-certify) ----
     "a37_skew_report": (a37_skew_report, A37_SQL),
-    "opt03_compaction_plan": (opt03_compaction_plan, OPT03_SQL),
-    "a38_incremental_rollup": (a38_incremental_rollup, A38_SQL),
-    # ---- never driver-sampled (r10 tail additions) ----
-    "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
-    "t19_char_entropy": (t19_char_entropy, T19_SQL),
-    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
-    "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
-    "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
-    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
-    "d17_slo_burn": (d17_slo_burn, D17_SQL),
-    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
-    "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
-    "cl05_silhouette": (cl05_silhouette, CL05_SQL),
-    "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
-    "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
-    "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
-    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
-    # ---- oracle/impl changed in r11 (re-certify) ----
-    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
-    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
-    "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
-    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
-    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
-    # ---- latest driver row: r7 (the 29 oldest) ----
-    "f06_event_class": (f06_event_class, F06_SQL),
-    "f08_json_field": (f08_json_field, F08_SQL),
-    "f10_exclusion": (f10_exclusion, F10_SQL),
-    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
-    "j01_equi_join": (j01_equi_join, J01_SQL),
-    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
-    "j05_anti_join": (j05_anti_join, J05_SQL),
-    "w02_value_resets": (w02_value_resets, W02_SQL),
-    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
-    "w06_burst_windows": (w06_burst_windows, W06_SQL),
-    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
-    "s07_processes": (s07_processes, S07_SQL),
-    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
-    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
-    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
-    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
-    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
-    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
-    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
-    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
-    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
-    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
-    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
-    "f01_time_window": (f01_time_window, F01_SQL),
-    "f07_field_probe": (f07_field_probe, F07_SQL),
-    # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r7 — the r12 rotation queue (16) ----
+    # ---- latest driver row: r7 (all 16 remaining) ----
     "j03_lookback_join": (j03_lookback_join, J03_SQL),
     "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
     "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
@@ -9050,75 +9086,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
     "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
     "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    # ---- fresher rows (r8-r10), stable order; rotate by staleness ----
-    "mm07_video_stats": (mm07_video_stats, MM07_SQL),
-    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
-    "m19c_title_edit_distance_capped": (
-        m19c_title_edit_distance_capped, M19C_SQL,
-    ),
-    "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
-    "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
-    "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
-    "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
-    "st17_streaming_winnowing_probe": (
-        st17_streaming_winnowing_probe, ST17_SQL,
-    ),
-    "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
-    "m19_title_edit_distance": (m19_title_edit_distance, M19_SQL),
-    "w22_interval_coalesce_half_open": (
-        w22_interval_coalesce_half_open, W22_SQL,
-    ),
-    "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
-    "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
-    "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
-    "st15_streaming_interval_coalesce": (
-        st15_streaming_interval_coalesce, ST15_SQL,
-    ),
-    "w18_event_sequences": (w18_event_sequences, W18_SQL),
-    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
-    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
-    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
-    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
-    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
-    "m17_block_dedup": (m17_block_dedup, M17_SQL),
-    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
-    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
-    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
-    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
-    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
-    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
-    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
-    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
-    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
-    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
-    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
-    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
-    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
-    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
-    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
-    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
-    "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
-    "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
-    "st18_streaming_decontaminate": (st18_streaming_decontaminate, ST18_SQL),
-    "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
-    "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
-    "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
-    "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
-    "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
-    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
-    "m08_dedup_components": (m08_dedup_components, M08_SQL),
-    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
-    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
-    "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
-    "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
-    "t02_text_stats": (t02_text_stats, T02_SQL),
-    "t03_language_id": (t03_language_id, T03_SQL),
-    "t04_fingerprints": (t04_fingerprints, T04_SQL),
-    "t08_corpus_report": (t08_corpus_report, T08_SQL),
-    "w01_value_drops": (w01_value_drops, W01_SQL),
-    "w05_sessionization": (w05_sessionization, W05_SQL),
-    "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
-    "w10_severity_first": (w10_severity_first, W10_SQL),
+    # ---- latest driver row: r8 (30 oldest of 45) ----
     "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
     "a19_stats_report_grouping_sets": (
         a19_stats_report_grouping_sets, A19_SQL,
@@ -9139,8 +9107,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
     "j10_asof_forward": (j10_asof_forward, J10_SQL),
     "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
     "m05_hash_split": (m05_hash_split, M05_SQL),
     "m06_decontaminate": (m06_decontaminate, M06_SQL),
+    "m08_dedup_components": (m08_dedup_components, M08_SQL),
     "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
     "m10_group_sample": (m10_group_sample, M10_SQL),
     "m12_budget_select": (m12_budget_select, M12_SQL),
@@ -9148,30 +9118,27 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r8 — the r13 rotation queue (16) ----
     "st06_streaming_sliding_rollup": (
         st06_streaming_sliding_rollup, ST06_SQL,
     ),
     "st07_streaming_hll": (st07_streaming_hll, ST07_SQL),
-    "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
-    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
-    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
-    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
-    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
-    "t07_quality_gate": (t07_quality_gate, T07_SQL),
-    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
-    "t10_length_histogram": (t10_length_histogram, T10_SQL),
-    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
-    "t12_bm25_search": (t12_bm25_search, T12_SQL),
-    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
-    "w11_ewma": (w11_ewma, W11_SQL),
-    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
-    "w13_gap_fill": (w13_gap_fill, W13_SQL),
-    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
-    "w15_trailing_window": (w15_trailing_window, W15_SQL),
-    "w16_level_shifts": (w16_level_shifts, W16_SQL),
-    "w17_counter_rates": (w17_counter_rates, W17_SQL),
-    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
-    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    "st09_streaming_gap_fill": (st09_streaming_gap_fill, ST09_SQL),
+    "st10_streaming_counter_rates": (st10_streaming_counter_rates, W17_SQL),
+    "st11_streaming_cusum": (st11_streaming_cusum, ST11_SQL),
+    "st12_streaming_static_enrich": (st12_streaming_static_enrich, ST12_SQL),
+    "st13_streaming_interval_join": (st13_streaming_interval_join, ST13_SQL),
+    "t01_topk_per_group": (t01_topk_per_group, T01_SQL),
+    "t02_text_stats": (t02_text_stats, T02_SQL),
+    "t03_language_id": (t03_language_id, T03_SQL),
+    "t04_fingerprints": (t04_fingerprints, T04_SQL),
+    "t08_corpus_report": (t08_corpus_report, T08_SQL),
+    "w01_value_drops": (w01_value_drops, W01_SQL),
+    "w05_sessionization": (w05_sessionization, W05_SQL),
+    "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
+    "w10_severity_first": (w10_severity_first, W10_SQL),
+    # ---- latest driver row: r9 ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),
     "a03_time_span": (a03_time_span, A03_SQL),
@@ -9182,6 +9149,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a14_summary_stats": (a14_summary_stats, A14_SQL),
     "a16_count": (a16_count, A16_SQL),
     "a17_role_distribution": (a17_role_distribution, A17_SQL),
+    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
+    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
     "d01_storage_pressure": (d01_storage_pressure, D01_SQL),
     "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
     "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
@@ -9194,10 +9163,131 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "f03_severity_floor": (f03_severity_floor, F03_SQL),
     "f04_dynamic_predicate": (f04_dynamic_predicate, F04_SQL),
     "f05_interesting_events": (f05_interesting_events, F05_SQL),
-    "a35_rolling_active_users": (a35_rolling_active_users, A35_SQL),
-    "a36_equidepth_bins": (a36_equidepth_bins, A36_SQL),
-    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    "m03_minhash_lsh_dedup": (m03_minhash_lsh_dedup, M03_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q05_nation_revenue": (q05_nation_revenue, Q05_SQL),
+    "st08_streaming_topk": (st08_streaming_topk, ST08_SQL),
+    "st14_streaming_neardup_probe": (st14_streaming_neardup_probe, ST14_SQL),
+    "t05_pii_redaction": (t05_pii_redaction, T05_SQL),
+    "t06_repetition_stats": (t06_repetition_stats, T06_SQL),
+    "t07_quality_gate": (t07_quality_gate, T07_SQL),
+    "t09_vocab_stats": (t09_vocab_stats, T09_SQL),
+    "t10_length_histogram": (t10_length_histogram, T10_SQL),
+    "t11_tfidf_terms": (t11_tfidf_terms, T11_SQL),
+    "t12_bm25_search": (t12_bm25_search, T12_SQL),
+    "t13_bigram_lm": (t13_bigram_lm, T13_SQL),
     "t17_shingle_novelty": (t17_shingle_novelty, T17_SQL),
+    "w11_ewma": (w11_ewma, W11_SQL),
+    "w12_value_drops_global": (w12_value_drops_global, W12_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "w14_scd2_intervals": (w14_scd2_intervals, W14_SQL),
+    "w15_trailing_window": (w15_trailing_window, W15_SQL),
+    "w16_level_shifts": (w16_level_shifts, W16_SQL),
+    "w17_counter_rates": (w17_counter_rates, W17_SQL),
+    "w20_trending_topk": (w20_trending_topk, W20_SQL),
+    # ---- latest driver row: r10 ----
+    "a29_grouped_hll": (a29_grouped_hll, A29_SQL),
+    "a30_countmin_freqs": (a30_countmin_freqs, A30_SQL),
+    "a31_cumulative_hll": (a31_cumulative_hll, A31_SQL),
+    "a32_hll_overlap": (a32_hll_overlap, A32_SQL),
+    "a33_salted_skew_agg": (a33_salted_skew_agg, A33_SQL),
+    "a34_retention_cohorts": (a34_retention_cohorts, A34_SQL),
+    "d14_cusum_drift": (d14_cusum_drift, D14_SQL),
+    "d15_cusum_changepoints": (d15_cusum_changepoints, D15_SQL),
+    "d16_seasonal_anomalies": (d16_seasonal_anomalies, D16_SQL),
+    "j12_bloom_prefilter": (j12_bloom_prefilter, J12_SQL),
+    "j13_salted_skew_join": (j13_salted_skew_join, J13_SQL),
+    "m02c_ngram_jaccard_capped": (m02c_ngram_jaccard_capped, M02C_SQL),
+    "m03e_minhash_lsh_estimate": (m03e_minhash_lsh_estimate, M03E_SQL),
+    "m08c_dedup_components_capped": (m08c_dedup_components_capped, M08C_SQL),
+    "m13_dedup_representatives": (m13_dedup_representatives, M13_SQL),
+    "m14_leakage_safe_split": (m14_leakage_safe_split, M14_SQL),
+    "m15_incremental_dedup": (m15_incremental_dedup, M15_SQL),
+    "m16_domain_mixture": (m16_domain_mixture, M16_SQL),
+    "m17_block_dedup": (m17_block_dedup, M17_SQL),
+    "m18_weighted_sample": (m18_weighted_sample, M18_SQL),
+    "m19_title_edit_distance": (m19_title_edit_distance, M19_SQL),
+    "m19c_title_edit_distance_capped": (
+        m19c_title_edit_distance_capped, M19C_SQL,
+    ),
+    "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
+    "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
+    "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
+    "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
+    "mm07_video_stats": (mm07_video_stats, MM07_SQL),
+    "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
+    "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
+    "pipe02_neardup_corpus": (pipe02_neardup_corpus, PIPE02_SQL),
+    "s11_csv_roundtrip": (s11_csv_roundtrip, S11_SQL),
+    "st15_streaming_interval_coalesce": (
+        st15_streaming_interval_coalesce, ST15_SQL,
+    ),
+    "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
+    "st17_streaming_winnowing_probe": (
+        st17_streaming_winnowing_probe, ST17_SQL,
+    ),
+    "st18_streaming_decontaminate": (st18_streaming_decontaminate, ST18_SQL),
+    "st19_streaming_csv_ingest": (st19_streaming_csv_ingest, ST19_SQL),
+    "t14_shingle_containment": (t14_shingle_containment, T14_SQL),
+    "t15_doc_perplexity": (t15_doc_perplexity, T15_SQL),
+    "t16_zipf_fit": (t16_zipf_fit, T16_SQL),
+    "t18_classifier_gate": (t18_classifier_gate, T18_SQL),
+    "w18_event_sequences": (w18_event_sequences, W18_SQL),
+    "w19_interarrival_stats": (w19_interarrival_stats, W19_SQL),
+    "w21_interval_coalesce": (w21_interval_coalesce, W21_SQL),
+    "w22_interval_coalesce_half_open": (
+        w22_interval_coalesce_half_open, W22_SQL,
+    ),
+    # ---- latest driver row: r11 ----
+    "a05_rollup_3600s": (a05_rollup_3600s, A05_SQL),
+    "a06_metric_baselines": (a06_metric_baselines, A06_SQL),
+    "a10_zscore_hotspots": (a10_zscore_hotspots, A10_SQL),
+    "a38_incremental_rollup": (a38_incremental_rollup, A38_SQL),
+    "c01_chunk_summaries": (c01_chunk_summaries, C01_SQL),
+    "cl01_embed_docs": (cl01_embed_docs, CL01_SQL),
+    "cl02_cluster_reps": (cl02_cluster_reps, CL02_SQL),
+    "cl03_cluster_summary": (cl03_cluster_summary, CL03_SQL),
+    "cl04_kmeans_sizes": (cl04_kmeans_sizes, CL04_SQL),
+    "cl05_silhouette": (cl05_silhouette, CL05_SQL),
+    "d08_metric_anomalies": (d08_metric_anomalies, D08_SQL),
+    "d10_recovery_episodes": (d10_recovery_episodes, D10_SQL),
+    "d11_detect_recoveries": (d11_detect_recoveries, D11_SQL),
+    "d17_slo_burn": (d17_slo_burn, D17_SQL),
+    "f01_time_window": (f01_time_window, F01_SQL),
+    "f06_event_class": (f06_event_class, F06_SQL),
+    "f07_field_probe": (f07_field_probe, F07_SQL),
+    "f08_json_field": (f08_json_field, F08_SQL),
+    "f10_exclusion": (f10_exclusion, F10_SQL),
+    "f11_regex_corpus": (f11_regex_corpus, F11_SQL),
+    "f12_json_schema_profile": (f12_json_schema_profile, F12_SQL),
+    "j01_equi_join": (j01_equi_join, J01_SQL),
+    "j02_global_stats_z": (j02_global_stats_z, J02_SQL),
+    "j05_anti_join": (j05_anti_join, J05_SQL),
+    "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
+    "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
+    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
+    "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
+    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
+    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
+    "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
+    "opt03_compaction_plan": (opt03_compaction_plan, OPT03_SQL),
+    "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
+    "pipe04_streaming_corpus": (pipe04_streaming_corpus, PIPE04_SQL),
+    "pipe05_rag_ingest": (pipe05_rag_ingest, PIPE05_SQL),
+    "s07_processes": (s07_processes, S07_SQL),
+    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
+    "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
+    "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
+    "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
+    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
+    "t19_char_entropy": (t19_char_entropy, T19_SQL),
+    "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
+    "w02_value_resets": (w02_value_resets, W02_SQL),
+    "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
+    "w06_burst_windows": (w06_burst_windows, W06_SQL),
+    "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
 }
 
 

@@ -293,6 +293,7 @@ def winnowing_index(
     text_col: str = "text",
     n: int = 2,
     w: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """The standing corpus-side winnowing index st17 probes: one row
     per (fingerprint, corpus doc) with the doc's FULL fingerprint array
@@ -311,7 +312,21 @@ def winnowing_index(
     (measured: >120 s for what this shape does in 3 s at sf0.001 —
     the optimizer duplicates the non-cheap ``fps`` expression into
     both the Generate input and the carried projection, defeating the
-    staged-projection discipline the docstrings above describe)."""
+    staged-projection discipline the docstrings above describe).
+
+    ``max_doc_freq`` is m21's stop-fingerprint dial applied at INDEX
+    BUILD time: fingerprints present in more than that many corpus
+    docs (boilerplate headers, license blocks) are dropped from the
+    exploded join keys, so a probe can never fan out on them — the
+    join-cost cap for real corpora, where the hot set is a few
+    boilerplate runs. The carried arrays keep every fingerprint
+    (shared counts stay exact over the pairs that DO join). Know your
+    data before dialing it: on a wholesale-cloned corpus (the sf100r
+    replica stress) every fingerprint's frequency ~= the clone count,
+    so any effective cap also erases the true positives — there the
+    structural fix is a bucketed standing index + estimate scoring
+    (st14's pattern), not a frequency cap; disposition row in
+    bench_data/registry_sf100r_r12.jsonl."""
     arr = winnowing_fingerprint_arrays(docs, id_col, text_col, n, w)
     carried = F.transform(
         "fps",
@@ -319,10 +334,19 @@ def winnowing_index(
             x.alias("fingerprint"), F.col("fps").alias("corpus_fps")
         ),
     )
-    return arr.select(
+    out = arr.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(carried).alias("e"),
     ).select("corpus_id", "e.fingerprint", "e.corpus_fps")
+    if max_doc_freq is not None:
+        hot = (
+            out.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("fingerprint")
+        )
+        out = out.join(F.broadcast(hot), "fingerprint", "left_anti")
+    return out
 
 
 def winnowing_overlap_pairs(

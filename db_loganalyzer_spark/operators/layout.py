@@ -197,6 +197,74 @@ def compaction_plan(
     )
 
 
+def zorder_apply(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    out_dir: str,
+    bits: int = 16,
+    bucket_bits: int = 8,
+    write_options: dict | None = None,
+) -> None:
+    """OPT05 — EXECUTE the z-order layout :func:`zorder_layout_audit`
+    audits and :func:`zorder_skip_estimate` prices: key every row by
+    the Morton interleave of (x, y), bucket the key range into
+    ``2^bucket_bits`` contiguous buckets — the audit's buckets, now as
+    OUTPUT FILES — and write one parquet file per occupied bucket,
+    rows z-sorted inside it.
+
+    Deterministic by construction: the bucket is integer column math
+    (``z >> (2*bits - bucket_bits)``), not ``repartitionByRange``'s
+    sampled boundaries — so file count == occupied buckets exactly, a
+    property an equivalence oracle can restate (opt04's trick). The
+    sort leads with the partition column so the partitioned write does
+    not inject its own sort over the cluster order (the opt04 bug,
+    measured in bench_data/compaction_r12.jsonl). Plan shape: one
+    1-row bounds aggregate broadcast back, one projection for the key,
+    ONE shuffle keyed by bucket, a local sort — Delta's OPTIMIZE
+    ZORDER BY plan."""
+    bounds = df.agg(
+        F.min(x_col).cast("long").alias("__xmin"),
+        F.max(x_col).cast("long").alias("__xmax"),
+        F.min(y_col).cast("long").alias("__ymin"),
+        F.max(y_col).cast("long").alias("__ymax"),
+    )
+    d = df.crossJoin(F.broadcast(bounds))
+    numx, spanx = grid_terms(
+        F.col(x_col).cast("long"), F.col("__xmin"), F.col("__xmax"), bits
+    )
+    numy, spany = grid_terms(
+        F.col(y_col).cast("long"), F.col("__ymin"), F.col("__ymax"), bits
+    )
+    keyed = (
+        d.withColumn("__nx", numx)
+        .withColumn("__sx", spanx)
+        .withColumn("__ny", numy)
+        .withColumn("__sy", spany)
+        .withColumn(
+            "__z",
+            zorder_key(
+                F.expr("__nx div __sx"), F.expr("__ny div __sy"), bits
+            ),
+        )
+        .withColumn(
+            "zbucket",
+            F.shiftright(F.col("__z"), 2 * bits - bucket_bits).cast("long"),
+        )
+        .drop("__xmin", "__xmax", "__ymin", "__ymax",
+              "__nx", "__sx", "__ny", "__sy")
+    )
+    shaped = (
+        keyed.repartition(F.col("zbucket"))
+        .sortWithinPartitions("zbucket", "__z")
+        .drop("__z")
+    )
+    writer = shaped.write.mode("overwrite")
+    for k, v in (write_options or {}).items():
+        writer = writer.option(k, v)
+    writer.partitionBy("zbucket").parquet(out_dir)
+
+
 def compaction_apply(
     data: DataFrame,
     plan: DataFrame,

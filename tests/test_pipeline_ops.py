@@ -3136,3 +3136,126 @@ def test_jpeg_codec_exact_tiles_golden_lossy_and_errors():
     prog[sof_at + 1] = 0xC2  # claim progressive
     with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+
+
+def test_winnowing_index_stop_fingerprint_cap(spark):
+    """The index-build max_doc_freq dial: a fingerprint present in more
+    corpus docs than the cap disappears from the exploded join keys
+    (no probe fan-out on boilerplate), while discriminative
+    fingerprints and the carried arrays survive."""
+    from db_loganalyzer_spark.operators.dedup import winnowing_index
+
+    boiler = "common header line shared by every doc"
+    rows = [(i, f"{boiler} unique tail {i} {i} {i} {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = winnowing_index(docs, n=2, w=4)
+    capped = winnowing_index(docs, n=2, w=4, max_doc_freq=4)
+    hot = (
+        full.groupBy("fingerprint")
+        .count()
+        .filter(F.col("count") > 4)
+        .count()
+    )
+    assert hot > 0  # the boilerplate run produced >4-doc fingerprints
+    joined = capped.groupBy("fingerprint").count().filter(F.col("count") > 4)
+    assert joined.count() == 0  # all dropped from the join keys
+    # per-doc discriminative fingerprints survive with arrays intact
+    survivors = capped.filter(F.size("corpus_fps") > 0).count()
+    assert survivors > 0 and capped.count() < full.count()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=1, max_value=20),   # height
+    st.integers(min_value=0, max_value=10**6),  # tile seed ("media id")
+)
+def test_jpeg_exact_tile_property(w, h, seed):
+    """Any grayscale image tiled from constant 8x8 blocks at EVEN
+    offsets from 128 survives the quality-50 baseline JPEG round trip
+    bit-for-bit (the fixed point the mm10 oracle is built on), at any
+    dimensions including non-multiples of 8."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def tile(x, y):
+        return 128 + 2 * (((seed + 5 * (x // 8) + 11 * (y // 8)) % 61) - 30)
+
+    pix = [(tile(x, y),) * 3 for y in range(h) for x in range(w)]
+    got = decode_jpeg(encode_jpeg(w, h, pix, quality=50, grayscale=True))
+    assert got == (w, h, pix)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=1000),
+    st.sampled_from([85, 95]),
+)
+def test_jpeg_lossy_roundtrip_bounded_property(w, h, seed, quality):
+    """General content through the lossy path: decode(encode(img))
+    reconstructs within a quality-dependent bound — smooth ramps stay
+    tight; the codec never desyncs or mis-sizes."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    pix = [(((seed + 3 * x + 5 * y) % 200 + 28),) * 3
+           for y in range(h) for x in range(w)]
+    dw, dh, dp = decode_jpeg(
+        encode_jpeg(w, h, pix, quality=quality, grayscale=True)
+    )
+    assert (dw, dh) == (w, h)
+    worst = max(abs(dp[i][0] - pix[i][0]) for i in range(w * h))
+    assert worst <= (40 if quality == 85 else 24)
+
+
+def test_zorder_apply_one_file_per_bucket_and_sorted(spark, tmp_path):
+    """OPT05: the executed z-order rewrite emits exactly one parquet
+    file per OCCUPIED Morton bucket, loses nothing, and each file's
+    rows are z-sorted (so row-group stats are tight in both grid
+    dimensions)."""
+    import glob as _glob
+
+    from db_loganalyzer_spark.operators.layout import (
+        zorder_apply,
+        zorder_key,
+    )
+
+    n = 4096
+    data = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"),
+    )
+    out = str(tmp_path / "zordered")
+    zorder_apply(data, "x", "y", out, bits=6, bucket_bits=4)
+
+    files = _glob.glob(out + "/zbucket=*/*.parquet")
+    back = spark.read.parquet(out)
+    occupied = back.select("zbucket").distinct().count()
+    assert len(files) == occupied == 16  # dense grid fills all buckets
+    assert back.count() == n
+    assert back.select("row_id").distinct().count() == n
+
+    # inside each bucket the rows are z-ordered: recompute the key and
+    # confirm it's non-decreasing in file order
+    import pyarrow.parquet as pq
+
+    for fp in files:
+        t = pq.read_table(fp, columns=["x", "y"])
+        xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+        # grid bounds are 0..63 with bits=6 -> gx = x, gy = y exactly
+        def zk(x, y):
+            z = 0
+            for k in range(6):
+                z += ((x >> k) & 1) << (2 * k + 1)
+                z += ((y >> k) & 1) << (2 * k)
+            return z
+
+        keys = [zk(x, y) for x, y in zip(xs, ys)]
+        assert keys == sorted(keys), fp
