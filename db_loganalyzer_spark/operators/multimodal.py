@@ -642,16 +642,21 @@ def encode_jpeg(
     quality: int = 50,
     grayscale: bool = False,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Baseline sequential-DCT JFIF encoder (ITU T.81): level shift,
     float FDCT, Annex-K quantization scaled by ``quality``, canonical
     huffman entropy coding with the Annex-K typical tables, byte
-    stuffing. 3 components are encoded 4:4:4 (no subsampling);
+    stuffing. 3 components encode 4:4:4 or — ``subsampling="420"``,
+    what most real-world JPEGs are — 4:2:0 (Y at 2x2 per 16x16 MCU,
+    chroma downsampled by 2x2 averaging, interleaved per T.81 A.2.3);
     ``grayscale=True`` emits a 1-component scan from the red channel.
-    Edges of non-multiple-of-8 images pad by edge replication.
+    Edges of non-multiple-of-block images pad by edge replication.
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (predictor resets included), the resync structure real
     encoders use for error resilience."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     qly = _jpeg_quality_scale(_JPEG_Q_LUMA, quality)
     qch = _jpeg_quality_scale(_JPEG_Q_CHROMA, quality)
     dcl = _jpeg_build_codes(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
@@ -687,9 +692,12 @@ def encode_jpeg(
             0xDB,
             bytes([1]) + bytes(qch[_JPEG_ZIGZAG[i]] for i in range(64)),
         )
+    sub420 = ncomp == 3 and subsampling == "420"
+    samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * ncomp
     sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        sh, sv = samps[c]
+        sof += bytes([c + 1, (sh << 4) | sv, 0 if c == 0 else 1])
     out += seg(0xC0, bytes(sof))
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -708,32 +716,70 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, bytes(sos))
 
+    # per-component sample planes at the component's resolution; 4:2:0
+    # chroma halves by 2x2 AVERAGING (the encoder-side downsample that
+    # pairs with the decoder's nearest-neighbor upsample)
+    cplanes, cdims = [], []
+    for c in range(ncomp):
+        sh, sv = samps[c]
+        if (sh, sv) == (2, 2) or ncomp == 1 or not sub420 or c == 0:
+            cplanes.append(planes[c])
+            cdims.append((width, height))
+        else:
+            cw, ch = (width + 1) // 2, (height + 1) // 2
+            half = [0] * (cw * ch)
+            src = planes[c]
+            for y in range(ch):
+                y0 = 2 * y
+                y1 = min(2 * y + 1, height - 1)
+                for x in range(cw):
+                    x0 = 2 * x
+                    x1 = min(2 * x + 1, width - 1)
+                    acc = (
+                        src[y0 * width + x0] + src[y0 * width + x1]
+                        + src[y1 * width + x0] + src[y1 * width + x1]
+                    )
+                    # round-half-up of the mean of four level-shifted
+                    # samples (acc may be negative: floor-div of acc+2)
+                    half[y * cw + x] = (acc + 2) >> 2
+            cplanes.append(half)
+            cdims.append((cw, ch))
+
     w = _JpegBitWriter()
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    n_mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     preds = [0] * ncomp
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.emit_marker(0xD0 + ((mcu // restart_interval - 1) % 8))
                 preds = [0] * ncomp
             mcu += 1
             for c in range(ncomp):
-                block = [0] * 64
-                for yy in range(8):
-                    sy = min(by * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bx * 8 + xx, width - 1)
-                        block[yy * 8 + xx] = planes[c][sy * width + sx]
-                preds[c] = _jpeg_encode_block(
-                    w,
-                    block,
-                    preds[c],
-                    dcl if c == 0 else dcc,
-                    acl if c == 0 else acc_,
-                    qly if c == 0 else qch,
-                )
+                sh, sv = samps[c]
+                cw, ch = cdims[c]
+                plane = cplanes[c]
+                for iby in range(sv):
+                    for ibx in range(sh):
+                        block = [0] * 64
+                        row0 = (my * sv + iby) * 8
+                        col0 = (mx * sh + ibx) * 8
+                        for yy in range(8):
+                            sy = min(row0 + yy, ch - 1)
+                            for xx in range(8):
+                                sx = min(col0 + xx, cw - 1)
+                                block[yy * 8 + xx] = plane[sy * cw + sx]
+                        preds[c] = _jpeg_encode_block(
+                            w,
+                            block,
+                            preds[c],
+                            dcl if c == 0 else dcc,
+                            acl if c == 0 else acc_,
+                            qly if c == 0 else qch,
+                        )
     out += w.flush()
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
@@ -818,10 +864,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
     huffman entropy decode with restart-marker support, dequantize,
     inverse zigzag, float IDCT (DC-only short-circuit), level shift +
     clamp, JFIF YCbCr->RGB for 3-component scans, crop to the SOF
-    dimensions. 1 and 3 component 4:4:4 scans are supported;
-    progressive (SOF2), arithmetic coding, 12-bit precision, and
-    subsampled scans raise ValueError — route those to a codec
-    library. Grayscale replicates to (r, g, b) like the other image
+    dimensions. Grayscale, 4:4:4, and SUBSAMPLED scans up to 2x2
+    sampling factors (4:2:0 — what most real-world JPEGs are — and
+    4:2:2) decode through interleaved-MCU assembly with
+    nearest-neighbor chroma upsampling; progressive (SOF2), arithmetic
+    coding, 12-bit precision, and sampling factors beyond 2x2 raise
+    ValueError — route those to a codec library. Grayscale replicates
+    to (r, g, b) like the other image
     decoders here; reference parity anchor: the decode half the
     reference has no image path for at all (brief: multimodal
     columns first-class)."""
@@ -886,9 +935,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                 raise ValueError("unsupported JPEG precision")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c: 9 + 3 * c]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG unsupported (route to codec lib)"
+                        "JPEG sampling factors beyond 2x2 unsupported "
+                        "(route to codec lib)"
                     )
                 comps.append((cid, samp, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -912,73 +963,92 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
         raise ValueError("JPEG missing SOF or SOS")
 
     ncomp = len(scan)
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    planes = [[0] * (bw * 8 * bh * 8) for _ in range(ncomp)]
+    # sampling geometry: MCU = (8*hmax) x (8*vmax) pixels; component i
+    # contributes h_i x v_i blocks per MCU in raster order (T.81 A.2.3)
+    samps = [(comps[ci][1] >> 4, comps[ci][1] & 0xF) for ci, _, _ in scan]
+    hmax = max(sh for sh, _ in samps)
+    vmax = max(sv for _, sv in samps)
+    n_mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    pws = [n_mcux * 8 * sh for sh, _ in samps]
+    planes = [
+        [0] * (pws[s] * n_mcuy * 8 * sv)
+        for s, (_, sv) in enumerate(samps)
+    ]
     reader = _JpegBitReader(d, pos)
     preds = [0] * ncomp
     mcu = 0
     try:
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(n_mcuy):
+            for mx in range(n_mcux):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.sync_restart()
                     preds = [0] * ncomp
                 mcu += 1
                 for s, (ci, dct, act) in enumerate(scan):
+                    sh, sv = samps[s]
                     dc_tab = htabs[(0, dct)]
                     ac_tab = htabs[(1, act)]
                     qtab = qtabs[comps[ci][2]]
-                    zz = [0] * 64
-                    cat = _jpeg_decode_huff(reader, dc_tab)
-                    diff = _jpeg_extend(reader.read_bits(cat), cat)
-                    preds[s] += diff
-                    zz[0] = preds[s] * qtab[0]
-                    k = 1
-                    while k < 64:
-                        rs = _jpeg_decode_huff(reader, ac_tab)
-                        r, c = rs >> 4, rs & 0xF
-                        if c == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        zz[k] = (
-                            _jpeg_extend(reader.read_bits(c), c) * qtab[k]
-                        )
-                        k += 1
-                    coefs = [0.0] * 64
-                    for i in range(64):
-                        coefs[_JPEG_ZIGZAG[i]] = zz[i]
-                    blk = _idct8x8(coefs)
-                    plane = planes[s]
-                    row0 = by * 8
-                    col0 = bx * 8
-                    for yy in range(8):
-                        dst = (row0 + yy) * bw * 8 + col0
-                        plane[dst: dst + 8] = blk[yy * 8: yy * 8 + 8]
+                    for iby in range(sv):
+                        for ibx in range(sh):
+                            zz = [0] * 64
+                            cat = _jpeg_decode_huff(reader, dc_tab)
+                            diff = _jpeg_extend(reader.read_bits(cat), cat)
+                            preds[s] += diff
+                            zz[0] = preds[s] * qtab[0]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_decode_huff(reader, ac_tab)
+                                r, c = rs >> 4, rs & 0xF
+                                if c == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC run overflow")
+                                zz[k] = (
+                                    _jpeg_extend(reader.read_bits(c), c)
+                                    * qtab[k]
+                                )
+                                k += 1
+                            coefs = [0.0] * 64
+                            for i in range(64):
+                                coefs[_JPEG_ZIGZAG[i]] = zz[i]
+                            blk = _idct8x8(coefs)
+                            plane = planes[s]
+                            pw = pws[s]
+                            row0 = (my * sv + iby) * 8
+                            col0 = (mx * sh + ibx) * 8
+                            for yy in range(8):
+                                dst = (row0 + yy) * pw + col0
+                                plane[dst: dst + 8] = blk[
+                                    yy * 8: yy * 8 + 8
+                                ]
     except _JpegMarkerHit as hit:
         if hit.marker != 0xD9:
             raise ValueError(f"unexpected JPEG marker 0x{hit.marker:02X}")
+    def sample(s: int, x: int, y: int) -> int:
+        # nearest-neighbor chroma upsampling (the standard fast path):
+        # component sample coordinate = pixel coordinate scaled by the
+        # component's sampling factor over the max factor
+        sh, sv = samps[s]
+        return planes[s][(y * sv // vmax) * pws[s] + (x * sh // hmax)]
 
-    stride = bw * 8
     pixels = []
     if ncomp == 1:
         for y in range(height):
-            base = y * stride
             for x in range(width):
-                g = planes[0][base + x]
+                g = sample(0, x, y)
                 pixels.append((g, g, g))
     else:
         for y in range(height):
-            base = y * stride
             for x in range(width):
-                yv = planes[0][base + x]
-                cb = planes[1][base + x] - 128
-                cr = planes[2][base + x] - 128
+                yv = sample(0, x, y)
+                cb = sample(1, x, y) - 128
+                cr = sample(2, x, y) - 128
                 r = max(0, min(255, int(round(yv + 1.402 * cr))))
                 g = max(
                     0,

@@ -3259,3 +3259,57 @@ def test_zorder_apply_one_file_per_bucket_and_sorted(spark, tmp_path):
 
         keys = [zk(x, y) for x, y in zip(xs, ys)]
         assert keys == sorted(keys), fp
+
+
+def test_jpeg_420_subsampling_roundtrip_and_golden():
+    """The 4:2:0 path — what most real-world JPEGs use: interleaved
+    16x16 MCUs (four Y blocks + one Cb + one Cr), encoder-side 2x2
+    chroma averaging, decoder-side nearest-neighbor upsampling.
+    Golden-pinned bitstream + decoded channel sums; bounded error on
+    smooth content; restart resync identical; sampling factors beyond
+    2x2 are honestly rejected."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 34, 22  # non-multiples of the 16x16 MCU
+    img = [((x * 6) % 256, (y * 9) % 256, ((x + y) * 4) % 256)
+           for y in range(h) for x in range(w)]
+    pay = encode_jpeg(w, h, img, quality=90, subsampling="420")
+    assert hashlib.sha256(pay).hexdigest() == (
+        "16ea864f512eb4b660e8118d97e0e224064c0f3a6341da860b123e9341897444"
+    )
+    assert len(pay) == 852
+    # 4:2:0 beats 4:4:4 on size for the same content
+    assert len(pay) < len(encode_jpeg(w, h, img, quality=90))
+    # SOF carries Y at 2x2, chroma at 1x1
+    sof = pay.index(b"\xFF\xC0")
+    assert pay[sof + 11] == 0x22 and pay[sof + 14] == 0x11
+    dw, dh, dp = decode_jpeg(pay)
+    assert (dw, dh) == (w, h)
+    assert (sum(q[0] for q in dp), sum(q[1] for q in dp),
+            sum(q[2] for q in dp)) == (74385, 70551, 80927)
+    errs = [abs(dp[i][c] - img[i][c]) for i in range(w * h) for c in range(3)]
+    assert max(errs) <= 16 and sum(errs) / len(errs) <= 4
+
+    imgr = [((x * 17 + y * 3) % 256, (x * 5) % 256, (y * 7) % 256)
+            for y in range(h) for x in range(w)]
+    plain = decode_jpeg(encode_jpeg(w, h, imgr, quality=85,
+                                    subsampling="420"))
+    rst = decode_jpeg(encode_jpeg(w, h, imgr, quality=85,
+                                  subsampling="420", restart_interval=2))
+    assert plain == rst
+
+    # a 4x1-sampled stream is rejected, not mis-decoded
+    bad = bytearray(pay)
+    bad[sof + 11] = 0x41
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_jpeg(w, h, img, subsampling="422")
