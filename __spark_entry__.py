@@ -8183,6 +8183,55 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
 
 
 
+def t22_encoding_anomalies(spark, sf_dir):
+    """T22 — encoding-damage scoring (textstats.encoding_anomalies):
+    per-document exact counts of U+FFFD replacement characters, C0
+    control characters (minus tab/newline/CR), and the two classic
+    UTF-8-as-Latin-1 mojibake families (\u00c3+continuation digraphs
+    and \u00e2\u20ac+punctuation trigraphs — each family converted
+    from its own length difference, 2 vs 3 chars per match), plus
+    bad_ratio and the is_clean gate at 1%. The damage axis the
+    length/stopword quality gates are blind to: mojibake is VALID
+    Unicode, so nothing upstream flags it. Pure regexp length-diff
+    column math — one scan, whole-stage codegen, no UDF/explode; the
+    oracle restates every count with RE2 in global-replace mode."""
+    from db_loganalyzer_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return encoding_anomalies(docs)
+
+
+T22_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+           AS n_control,
+         CAST(length(text) - length(replace(text, chr(65533), ''))
+              AS BIGINT) AS n_replacement,
+         CAST((length(text) - length(regexp_replace(text,
+              '\x{00C3}[\x{0080}-\x{00BF}]', '', 'g'))) // 2
+            + (length(text) - length(regexp_replace(text,
+              '\x{00E2}\x{20AC}.', '', 'g'))) // 3 AS BIGINT)
+           AS n_mojibake
+  FROM documents
+)
+SELECT doc_id, n_chars, n_control, n_replacement, n_mojibake,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_control + n_replacement + n_mojibake AS DOUBLE)
+                 / n_chars
+            ELSE 0.0 END AS bad_ratio,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_control + n_replacement + n_mojibake AS DOUBLE)
+                 / n_chars
+            ELSE 0.0 END <= 0.01 AS is_clean
+FROM s
+"""
+
+
 def t19_char_entropy(spark, sf_dir):
     """T19 — character uni/bigram Shannon entropy per document
     (textstats.char_entropy): the information-density quality signal
@@ -9048,18 +9097,18 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-12 window (verified: exactly 50 above the line):
-    #   1-4   opt04 compaction apply + opt05 z-order apply + st22
-    #         streaming rollup maintenance + mm10 JPEG pixel stats,
-    #         new this round
-    #   5     a37 (hot-key comparison moved to double in BOTH engines
+    #   1-5   opt04 compaction apply + opt05 z-order apply + st22
+    #         streaming rollup maintenance + mm10 JPEG pixel stats +
+    #         t22 encoding anomalies, new this round
+    #   6     a37 (hot-key comparison moved to double in BOTH engines
     #         this round: re-certify)
-    #   6-21  ALL 16 remaining r7-latest-row entries (the r11 verdict's
+    #   7-22  ALL 16 remaining r7-latest-row entries (the r11 verdict's
     #         top item: j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01-04
     #         st01-03)
-    #  22-50  the 29 alphabetically-first r8-latest-row entries
-    # Still on r8 rows after this window, queued first for r13 (16):
-    #   st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04 t08 w01
-    #   w05 w08 w10
+    #  23-50  the 28 alphabetically-first r8-latest-row entries
+    # Still on r8 rows after this window, queued first for r13 (17):
+    #   st05 st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04 t08
+    #   w01 w05 w08 w10
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
@@ -9067,6 +9116,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
         st22_streaming_rollup_maintenance, ST22_SQL,
     ),
     "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
+    "t22_encoding_anomalies": (t22_encoding_anomalies, T22_SQL),
     # ---- oracle/impl changed in r12 (re-certify) ----
     "a37_skew_report": (a37_skew_report, A37_SQL),
     # ---- latest driver row: r7 (all 16 remaining) ----
@@ -9117,9 +9167,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
-    "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r8 — the r13 rotation queue (16) ----
+    # ---- latest driver row: r8 — the r13 rotation queue (17) ----
+    "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (
         st06_streaming_sliding_rollup, ST06_SQL,
     ),

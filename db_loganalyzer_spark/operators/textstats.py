@@ -751,3 +751,69 @@ def heaps_fit(
             (denx > 0) & (deny > 0), (num / F.sqrt(denx)) / F.sqrt(deny)
         ).alias("r"),
     )
+
+
+def encoding_anomalies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bad_ratio: float = 0.01,
+) -> DataFrame:
+    """T22 — encoding-damage scoring: the text-quality axis the
+    length/stopword gates are blind to. Real crawled corpora carry
+    three machine-detectable kinds of byte-level damage, each counted
+    here as exact per-document integers (pure regexp column math,
+    whole-stage codegen, one scan):
+
+    - ``n_replacement``: U+FFFD replacement characters — a lossy
+      decode already happened upstream;
+    - ``n_control``: C0 control characters other than tab/newline/CR —
+      binary spill or wrong charset;
+    - ``n_mojibake``: the classic UTF-8-read-as-Latin-1 digraphs
+      (``\u00c3`` followed by a Latin-1-supplement continuation, and
+      the ``\u00e2\u20ac``-prefixed punctuation family) —
+      double-encoding damage that is VALID Unicode, so
+      replacement-char counting never sees it.
+
+    ``bad_ratio`` = (control + replacement + mojibake) / chars as one
+    double division of exact longs; ``is_clean`` applies
+    ``max_bad_ratio``. Counting is length-difference over targeted
+    regexp_replace — no UDF, no explode; at 100 TB this is scan-bound
+    like every other t-family gate and composes into quality_gate as
+    another AND term."""
+    col = F.col(text_col)
+    n_chars = F.length(col).cast("long")
+
+    def n_matches(pattern: str) -> Column:
+        return (
+            F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+        ).cast("long")
+
+    n_replacement = n_matches("\uFFFD")
+    n_control = n_matches("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    # the two mojibake families have different match lengths (2 and 3
+    # chars), so each converts its own length difference to a count
+    n_moji_a = n_matches("\u00c3[\u0080-\u00bf]") / F.lit(2)
+    n_moji_b = n_matches("\u00e2\u20ac.") / F.lit(3)
+    n_mojibake = (n_moji_a + n_moji_b).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_control.alias("n_control"),
+        n_replacement.alias("n_replacement"),
+        n_mojibake.alias("n_mojibake"),
+    ).withColumn(
+        "bad_ratio",
+        F.when(
+            F.col("n_chars") > 0,
+            (
+                F.col("n_control")
+                + F.col("n_replacement")
+                + F.col("n_mojibake")
+            ).cast("double")
+            / F.col("n_chars"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.withColumn(
+        "is_clean", F.col("bad_ratio") <= F.lit(float(max_bad_ratio))
+    )

@@ -3313,3 +3313,45 @@ def test_jpeg_420_subsampling_roundtrip_and_golden():
         decode_jpeg(bytes(bad))
     with pytest.raises(ValueError):
         encode_jpeg(w, h, img, subsampling="422")
+
+
+def test_encoding_anomalies_cross_engine_on_damaged_text(spark):
+    """T22 on text that actually contains damage: the Spark counts and
+    the oracle's DuckDB restatement agree on constructed control /
+    replacement / mojibake rows (the sf documents are clean, so the
+    driver gate alone never exercises the damage branches)."""
+    import duckdb
+
+    from db_loganalyzer_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "bad bytes \x01\x02 here \ufffd and \ufffd"),
+        (3, "moji \u00c3\u00a9 and \u00c3\u00a8 plus"
+            " \u00e2\u20ac\u0153quoted\u00e2\u20ac text"),
+        (4, ""),
+        (5, "tab\tand\nnewline\rare fine"),
+        (6, "overlap \u00e2\u20ac\u00c3\u00a9 counted by family"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.n_control, r.n_replacement, r.n_mojibake,
+                   r.is_clean)
+        for r in encoding_anomalies(df).collect()
+    }
+    assert got[2] == (25, 2, 2, 0, False)
+    assert got[3] == (36, 0, 0, 4, False)
+    assert got[5][4] is True  # tab/newline/CR are not damage
+
+    import __spark_entry__ as mod
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[6])
+        for r in con.execute(mod.T22_SQL).fetchall()
+    }
+    assert got == want

@@ -171,6 +171,12 @@ BROADCAST_OK = {
         1, "hot-shingle stop list: <= shingle_instances/cap rows by definition"),
     ("db_loganalyzer_spark/operators/dedup.py", "winnowing_overlap_pairs"): (
         1, "hot-fingerprint stop list (same bound as the shingle stop lists)"),
+    ("db_loganalyzer_spark/operators/dedup.py", "winnowing_index"): (
+        1, "hot-fingerprint stop list: <= fingerprint_instances/cap rows"),
+    ("db_loganalyzer_spark/operators/layout.py", "compaction_apply"): (
+        1, "the compaction plan: one row per FILE (manifest-sized), never rows"),
+    ("db_loganalyzer_spark/operators/layout.py", "zorder_apply"): (
+        1, "1-row min/max bounds frame (four longs)"),
     ("db_loganalyzer_spark/operators/dedup.py", "shingle_containment_pairs"): (
         1, "hot-shingle stop list (same bound)"),
     ("db_loganalyzer_spark/operators/dedup.py", "ngram_jaccard_against"): (
