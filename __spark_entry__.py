@@ -9090,6 +9090,30 @@ def st22_streaming_rollup_maintenance(spark, sf_dir):
 ST22_SQL = A38_SQL
 
 
+def st23_streaming_encoding_gate(spark, sf_dir):
+    """ST23 — t22's streaming form: the encoding-damage gate runs at
+    INGEST, where a corrupt-batch problem is cheapest to catch — the
+    scoring is pure per-row regexp column math (no window, no state,
+    no watermark), so the batch operator runs UNCHANGED on the landing
+    stream and the quarantine decision (is_clean) lands with each
+    micro-batch. Pair with s11's CSV quarantine lane: that one catches
+    rows that don't PARSE, this one catches rows that parse fine but
+    carry mojibake/control damage a parser never flags. Same oracle as
+    t22 (full recompute over documents)."""
+    from db_loganalyzer_spark.operators.textstats import (
+        encoding_anomalies,
+    )
+
+    stream = ST.read_table_stream(spark, sf_dir, "documents")
+    return _drain(encoding_anomalies(stream), "st23")
+
+
+ST23_SQL = None  # assigned after T22_SQL is defined (module order)
+
+
+ST23_SQL = T22_SQL
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # DRIVER WINDOW = the FIRST 50 entries (recount list(queries())[:50]
     # after every edit). Policy since r5: entries whose implementation
@@ -9097,18 +9121,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-12 window (verified: exactly 50 above the line):
-    #   1-5   opt04 compaction apply + opt05 z-order apply + st22
+    #   1-6   opt04 compaction apply + opt05 z-order apply + st22
     #         streaming rollup maintenance + mm10 JPEG pixel stats +
-    #         t22 encoding anomalies, new this round
-    #   6     a37 (hot-key comparison moved to double in BOTH engines
+    #         t22 encoding anomalies + st23 its streaming gate, new
+    #         this round
+    #   7     a37 (hot-key comparison moved to double in BOTH engines
     #         this round: re-certify)
-    #   7-22  ALL 16 remaining r7-latest-row entries (the r11 verdict's
+    #   8-23  ALL 16 remaining r7-latest-row entries (the r11 verdict's
     #         top item: j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01-04
     #         st01-03)
-    #  23-50  the 28 alphabetically-first r8-latest-row entries
-    # Still on r8 rows after this window, queued first for r13 (17):
-    #   st05 st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04 t08
-    #   w01 w05 w08 w10
+    #  24-50  the 27 alphabetically-first r8-latest-row entries
+    # Still on r8 rows after this window, queued first for r13 (18):
+    #   st04 st05 st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04
+    #   t08 w01 w05 w08 w10
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
@@ -9117,6 +9142,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
     "t22_encoding_anomalies": (t22_encoding_anomalies, T22_SQL),
+    "st23_streaming_encoding_gate": (
+        st23_streaming_encoding_gate, ST23_SQL,
+    ),
     # ---- oracle/impl changed in r12 (re-certify) ----
     "a37_skew_report": (a37_skew_report, A37_SQL),
     # ---- latest driver row: r7 (all 16 remaining) ----
@@ -9166,9 +9194,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m12_budget_select": (m12_budget_select, M12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
-    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r8 — the r13 rotation queue (17) ----
+    # ---- latest driver row: r8 — the r13 rotation queue (18) ----
+    "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (
         st06_streaming_sliding_rollup, ST06_SQL,
