@@ -900,6 +900,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
             while bp < len(body):
                 pq, tq = body[bp] >> 4, body[bp] & 0xF
                 bp += 1
+                if bp + (128 if pq else 64) > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq:
                     tab = [
                         struct.unpack_from(">H", body, bp + 2 * i)[0]
@@ -916,6 +918,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                 tc, th = body[bp] >> 4, body[bp] & 0xF
                 bits = list(body[bp + 1: bp + 17])
                 n = sum(bits)
+                if len(bits) < 16 or bp + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 vals = list(body[bp + 17: bp + 17 + n])
                 # decoder-side map: (code, length) -> value
                 inv = {}
@@ -930,7 +934,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                 htabs[(tc, th)] = inv
                 bp += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF components")
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
             for c in range(nc):
@@ -948,14 +956,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                 "non-baseline JPEG unsupported (route to codec lib)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise ValueError("empty JPEG SOS header")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 idx = next(
-                    i for i, (x, _, _) in enumerate(comps) if x == cid
+                    (i for i, (x, _, _) in enumerate(comps) if x == cid),
+                    None,
                 )
+                if idx is None:
+                    raise ValueError("JPEG SOS references unknown component")
                 scan.append((idx, tabs >> 4, tabs & 0xF))
             break
         # APPn / COM / others: skipped
@@ -963,6 +980,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
         raise ValueError("JPEG missing SOF or SOS")
 
     ncomp = len(scan)
+    # corrupted streams must fail closed, not crash or balloon: every
+    # table a scan references has to exist, and the padded sample
+    # buffers are capped (a flipped dimension byte can claim 65535 x
+    # 65535 = 4 GiB of samples; no trace-pipeline asset is near that)
+    for ci, dct, act in scan:
+        if (0, dct) not in htabs or (1, act) not in htabs:
+            raise ValueError("JPEG scan references a missing huffman table")
+        if comps[ci][2] not in qtabs:
+            raise ValueError("JPEG scan references a missing quant table")
+        if any(len(t) < 64 for t in qtabs.values()):
+            raise ValueError("short JPEG quantization table")
+    if width * height > 100_000_000:
+        raise ValueError("implausible JPEG dimensions")
     # sampling geometry: MCU = (8*hmax) x (8*vmax) pixels; component i
     # contributes h_i x v_i blocks per MCU in raster order (T.81 A.2.3)
     samps = [(comps[ci][1] >> 4, comps[ci][1] & 0xF) for ci, _, _ in scan]

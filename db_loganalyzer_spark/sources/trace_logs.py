@@ -235,10 +235,15 @@ def read_trace_events(
     paths,
     id_offset: int = 0,
     per_file_offsets: bool = False,
+    tolerant_xml: bool = False,
 ) -> DataFrame:
     """S3 — unified entry: dispatch XML vs JSONL/plaintext by extension
     (tools/parser.py:58-71), union the results. Accepts a str glob or a
-    list of paths.
+    list of paths. ``tolerant_xml`` routes .xml files through
+    :func:`parse_xml_tolerant` (multi-line / pretty-printed tags parse
+    instead of silently degrading; ``line_no`` then numbers EVENTS
+    rather than physical lines, so per_file_offsets keeps uniqueness
+    but not line identity).
 
     ``per_file_offsets`` reproduces the reference's multi-file uniqueness
     scheme (cli_wrapper/main.py:296-301: each file's ids start past the
@@ -255,7 +260,11 @@ def read_trace_events(
     other = [p for p in paths if not p.endswith(".xml")]
     parts = []
     if xml:
-        parts.append(parse_xml(read_trace_lines(spark, xml)))
+        parts.append(
+            parse_xml_tolerant(spark, xml)
+            if tolerant_xml
+            else parse_xml(read_trace_lines(spark, xml))
+        )
     if other:
         parts.append(parse_jsonl(read_trace_lines(spark, other)))
     if not parts:

@@ -369,3 +369,24 @@ def test_xml_multiline_tolerant(spark, tmp_path_factory):
         TL.parse_xml_tolerant(spark, str(single))
     ).collect()
     assert sorted(r.event for r in tol) == ["A", "B"]
+
+
+def test_read_trace_events_tolerant_dispatch(spark, tmp_path_factory):
+    """The unified S3 entry routes .xml through the tolerant parser on
+    request: a pretty-printed trace that the default path degrades on
+    parses fully with tolerant_xml=True, same envelope split."""
+    d = tmp_path_factory.mktemp("tol_dispatch")
+    xml = d / "pretty2.xml"
+    xml.write_text(
+        "<Trace>\n"
+        '<Event Severity="10"\n  Time="1.0" Type="A" Machine="m:1" />\n'
+        '<Event Severity="20"\n  Time="2.0" Type="B" Machine="m:2" />\n'
+        "</Trace>\n"
+    )
+    ev = TL.read_trace_events(spark, str(xml), tolerant_xml=True)
+    rows = sorted(ev.collect(), key=lambda r: r.event_id)
+    assert [r.event for r in rows] == ["A", "B"]
+    assert rows[0].severity == 10 and rows[1].machine_id == "m:2"
+    # default path on the same file: no complete tag per line
+    degraded = TL.read_trace_events(spark, str(xml))
+    assert degraded.filter(F.col("event").isNotNull()).count() == 0

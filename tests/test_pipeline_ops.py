@@ -3355,3 +3355,30 @@ def test_encoding_anomalies_cross_engine_on_damaged_text(spark):
         for r in con.execute(mod.T22_SQL).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**6),   # payload seed
+    st.integers(min_value=2, max_value=4000),    # corruption position
+    st.integers(min_value=1, max_value=255),     # xor mask
+)
+def test_jpeg_decoder_never_hangs_on_corruption(seed, pos, mask):
+    """Ingest-path contract: a corrupted JPEG either still decodes to
+    SOME image or raises ValueError — never an unhandled exception
+    class, never a hang. Single-byte XOR corruption over real payloads
+    (headers, tables, and entropy data all get hit across examples)."""
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_payload,
+    )
+
+    payload = bytearray(synth_jpeg_payload(seed))
+    payload[pos % len(payload)] ^= mask
+    try:
+        w, h, px = decode_jpeg(bytes(payload))
+        assert len(px) == w * h  # if it decodes, the shape is coherent
+    except ValueError:
+        pass  # the honest rejection path
