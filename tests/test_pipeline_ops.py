@@ -3382,3 +3382,39 @@ def test_jpeg_decoder_never_hangs_on_corruption(seed, pos, mask):
         assert len(px) == w * h  # if it decodes, the shape is coherent
     except ValueError:
         pass  # the honest rejection path
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["png", "bmp", "ppm", "wav", "avi"]),
+    st.integers(min_value=0, max_value=39),     # payload seed
+    st.integers(min_value=0, max_value=10**6),  # corruption position
+    st.integers(min_value=1, max_value=255),    # xor mask
+)
+def test_all_codecs_fail_closed_on_corruption(fmt, seed, pos, mask):
+    """Same ingest contract as the JPEG fuzz, for every codec: a
+    corrupted payload either still decodes or raises ValueError —
+    never an unhandled exception class (the PNG per-chunk CRC check
+    and the RIFF/DIB length validation are what make this hold)."""
+    from db_loganalyzer_spark.operators import multimodal as M
+
+    w, h = 4 + seed % 9, 3 + seed % 7
+    rgb = [((seed + i) % 256, (seed + i + 1) % 256, (seed + i + 2) % 256)
+           for i in range(w * h)]
+    synths = {
+        "png": lambda: M.encode_png(w, h, rgb),
+        "bmp": lambda: M.encode_bmp(w, h, rgb),
+        "ppm": lambda: M.encode_ppm(w, h, rgb),
+        "wav": lambda: M.synth_audio_payload(seed),
+        "avi": lambda: M.synth_video_payload(seed),
+    }
+    decoders = {
+        "png": M.decode_png, "bmp": M.decode_bmp, "ppm": M.decode_ppm,
+        "wav": M.decode_wav, "avi": M.decode_avi,
+    }
+    payload = bytearray(synths[fmt]())
+    payload[pos % len(payload)] ^= mask
+    try:
+        decoders[fmt](bytes(payload))
+    except ValueError:
+        pass
