@@ -8409,6 +8409,188 @@ LEFT JOIN scd s
 
 
 
+def pipe06_streaming_compaction(spark, sf_dir):
+    """PIPE06 — the self-healing ingest loop, end to end: STREAMING
+    ingest is what CREATES the small-files problem, so the fix runs in
+    the same pipeline. Events stream in three micro-batches
+    (maxFilesPerTrigger=1 over three landing splits); foreachBatch
+    lands each batch as REAL per-(partition, file) parquet leaves
+    (4 partition dirs x 4 files x 3 batches = 48 small files); then
+    the manifest read off the landed tree drives opt03's sorted-fill
+    plan and opt04's rewrite — one file per planned group, rows
+    z-sorted inside. The returned frame is opt04's per-partition
+    equivalence proof read from the COMPACTED tree plus the landed
+    file count, ALL restatable by the oracle from the source table
+    alone: batch slicing (event_id % 3), file tagging (event_id % 4),
+    partition keying (user_id % 4), the plan's cumulative fill, and
+    the mix32 content hash are each deterministic column math. At
+    100 TB this is the maintenance loop a streaming lakehouse runs
+    continuously (Delta's OPTIMIZE after autoIngest; the reference's
+    nearest analogue is re-CTAS + B-tree indexes,
+    tools/database.py:22-24) — here it is ONE query with a
+    table-equality proof."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from db_loganalyzer_spark.operators.layout import (
+        compaction_apply,
+        compaction_plan,
+        compaction_verify,
+        zorder_key,
+    )
+    from db_loganalyzer_spark.operators.sketches import mix32
+
+    P = 2147483647
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="pipe06_src_")
+    landing = tempfile.mkdtemp(prefix="pipe06_landing_")
+    out_dir = tempfile.mkdtemp(prefix="pipe06_compacted_")
+    ck = tempfile.mkdtemp(prefix="pipe06_ck_")
+    try:
+        # three source splits -> three micro-batches (st22's slicing)
+        for i in range(3):
+            tmp = tempfile.mkdtemp(prefix=f"pipe06_split{i}_")
+            (
+                ev.filter(F.pmod("event_id", F.lit(3)) == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        raw = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def _land(batch_df, batch_id):
+            # file_id = batch*4 + (event_id % 4): every leaf dir holds
+            # exactly one real file, and the id is restatable SQL
+            tagged = batch_df.select(
+                F.pmod("user_id", F.lit(4)).cast("long").alias("part_key"),
+                (
+                    F.lit(int(batch_id) * 4)
+                    + F.pmod("event_id", F.lit(4))
+                ).cast("long").alias("file_id"),
+                "event_id", "ts", "user_id", "event_type", "value",
+            )
+            (
+                tagged.repartition(F.col("part_key"), F.col("file_id"))
+                .write.mode("append")
+                .partitionBy("part_key", "file_id")
+                .parquet(landing)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        small = spark.read.parquet(landing).select(
+            F.col("part_key").cast("long").alias("part_key"),
+            F.col("file_id").cast("long").alias("file_id"),
+            "event_id", "ts", "user_id", "event_type", "value",
+        )
+        n_files_landed = len(
+            _glob.glob(os.path.join(landing, "part_key=*/file_id=*/*.parquet"))
+        )
+        manifest = small.groupBy("part_key", "file_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_f")
+        )
+        plan = compaction_plan(
+            manifest, 600, ["part_key"], bytes_col="n_rows_f"
+        )
+        b = small.agg(
+            F.min("user_id").alias("ul"), F.max("user_id").alias("uh"),
+            F.min(F.unix_micros("ts")).alias("tl"),
+            F.max(F.unix_micros("ts")).alias("th"),
+        ).first()
+        uspan = max(int(b["uh"]) - int(b["ul"]), 1)
+        tspan = max(int(b["th"]) - int(b["tl"]), 1)
+        gx = F.expr(f"(user_id - {int(b['ul'])}) * 255 div {uspan}")
+        gy = F.expr(f"(unix_micros(ts) - {int(b['tl'])}) * 255 div {tspan}")
+        clustered = small.withColumn(
+            "__zkey", zorder_key(gx.cast("long"), gy.cast("long"), bits=8)
+        )
+        compaction_apply(
+            clustered, plan, ["part_key"], out_dir, sort_cols=["__zkey"]
+        )
+        micro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+        lin = (
+            F.pmod(F.col("event_id"), F.lit(P)) * 1000003
+            + F.pmod(F.col("user_id"), F.lit(P)) * 999983
+            + F.pmod(F.unix_micros("ts"), F.lit(P)) * 1000033
+            + F.pmod(micro, F.lit(P)) * 999979
+            + F.length("event_type").cast("long") * 31
+        )
+        summary = (
+            compaction_verify(spark, out_dir, ["part_key"], mix32(lin, salt=7))
+            .withColumn("n_files_landed", F.lit(n_files_landed).cast("long"))
+            .orderBy("part_key")
+        )
+        rows = summary.collect()
+        return spark.createDataFrame(rows, summary.schema)
+    finally:
+        for d in (src, landing, out_dir, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_PIPE06_MANIFEST = """
+  SELECT ((user_id % 4) + 4) % 4 AS part_key,
+         CAST(((event_id % 3) + 3) % 3 AS BIGINT) * 4
+           + ((event_id % 4) + 4) % 4 AS file_id,
+         event_id, ts, user_id, event_type, value
+  FROM events
+"""
+
+PIPE06_SQL = f"""
+WITH tagged AS ({_PIPE06_MANIFEST}), manifest AS (
+  SELECT part_key, file_id, CAST(count(*) AS BIGINT) AS n_rows_f
+  FROM tagged GROUP BY 1, 2
+), plan AS (
+  SELECT part_key,
+         CAST(COALESCE(SUM(n_rows_f) OVER (PARTITION BY part_key
+                ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 600
+              AS BIGINT) AS out_group
+  FROM manifest
+), groups AS (
+  SELECT part_key, CAST(count(DISTINCT out_group) AS BIGINT) AS n_groups
+  FROM plan GROUP BY 1
+), landed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_files_landed
+  FROM (SELECT DISTINCT part_key, file_id FROM manifest)
+), h AS (
+  SELECT part_key, h
+  FROM {_mix32_sql_select(
+      _OPT04_LIN,
+      "(SELECT part_key, event_id, ts, user_id, event_type, value"
+      " FROM tagged)",
+      passthrough=["part_key"],
+      salt=7,
+  )} x
+), agg AS (
+  SELECT part_key, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(h) AS BIGINT) AS content_hash
+  FROM h GROUP BY 1
+)
+SELECT CAST(a.part_key AS BIGINT) AS part_key, n_rows, content_hash,
+       n_groups, n_groups AS n_files_out, n_files_landed
+FROM agg a JOIN groups g ON g.part_key = a.part_key, landed
+"""
+
+
 def pipe04_streaming_corpus(spark, sf_dir):
     """PIPE04 — the STREAMING corpus-ingest pipeline, end to end in one
     flow: documents arrive on the landing-directory stream, pass a
@@ -9121,19 +9303,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-12 window (verified: exactly 50 above the line):
-    #   1-6   opt04 compaction apply + opt05 z-order apply + st22
+    #   1-7   opt04 compaction apply + opt05 z-order apply + st22
     #         streaming rollup maintenance + mm10 JPEG pixel stats +
-    #         t22 encoding anomalies + st23 its streaming gate, new
-    #         this round
-    #   7     a37 (hot-key comparison moved to double in BOTH engines
+    #         t22 encoding anomalies + st23 its streaming gate +
+    #         pipe06 streaming compaction, new this round
+    #   8     a37 (hot-key comparison moved to double in BOTH engines
     #         this round: re-certify)
-    #   8-23  ALL 16 remaining r7-latest-row entries (the r11 verdict's
+    #   9-24  ALL 16 remaining r7-latest-row entries (the r11 verdict's
     #         top item: j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01-04
     #         st01-03)
-    #  24-50  the 27 alphabetically-first r8-latest-row entries
-    # Still on r8 rows after this window, queued first for r13 (18):
-    #   st04 st05 st06 st07 st09 st10 st11 st12 st13 t01 t02 t03 t04
-    #   t08 w01 w05 w08 w10
+    #  25-50  the 26 alphabetically-first r8-latest-row entries
+    # Still on r8 rows after this window, queued first for r13 (19):
+    #   pipe01 st04 st05 st06 st07 st09 st10 st11 st12 st13 t01 t02
+    #   t03 t04 t08 w01 w05 w08 w10
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
@@ -9144,6 +9326,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t22_encoding_anomalies": (t22_encoding_anomalies, T22_SQL),
     "st23_streaming_encoding_gate": (
         st23_streaming_encoding_gate, ST23_SQL,
+    ),
+    "pipe06_streaming_compaction": (
+        pipe06_streaming_compaction, PIPE06_SQL,
     ),
     # ---- oracle/impl changed in r12 (re-certify) ----
     "a37_skew_report": (a37_skew_report, A37_SQL),
@@ -9193,9 +9378,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m10_group_sample": (m10_group_sample, M10_SQL),
     "m12_budget_select": (m12_budget_select, M12_SQL),
     "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
-    "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r8 — the r13 rotation queue (18) ----
+    # ---- latest driver row: r8 — the r13 rotation queue (19) ----
+    "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
     "st06_streaming_sliding_rollup": (
