@@ -8473,7 +8473,11 @@ def pipe06_streaming_compaction(spark, sf_dir):
 
         def _land(batch_df, batch_id):
             # file_id = batch*4 + (event_id % 4): every leaf dir holds
-            # exactly one real file, and the id is restatable SQL
+            # exactly one real file, and the id is restatable SQL.
+            # Each batch OVERWRITES its own batch_id=<id> subtree, so a
+            # foreachBatch replay after recovery rewrites the same dir
+            # instead of appending a duplicate copy (replay-idempotent;
+            # the ids are disjoint across batches by construction).
             tagged = batch_df.select(
                 F.pmod("user_id", F.lit(4)).cast("long").alias("part_key"),
                 (
@@ -8484,9 +8488,9 @@ def pipe06_streaming_compaction(spark, sf_dir):
             )
             (
                 tagged.repartition(F.col("part_key"), F.col("file_id"))
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("part_key", "file_id")
-                .parquet(landing)
+                .parquet(os.path.join(landing, f"batch_id={int(batch_id)}"))
             )
 
         q = (
@@ -8503,7 +8507,9 @@ def pipe06_streaming_compaction(spark, sf_dir):
             "event_id", "ts", "user_id", "event_type", "value",
         )
         n_files_landed = len(
-            _glob.glob(os.path.join(landing, "part_key=*/file_id=*/*.parquet"))
+            _glob.glob(os.path.join(
+                landing, "batch_id=*/part_key=*/file_id=*/*.parquet"
+            ))
         )
         manifest = small.groupBy("part_key", "file_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows_f")

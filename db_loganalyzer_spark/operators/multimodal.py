@@ -329,11 +329,14 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
         if len(data) < clen:
             raise ValueError("truncated PNG chunk")
         # per-chunk CRC check: a corrupted IHDR/header mis-decodes
-        # silently otherwise (zlib's adler32 only guards IDAT payloads)
-        if pos + 12 + clen <= len(payload):
-            (stored_crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
-            if zlib.crc32(ctype + data) & 0xFFFFFFFF != stored_crc:
-                raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        # silently otherwise (zlib's adler32 only guards IDAT payloads).
+        # Absent CRC bytes are a failure too — a payload cut inside a
+        # trailing CRC must not decode unchecked (fail-closed contract).
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk CRC")
+        (stored_crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != stored_crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
@@ -828,6 +831,10 @@ class _JpegBitReader:
         self.acc = 0
         self.nbits = 0
         d = self.data
+        if self.pos + 1 >= len(d):
+            # fail-closed: a JPEG truncated at a restart boundary is a
+            # corrupt payload (ValueError), not an IndexError escape
+            raise ValueError("truncated JPEG at restart marker")
         while d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
             return

@@ -121,7 +121,27 @@ def read_trace_event_spans(spark: SparkSession, paths) -> DataFrame:
     truncated final event). The pre-opener preamble (``<?xml``,
     ``<Trace>``) is record 1 and is excluded; ``line_no`` numbers
     events per file in document order (the per-file id the reference
-    derives from enumerate, tools/parser.py:47)."""
+    derives from enumerate, tools/parser.py:47).
+
+    KNOWN LIMITS (documented, not silent):
+
+    - ``line_no`` document order assumes ONE SPLIT PER FILE. It is
+      derived from ``monotonically_increasing_id`` ordered within
+      ``trace_file``, which tracks byte order only when a file's
+      records all come from a single input split; Spark bin-packs
+      splits sorted by size descending, so a file larger than
+      ``spark.sql.files.maxPartitionBytes`` (or a multi-file glob that
+      splits one file) can interleave split order and misnumber
+      ``line_no``. Event CONTENT is unaffected — only the synthetic
+      per-file ordinal. For files beyond one split, order by the
+      event's own ``Time`` attribute instead of ``line_no``.
+    - ``lineSep="<Event"`` splits on the literal opener, including one
+      embedded inside a quoted attribute value. Such a cut leaves the
+      host record with unbalanced quotes, so its span regex fails and
+      it lands in the ``quarantined`` lane (visible, not dropped);
+      the phantom tail record is likewise visible. Traces that embed
+      raw ``<Event`` text inside attributes need the quarantine lane
+      reviewed rather than trusted parse output."""
     df = (
         spark.read.option("lineSep", "<Event").text(paths)
         .withColumn("trace_file", F.input_file_name())

@@ -1594,39 +1594,24 @@ def streaming_rollup_maintenance(
     event stream.
 
     The standing table is VERSIONED (one subdirectory per micro-batch,
-    parquet): each merge reads v[last] and writes v[batch_id] — the
-    read-what-you-overwrite hazard is gone, a crashed batch leaves the
-    previous version intact, and foreachBatch's replay-on-recovery
-    rewrites the SAME version id idempotently. Returns the version
-    list; read the rollup with ``read_standing_rollup``.
+    parquet): each merge reads the newest COMPLETE version STRICTLY
+    OLDER than its own batch id and writes v[batch_id]. Both halves of
+    that sentence are load-bearing for replay idempotency: on
+    foreachBatch replay after a crash, the current batch's own
+    (possibly complete, possibly partial) v-dir is the newest on disk,
+    and merging on top of it would double-count the delta — so the
+    base filter is ``< v{batch_id}``, never "latest". "Complete" is
+    the parquet job commit marker (_SUCCESS): a crashed write leaves
+    no marker and is invisible to both the merge and the read path.
+    Returns the version list; read the rollup with
+    ``read_standing_rollup``.
     """
-    from ..operators.aggregates import (
-        combine_rollup_partials,
-        rollup_partials,
-    )
-
     spark = stream.sparkSession
-    cols = ["window_start", *keys, "n", "sum_micros", "max_value"]
-
-    def _versions() -> list[str]:
-        if not os.path.isdir(standing_dir):
-            return []
-        return sorted(
-            d for d in os.listdir(standing_dir) if d.startswith("v")
-        )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = rollup_partials(batch_df, window_seconds, keys, value_col)
-        vs = _versions()
-        if vs:
-            base = spark.read.parquet(os.path.join(standing_dir, vs[-1]))
-            merged = combine_rollup_partials(
-                base.select(cols).unionByName(delta.select(cols)), keys
-            )
-        else:
-            merged = delta.select(cols)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(standing_dir, f"v{batch_id:09d}")
+        merge_rollup_batch(
+            spark, batch_df, batch_id, window_seconds, keys, value_col,
+            standing_dir,
         )
 
     q = (
@@ -1636,20 +1621,73 @@ def streaming_rollup_maintenance(
         .start()
     )
     q.awaitTermination()
-    return _versions()
+    return _complete_versions(standing_dir)
+
+
+def _complete_versions(
+    standing_dir: str, before_batch_id: int | None = None
+) -> list[str]:
+    """Committed (_SUCCESS-marked) standing-rollup versions, sorted;
+    optionally only those strictly older than ``before_batch_id`` —
+    the replay-safe merge base set."""
+    if not os.path.isdir(standing_dir):
+        return []
+    out = []
+    for d in sorted(os.listdir(standing_dir)):
+        if not d.startswith("v"):
+            continue
+        if before_batch_id is not None and d >= f"v{before_batch_id:09d}":
+            continue
+        if os.path.isfile(os.path.join(standing_dir, d, "_SUCCESS")):
+            out.append(d)
+    return out
+
+
+def merge_rollup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    window_seconds: int,
+    keys: list[str],
+    value_col: str,
+    standing_dir: str,
+) -> None:
+    """One ST22 merge step, callable outside the stream so replay can
+    be exercised directly in tests: reduce the batch to partials and
+    merge onto the newest complete version OLDER than this batch.
+    Re-running the same (batch_df, batch_id) overwrites v{batch_id}
+    with the identical merge — idempotent by construction."""
+    from ..operators.aggregates import (
+        combine_rollup_partials,
+        rollup_partials,
+    )
+
+    cols = ["window_start", *keys, "n", "sum_micros", "max_value"]
+    delta = rollup_partials(batch_df, window_seconds, keys, value_col)
+    vs = _complete_versions(standing_dir, before_batch_id=batch_id)
+    if vs:
+        base = spark.read.parquet(os.path.join(standing_dir, vs[-1]))
+        merged = combine_rollup_partials(
+            base.select(cols).unionByName(delta.select(cols)), keys
+        )
+    else:
+        merged = delta.select(cols)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(standing_dir, f"v{batch_id:09d}")
+    )
 
 
 def read_standing_rollup(
     spark: SparkSession, standing_dir: str, keys: list[str]
 ) -> DataFrame:
-    """Read-time projection over the LATEST standing-rollup version:
-    derived avg comes out only here (aggregates.derive_rollup), the
-    stored state stays mergeable partials."""
+    """Read-time projection over the latest COMPLETE standing-rollup
+    version (same _SUCCESS filter as the merge base — a crashed
+    partial write is invisible here too): derived avg comes out only
+    here (aggregates.derive_rollup), the stored state stays mergeable
+    partials."""
     from ..operators.aggregates import derive_rollup
 
-    versions = sorted(
-        d for d in os.listdir(standing_dir) if d.startswith("v")
-    )
+    versions = _complete_versions(standing_dir)
     if not versions:
         raise ValueError(f"no standing rollup versions in {standing_dir}")
     return derive_rollup(

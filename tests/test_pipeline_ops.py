@@ -618,6 +618,17 @@ def test_png_codec_roundtrip_filters_golden_and_errors():
              + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(short)
+    # a payload cut INSIDE a chunk's trailing 4 CRC bytes must fail
+    # closed, not decode with the CRC check silently skipped: cut the
+    # final IEND CRC at every partial length (data intact, CRC absent)
+    for missing in range(1, 5):
+        with pytest.raises(ValueError):
+            decode_png(payload[:-missing])
+    # same cut inside the IDAT chunk's CRC (an interior chunk)
+    idat_crc_end = 41 + idat_len + 4
+    for cut in range(idat_crc_end - 4 + 1, idat_crc_end):
+        with pytest.raises(ValueError):
+            decode_png(payload[:cut])
 
 
 def test_pure_python_backend_decodes_synth_payloads(spark):
@@ -3136,6 +3147,21 @@ def test_jpeg_codec_exact_tiles_golden_lossy_and_errors():
     prog[sof_at + 1] = 0xC2  # claim progressive
     with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+
+    # --- truncation AT a restart boundary must fail closed (ValueError,
+    # never IndexError): cut the restart-interval payload at and just
+    # after every RSTn marker position in the entropy stream
+    rst_pay = encode_jpeg(40, 25, big, quality=85, restart_interval=4)
+    sos_at = rst_pay.index(b"\xFF\xDA")
+    rst_offsets = [
+        i for i in range(sos_at, len(rst_pay) - 1)
+        if rst_pay[i] == 0xFF and 0xD0 <= rst_pay[i + 1] <= 0xD7
+    ]
+    assert rst_offsets, "restart-interval payload must contain RSTn markers"
+    for off in rst_offsets:
+        for cut in (off, off + 1):
+            with pytest.raises(ValueError):
+                decode_jpeg(rst_pay[:cut])
 
 
 def test_winnowing_index_stop_fingerprint_cap(spark):

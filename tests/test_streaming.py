@@ -1497,3 +1497,80 @@ def test_st22_rollup_maintenance_merges_late_batches(
     hour0 = min(w[0] for w in want)
     h0a = [w for w in want if w[1] == "a" and w[0] == hour0]
     assert h0a and h0a[0][2] == 4
+
+
+def test_st22_rollup_maintenance_replay_is_idempotent(
+    spark, tmp_path_factory
+):
+    """ST22 crash recovery: foreachBatch REPLAYS the last batch after a
+    crash. The merge must base itself on versions strictly OLDER than
+    the replayed batch id (never 'latest', which on replay is the
+    batch's own prior output) — otherwise the delta double-counts, or
+    the merge reads the torn dir it is about to overwrite."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from db_loganalyzer_spark.streaming.streams import (
+        merge_rollup_batch,
+        read_standing_rollup,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(t0 + dt.timedelta(hours=h), t, v) for h, t, v in rows],
+            schema,
+        )
+
+    standing = str(tmp_path_factory.mktemp("st22_replay_standing"))
+    b0 = df([(0, "a", 1.0), (0, "a", 3.0), (1, "b", 10.0)])
+    b1 = df([(0, "a", 5.0), (0, "b", 2.0)])
+    b2 = df([(2, "a", 7.0), (0, "a", 11.0)])
+    for i, b in enumerate((b0, b1, b2)):
+        merge_rollup_batch(
+            spark, b, i, 3600, ["event_type"], "value", standing
+        )
+
+    def snap():
+        return sorted(
+            (r.window_start, r.event_type, r.n, r.avg_value, r.max_value)
+            for r in read_standing_rollup(
+                spark, standing, ["event_type"]
+            ).collect()
+        )
+
+    want = snap()
+    hour0 = min(w[0] for w in want)
+    assert [w[2] for w in want if w[1] == "a" and w[0] == hour0] == [4]
+
+    # replay case 1: the previous v2 write COMPLETED before the crash.
+    # Re-merging batch 2 on top of its own output would double-count
+    # the delta (hour-0 'a' n would become 6); based on v1 it is a
+    # byte-identical rewrite.
+    merge_rollup_batch(
+        spark, b2, 2, 3600, ["event_type"], "value", standing
+    )
+    assert snap() == want
+
+    # replay case 2: the v2 write CRASHED mid-flight (no _SUCCESS).
+    # The torn dir must be invisible to reads AND to the merge base.
+    v2 = os.path.join(standing, "v000000002")
+    os.remove(os.path.join(v2, "_SUCCESS"))
+    pre_replay = snap()  # falls back to v1 = batches 0+1 only
+    assert [w[2] for w in pre_replay if w[1] == "a" and w[0] == hour0] == [3]
+    merge_rollup_batch(
+        spark, b2, 2, 3600, ["event_type"], "value", standing
+    )
+    assert snap() == want
+    # and a later torn dir never shadows the good version either
+    torn = os.path.join(standing, "v000000003")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"\x00not parquet")
+    try:
+        assert snap() == want
+    finally:
+        shutil.rmtree(torn)
