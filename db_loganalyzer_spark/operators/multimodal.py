@@ -1135,15 +1135,19 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, list[tuple]]:
         return decode_png(payload)
     if payload[:2] == b"\xFF\xD8":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     raise ValueError("unknown image magic")
 
 
 def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     """A REAL decode backend needing no wheels: parses 24-bit BMP,
     binary PPM/PGM, 8-bit PNG (zlib inflate + all five row filters),
-    and baseline sequential JPEG (huffman + dequant + IDCT — the first
-    LOSSY codec) image streams plus RIFF/WAVE PCM audio — header
-    fields AND the full pixel/sample payload (truncation raises).
+    baseline sequential JPEG (huffman + dequant + IDCT — the first
+    LOSSY codec), and GIF87a/89a (full LZW with variable-width codes
+    and dictionary resets) image streams plus RIFF/WAVE PCM audio —
+    header fields AND the full pixel/sample payload (truncation
+    raises).
     Audio maps to the shared metadata schema as width=height=0,
     n_frames=sample count; uncompressed RIFF/AVI video decodes every
     DIB frame. Unknown magics (MP4/webp and other codecs needing
@@ -1159,6 +1163,9 @@ def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     elif payload[:2] == b"\xFF\xD8":
         w, h, _ = decode_jpeg(payload)
         fmt = "jpeg"
+    elif payload[:4] == b"GIF8":
+        w, h, _ = decode_gif(payload)
+        fmt = "gif"
     elif payload[:2] in (b"P6", b"P5"):
         _, w, h, _, _ = _ppm_header(payload)
         # full pixel validation (and gray replication) via the decoder
@@ -1264,6 +1271,8 @@ def _sniff_image_format(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"\xFF\xD8":
         return "jpeg"
+    if payload[:4] == b"GIF8":
+        return "gif"
     return "ppm" if payload[:2] == b"P6" else "pgm"
 
 
@@ -1902,3 +1911,288 @@ def decode_energy_segments(media: DataFrame, frame: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_segments, schema=_SEGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real wheel-free image codec: GIF (LZW entropy coding, GIF87a/89a)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW compression of a palette-index stream:
+    variable-width codes starting at mcs+1 bits, LSB-first packing,
+    clear/EOI codes, dictionary growth to 4096 with a mid-stream CLEAR
+    reset when full (the table-full path real encoders take)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        if not 0 <= k < clear:
+            raise ValueError("GIF palette index out of range for LZW root")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # widen when a future code could reference the just-added
+            # entry (decoder mirrors this one entry earlier — the
+            # standard off-by-one the two sides must agree on)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = mcs + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
+    """GIF-variant LZW decode, fail-closed: truncated bit stream,
+    reference to an undefined code, missing EOI, or a pixel count that
+    disagrees with the image size all raise ValueError."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"invalid GIF LZW min code size {mcs}")
+    clear = 1 << mcs
+    eoi = clear + 1
+    code_size = mcs + 1
+    pos_bits = 0
+    total_bits = len(data) * 8
+    base: list = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        if pos_bits + code_size > total_bits:
+            raise ValueError("truncated GIF LZW stream (no EOI)")
+        byte0 = pos_bits >> 3
+        chunk = int.from_bytes(data[byte0: byte0 + 3], "little")
+        code = (chunk >> (pos_bits & 7)) & ((1 << code_size) - 1)
+        pos_bits += code_size
+        if code == clear:
+            table = list(base)
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream must start with a root code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if entry is None:
+                raise ValueError("GIF LZW code references clear/EOI slot")
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code references undefined entry")
+        out.extend(entry)
+        if len(out) > n_expected:
+            raise ValueError("GIF pixel data overruns image size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError("GIF pixel data length mismatch")
+    return out
+
+
+def encode_gif(
+    width: int, height: int, pixels: list[tuple], palette: list[tuple]
+) -> bytes:
+    """Encode an indexed-color image as a standard GIF89a byte stream:
+    logical screen descriptor, global color table (padded to a power of
+    two), image descriptor, and REAL LZW-compressed pixel data in
+    255-byte sub-blocks. ``pixels`` are (r, g, b) tuples that must each
+    appear in ``palette``."""
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("GIF palette must hold 2..256 colors")
+    if len(pixels) != width * height:
+        raise ValueError("pixels must hold width*height entries")
+    bits = max(2, (len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    lut = {}
+    for i, c in enumerate(palette):
+        lut.setdefault(tuple(c), i)
+    try:
+        indices = [lut[tuple(p)] for p in pixels]
+    except KeyError as exc:
+        raise ValueError(f"pixel color {exc} not in GIF palette") from exc
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(bits)  # LZW min code size
+    lzw = _gif_lzw_encode(indices, bits)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i: i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_take_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain; ValueError on truncation."""
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(data), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        data += payload[pos: pos + n]
+        pos += n
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse a GIF87a/GIF89a byte stream down to its pixel values:
+    global color table, extension skipping (sub-block walk), image
+    descriptor, full LZW decode, palette mapping. Supported surface is
+    the non-animated single-image core (global palette, no interlace,
+    full-frame geometry); animation/interlace/local palettes raise
+    ValueError (route to a codec library). Fail-closed throughout:
+    truncation anywhere, undefined LZW codes, out-of-palette indices,
+    geometry mismatch, or a missing trailer all raise ValueError."""
+    payload = bytes(payload)
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 << (packed & 7)
+    pos = 13
+    if pos + 3 * gct_n > len(payload):
+        raise ValueError("truncated GIF global color table")
+    pal = [
+        (payload[pos + 3 * i], payload[pos + 3 * i + 1],
+         payload[pos + 3 * i + 2])
+        for i in range(gct_n)
+    ]
+    pos += 3 * gct_n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ends before an image descriptor")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x2C:
+            break
+        if marker == 0x21:  # extension: label byte + sub-block chain
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+            _, pos = _gif_take_subblocks(payload, pos)
+            continue
+        if marker == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    if pos + 9 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if ipacked & 0x80:
+        raise ValueError("GIF local color table unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise ValueError("GIF sub-frame geometry unsupported")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF before LZW min code size")
+    mcs = payload[pos]
+    pos += 1
+    data, pos = _gif_take_subblocks(payload, pos)
+    indices = _gif_lzw_decode(data, mcs, w * h)
+    if any(i >= gct_n for i in indices):
+        raise ValueError("GIF pixel index outside the color table")
+    # trailing extensions are legal; the trailer itself is required
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated GIF trailing extension")
+        pos += 1
+        _, pos = _gif_take_subblocks(payload, pos)
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("GIF missing trailer")
+    return w, h, [pal[i] for i in indices]
+
+
+def synth_gif_payload(media_id: int) -> bytes:
+    """Deterministic REAL GIF bytes for a media id: an 8-color palette
+    and pixel indices that are pure functions of the id — palette slot
+    j is ((3*id + 11*j) % 256, (5*id + 13*j) % 256, (7*id + 17*j) % 256)
+    and pixel i uses slot (id + 7*i) % 8 over w = 5 + id % 14,
+    h = 4 + id % 8 — so the decoded pixel sums are restatable in oracle
+    SQL while the bytes exercise the full LZW path (variable-width
+    codes, dictionary growth, sub-block framing). GIF is lossless, so
+    unlike JPEG no fixed-point trick is needed: ANY input is
+    oracle-exact."""
+    w = 5 + media_id % 14
+    h = 4 + media_id % 8
+    palette = [
+        ((3 * media_id + 11 * j) % 256, (5 * media_id + 13 * j) % 256,
+         (7 * media_id + 17 * j) % 256)
+        for j in range(8)
+    ]
+    pixels = [palette[(media_id + 7 * i) % 8] for i in range(w * h)]
+    return encode_gif(w, h, pixels, palette)
+
+
+def media_table_synthetic_gif(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A media table whose payloads are REAL GIF89a byte streams
+    (synth_gif_payload) — same narrow mapInPandas shape as the other
+    synthetic media builders."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [synth_gif_payload(int(i)) for i in ids],
+                    "media_type": "image",
+                    "meta": [{"source": "synthetic-gif"}] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)

@@ -3164,6 +3164,94 @@ def test_jpeg_codec_exact_tiles_golden_lossy_and_errors():
                 decode_jpeg(rst_pay[:cut])
 
 
+def test_gif_codec_lzw_roundtrip_golden_and_errors():
+    """The wheel-free GIF codec (GIF89a + full LZW): golden-pin the
+    container bytes and the synth closed form, round-trip an image big
+    enough to force 12-bit codes AND the 4096 dictionary clear/reset,
+    exercise deep dictionary chains on runs, verify extension skipping
+    and GIF87a acceptance, and pin the fail-closed contract at every
+    truncation length plus the honest rejections (interlace, local
+    palette, sub-frame geometry, missing trailer, undefined codes)."""
+    import hashlib
+    import random
+    import struct
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        decode_gif,
+        encode_gif,
+        synth_gif_payload,
+    )
+
+    # --- golden pin: container layout + closed-form decode
+    p3 = synth_gif_payload(3)
+    assert hashlib.sha256(p3).hexdigest() == (
+        "d10406f2ba6ba029468aa29ced250057cc7258f7b8ddde90cae17963d29fc4e8"
+    )
+    assert len(p3) == 68
+    assert p3[:6] == b"GIF89a" and p3[-1] == 0x3B
+    w, h, px = decode_gif(p3)
+    assert (w, h) == (8, 7)
+    for i, rgb in enumerate(px):
+        j = (3 + 7 * i) % 8
+        assert rgb == ((9 + 11 * j) % 256, (15 + 13 * j) % 256,
+                       (21 + 17 * j) % 256)
+
+    # --- large random image: code size grows to 12 bits and the
+    # dictionary fills to 4096, forcing a mid-stream CLEAR reset
+    rng = random.Random(42)
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    big = [pal[rng.randrange(256)] for _ in range(300 * 120)]
+    assert decode_gif(encode_gif(300, 120, big, pal))[2] == big
+    # long runs build deep dictionary chains (the KwKwK special case)
+    runs = [pal[(i // 997) % 256] for i in range(300 * 120)]
+    assert decode_gif(encode_gif(300, 120, runs, pal))[2] == runs
+    assert _gif_lzw_decode(_gif_lzw_encode([1] * 6, 2), 2, 6) == [1] * 6
+
+    # --- GIF87a magic and an interposed extension block both parse
+    body = bytearray(p3)
+    body[:6] = b"GIF87a"
+    assert decode_gif(bytes(body))[2] == px
+    gct_end = 13 + 3 * 8
+    ext = bytes([0x21, 0xFE, 3]) + b"abc" + bytes([0])  # comment ext
+    assert decode_gif(p3[:gct_end] + ext + p3[gct_end:])[2] == px
+
+    # --- fail-closed: EVERY truncation length raises ValueError
+    for cut in range(len(p3)):
+        with pytest.raises(ValueError):
+            decode_gif(p3[:cut])
+    # random bit flips never escape as non-ValueError exceptions
+    for _ in range(500):
+        b = bytearray(p3)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
+
+    # --- honest rejections: interlace / local palette / sub-frame
+    desc_at = gct_end  # image descriptor offset in the synth layout
+    assert p3[desc_at] == 0x2C
+    for flag in (0x40, 0x80):
+        b = bytearray(p3)
+        b[desc_at + 9] |= flag
+        with pytest.raises(ValueError):
+            decode_gif(bytes(b))
+    b = bytearray(p3)
+    struct.pack_into("<H", b, desc_at + 1, 1)  # left=1: sub-frame
+    with pytest.raises(ValueError):
+        decode_gif(bytes(b))
+    with pytest.raises(ValueError):
+        decode_gif(p3[:-1])  # missing trailer
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + p3[6:])
+    with pytest.raises(ValueError):
+        encode_gif(2, 1, [(1, 2, 3), (9, 9, 9)], [(1, 2, 3)])  # not in pal
+
+
 def test_winnowing_index_stop_fingerprint_cap(spark):
     """The index-build max_doc_freq dial: a fingerprint present in more
     corpus docs than the cap disappears from the exploded join keys
