@@ -2703,6 +2703,93 @@ FROM m
 """
 
 
+def mm12_adpcm_audio_stats(spark, sf_dir):
+    """MM12 — audio statistics THROUGH the real IMA-ADPCM decoder
+    (multimodal._decode_ima_adpcm via decode_wav's format-tag
+    dispatch): each payload is an actual compressed WAV — fmt 0x11
+    with the samplesPerBlock extension, a REQUIRED fact chunk, block
+    headers (seed sample + step index) and low-nibble-first 4-bit
+    codes — decoded by the exact IMA recurrence inside the shared
+    decode_audio_stats mapInPandas stage. The nibble stream is the
+    synth closed form (nibble i = (7*id + 3*i) % 16, seed
+    ((31*id) % 2001) - 1000, index id % 89), so the oracle restates
+    the decoded SAMPLE VALUES as a recursive CTE over the same step
+    tables: a wrong step lookup, clamp, sign bit, index adaptation, or
+    nibble order fails the hash. First compressed audio through the
+    real path — retires the audio half of the unavailable-codec slot
+    (r12 verdict item #3)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_audio_stats,
+        media_table_synthetic_adpcm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_stats(media_table_synthetic_adpcm(docs))
+
+
+# the decoded stream is sample_0 = ((31*id) % 2001) - 1000 followed by
+# the IMA recurrence over nibbles (7*id + 3*i) % 16 from step index
+# id % 89 — restated as a recursive CTE carrying (pred, idx) plus the
+# running aggregates; list literal = the 89-entry IMA step table
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+MM12_SQL = f"""
+WITH RECURSIVE dec AS (
+  SELECT doc_id AS media_id,
+         CAST(40 + doc_id % 113 AS BIGINT) AS n,
+         CAST(1 AS BIGINT) AS i,
+         CAST(((31 * doc_id) % 2001) - 1000 AS BIGINT) AS pred,
+         CAST(doc_id % 89 AS BIGINT) AS idx,
+         CAST(abs(((31 * doc_id) % 2001) - 1000) AS BIGINT) AS sum_abs,
+         CAST((((31 * doc_id) % 2001) - 1000)
+              * (((31 * doc_id) % 2001) - 1000) AS BIGINT) AS sum_sq,
+         CAST(0 AS BIGINT) AS zc
+  FROM documents
+  UNION ALL
+  SELECT media_id, n, i + 1,
+         greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -d ELSE d END)),
+         greatest(0, least(88, idx + CASE nib % 8
+             WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+             ELSE -1 END)),
+         sum_abs + abs(greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -d ELSE d END))),
+         sum_sq + greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -d ELSE d END))
+                * greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -d ELSE d END)),
+         zc + CASE WHEN pred * greatest(-32768, least(32767,
+             pred + CASE WHEN nib >= 8 THEN -d ELSE d END)) < 0
+              THEN 1 ELSE 0 END
+  FROM (
+    SELECT *,
+           (step // 8)
+           + CASE WHEN (nib % 8) >= 4 THEN step ELSE 0 END
+           + CASE WHEN (nib % 4) >= 2 THEN step // 2 ELSE 0 END
+           + CASE WHEN (nib % 2) = 1 THEN step // 4 ELSE 0 END AS d
+    FROM (
+      SELECT *,
+             (7 * media_id + 3 * (i - 1)) % 16 AS nib,
+             list_extract({_IMA_STEPS_SQL}, CAST(idx + 1 AS INT)) AS step
+      FROM dec
+      WHERE i < n
+    ) a
+  ) b
+)
+SELECT media_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+       n * 1000000 // 8000 AS duration_us,
+       sum_abs, sum_sq, zc AS zero_crossings
+FROM dec WHERE i = n
+"""
+
+
 def mm05_patch_plan(spark, sf_dir):
     """MM05 — ViT-style patch tiling over REALLY-decoded dimensions
     (multimodal.patch_plan): one row per patch with clipped pixel
@@ -9372,6 +9459,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     #   t03 t04 t08 w01 w05 w08 w10
     # ---- new in r13 ----
     "mm11_gif_pixel_stats": (mm11_gif_pixel_stats, MM11_SQL),
+    "mm12_adpcm_audio_stats": (mm12_adpcm_audio_stats, MM12_SQL),
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),

@@ -3252,6 +3252,84 @@ def test_gif_codec_lzw_roundtrip_golden_and_errors():
         encode_gif(2, 1, [(1, 2, 3), (9, 9, 9)], [(1, 2, 3)])  # not in pal
 
 
+def test_adpcm_codec_recurrence_roundtrip_golden_and_errors():
+    """The wheel-free IMA-ADPCM codec (WAV format tag 0x11 — the first
+    COMPRESSED audio through the real RIFF path): pin the synth
+    payload bytes and verify its decode against the exact IMA
+    recurrence in pure Python, bound the real encoder's loss on a sine
+    (SNR > 20 dB) across multiple blocks, and pin the fail-closed
+    contract: every truncation length, corrupt block headers,
+    fact-count mismatches, and odd block framing all raise ValueError."""
+    import hashlib
+    import math
+    import struct
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        _ima_step,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_wav,
+        synth_adpcm_payload,
+    )
+
+    # --- golden pin + closed-recurrence decode (the mm12 oracle's rule)
+    p3 = synth_adpcm_payload(3)
+    assert hashlib.sha256(p3).hexdigest() == (
+        "e9e0e733a2c6b1ae5241fd05409325e3cfa5e1a704058be230d71c65cb7e8792"
+    )
+    assert len(p3) == 86
+    rate, ch, samples = decode_wav(p3)
+    n = 40 + 3 % 113
+    assert (rate, ch, len(samples)) == (8000, 1, n)
+    pred, idx = ((31 * 3) % 2001) - 1000, 3 % 89
+    assert samples[0] == pred
+    for i in range(n - 1):
+        pred, idx = _ima_step(pred, idx, (7 * 3 + 3 * i) % 16)
+        assert samples[i + 1] == pred
+
+    # --- real encoder: multi-block roundtrip with bounded loss
+    sig = [int(12000 * math.sin(i / 15)) for i in range(3000)]
+    enc = encode_adpcm_wav(8000, sig)
+    # 3000 samples -> 6 blocks of 505 -> ~4x smaller than PCM16
+    assert len(enc) < len(encode_wav(8000, sig)) / 3.5
+    rate, ch, dec = decode_wav(enc)
+    assert (rate, ch, len(dec)) == (8000, 1, 3000)
+    err = sum((a - b) ** 2 for a, b in zip(sig, dec)) / sum(
+        a * a for a in sig
+    )
+    assert -10 * math.log10(err) > 20  # SNR dB
+
+    # --- fail-closed: every truncation length raises ValueError
+    for cut in range(len(p3)):
+        with pytest.raises(ValueError):
+            decode_wav(p3[:cut])
+    data_at = p3.index(b"data") + 8
+    b = bytearray(p3)
+    b[data_at + 3] = 1  # reserved header byte must be zero
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    b = bytearray(p3)
+    b[data_at + 2] = 89  # step index beyond the table
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    fact_at = p3.index(b"fact") + 8
+    b = bytearray(p3)
+    struct.pack_into("<I", b, fact_at, 10_000)  # fact > block capacity
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    b = bytearray(p3)
+    fmt_at = p3.index(b"fmt ") + 8
+    struct.pack_into("<H", b, fmt_at + 18, 9)  # samplesPerBlock mismatch
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    with pytest.raises(ValueError):
+        encode_adpcm_wav(8000, [])
+    with pytest.raises(ValueError):
+        encode_adpcm_wav(8000, [40000])
+
+
 def test_winnowing_index_stop_fingerprint_cap(spark):
     """The index-build max_doc_freq dial: a fingerprint present in more
     corpus docs than the cap disappears from the exploded join keys
