@@ -6710,6 +6710,84 @@ GROUP BY 1
 """
 
 
+def j15_auto_salted_join(spark, sf_dir):
+    """J15 — the a37 -> j13 loop CLOSED (joins.decide_salt_parts /
+    auto_salted_join): the salt factor S is chosen from the skew
+    report by a deterministic rule — no salt within 4x-of-mean skew
+    (AQE's skewedPartitionFactor shape) or when the hottest key fits
+    one task, else ceil(max_rows / target) rounded up to a power of
+    two and clamped — instead of the hand-picked 16 j13 ships. The
+    fact key here is CONSTRUCTED skewed (60% of events collapse onto
+    key 0, the rest spread over 40 keys) so the rule demonstrably
+    engages, and the CHOSEN S is a result column: the oracle restates
+    the decision rule itself in SQL (profile CTE + the same
+    double-compared threshold, ceil, pow2, clamp) along with the
+    row-equality contract of the salted join (= the unsalted SQL).
+    This is the decision automation a 100 TB job needs — the right S
+    drifts with the data, so it must be computed, not tuned.
+    r12 verdict item #4."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    fact = ev.withColumn(
+        "skew_key",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(100)) < 60, F.lit(0)
+        ).otherwise(F.pmod(F.col("event_id"), F.lit(100))).cast("long"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").cast("long").alias("dim_key"),
+        F.pmod(F.col("id"), F.lit(7)).cast("long").alias("dim_bucket"),
+    )
+    s = J.decide_salt_parts(
+        fact, "skew_key", target_rows_per_task=50, max_parts=64
+    )
+    if s > 1:
+        j = J.salted_join(
+            fact, dim, "skew_key", "dim_key", salt_from=["event_id"],
+            salt_parts=s,
+        )
+    else:  # the rule's no-salt branch: plain join, no dim replication
+        j = fact.join(dim, fact["skew_key"] == dim["dim_key"])
+    return (
+        j.groupBy("dim_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("skew_key").cast("bigint").alias("n_keys_seen"),
+            dsum("value").alias("total_value"),
+        )
+        .withColumn("salt_parts", F.lit(s).cast("bigint"))
+    )
+
+
+J15_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 100 < 60 THEN 0
+              ELSE event_id % 100 END AS skew_key,
+         event_id, value
+  FROM events
+), dim AS (
+  SELECT range AS dim_key, range % 7 AS dim_bucket FROM range(100)
+), prof AS (
+  SELECT MAX(n) AS max_rows, SUM(n) AS total_rows, COUNT(*) AS n_keys
+  FROM (SELECT skew_key, COUNT(*) AS n FROM fact GROUP BY 1) c
+), s AS (
+  SELECT CASE
+    WHEN CAST(max_rows AS DOUBLE) * n_keys <= 4.0 * total_rows THEN 1
+    WHEN CAST(CEIL(max_rows / 50.0) AS BIGINT) <= 1 THEN 1
+    ELSE least(64, CAST(POWER(2, CEIL(LOG2(CAST(CEIL(max_rows / 50.0)
+                                               AS BIGINT)))) AS BIGINT))
+  END AS salt_parts FROM prof
+)
+SELECT dim_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT skew_key) AS BIGINT) AS n_keys_seen,
+       CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS total_value,
+       (SELECT salt_parts FROM s) AS salt_parts
+FROM fact JOIN dim ON skew_key = dim_key
+GROUP BY 1
+"""
+
+
 def m16_domain_mixture(spark, sf_dir):
     """M16 — data-driven temperature mixture (sampling.
     temperature_mixture_rates / temperature_resample): flatten the
@@ -9460,6 +9538,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- new in r13 ----
     "mm11_gif_pixel_stats": (mm11_gif_pixel_stats, MM11_SQL),
     "mm12_adpcm_audio_stats": (mm12_adpcm_audio_stats, MM12_SQL),
+    "j15_auto_salted_join": (j15_auto_salted_join, J15_SQL),
     # ---- new in r12 ----
     "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
     "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),

@@ -512,6 +512,110 @@ def salted_join(
     return joined.drop("__fsalt", "__dsalt")
 
 
+def choose_salt_parts(
+    max_rows: int,
+    total_rows: int,
+    n_keys: int,
+    *,
+    skew_threshold: float = 4.0,
+    target_rows_per_task: int = 5_000_000,
+    max_parts: int = 256,
+) -> int:
+    """J15's decision rule — the deterministic bridge from a37's skew
+    report to j13's ``salt_parts`` dial. Inputs are the report's global
+    summary columns; output is the salt factor S (1 = don't salt).
+
+    The rule, stated once so every job applies the same policy:
+
+    1. No skew, no salt: if ``max_rows * n_keys <= skew_threshold *
+       total_rows`` (i.e. the hottest key is within ``skew_threshold``x
+       the mean — the same ratio AQE's skewedPartitionFactor tests,
+       default 5.0; 4.0 here errs toward salting), return 1. Salting
+       uniform data only multiplies the dim shuffle for nothing.
+    2. Hot key fits one task, no salt: S_need = ceil(max_rows /
+       target_rows_per_task); if <= 1, return 1.
+    3. Else round S_need UP to a power of two (hash-partition groups
+       split evenly only at pow2 factors) and clamp to ``max_parts``
+       (dim replication cost is S x |dim| — past a point, prefer
+       rethinking the join).
+
+    The comparison in (1) runs in double — the a37 lesson: int64
+    ``max_rows * n_keys`` overflows silently in the exact domain this
+    rule exists for (10^12 rows x 10^9 keys)."""
+    if n_keys <= 0 or total_rows <= 0:
+        return 1
+    if float(max_rows) * float(n_keys) <= skew_threshold * float(total_rows):
+        return 1
+    need = -(-max_rows // target_rows_per_task)  # ceil div, exact ints
+    if need <= 1:
+        return 1
+    return min(1 << (need - 1).bit_length(), max_parts)
+
+
+def decide_salt_parts(
+    fact: DataFrame,
+    fact_key: str,
+    *,
+    skew_threshold: float = 4.0,
+    target_rows_per_task: int = 5_000_000,
+    max_parts: int = 256,
+) -> int:
+    """Profile ``fact_key`` with a37's skew_report and apply
+    :func:`choose_salt_parts`. One map-side-combined count-per-key pass
+    plus a bounded (top-1 row) collect — at 100 TB this is the cheap
+    probe you run BEFORE committing the join strategy, not a per-query
+    tax: profile once per key per ingest epoch and reuse the decision."""
+    from .aggregates import skew_report
+
+    row = (
+        skew_report(fact, [fact_key], top_k=1)
+        .select("max_rows", "total_rows", "n_keys")
+        .first()
+    )
+    if row is None:
+        return 1
+    return choose_salt_parts(
+        int(row["max_rows"]), int(row["total_rows"]), int(row["n_keys"]),
+        skew_threshold=skew_threshold,
+        target_rows_per_task=target_rows_per_task,
+        max_parts=max_parts,
+    )
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: list[str],
+    *,
+    skew_threshold: float = 4.0,
+    target_rows_per_task: int = 5_000_000,
+    max_parts: int = 256,
+    how: str = "inner",
+) -> DataFrame:
+    """J15 — j13's salted join with the salt factor CHOSEN from a37's
+    skew report instead of hand-tuned (:func:`decide_salt_parts`):
+    the decision automation a real 100 TB job needs, since the right S
+    changes as the data drifts. When the rule says 1 the plain join
+    runs (no dim replication, no salt column); either way the result
+    is row-for-row the unsalted join, which is what the oracle states."""
+    s = decide_salt_parts(
+        fact, fact_key,
+        skew_threshold=skew_threshold,
+        target_rows_per_task=target_rows_per_task,
+        max_parts=max_parts,
+    )
+    if s <= 1:
+        joined = fact.join(dim, fact[fact_key] == dim[dim_key], how)
+        if fact_key == dim_key:
+            joined = joined.drop(dim[dim_key])
+        return joined
+    return salted_join(
+        fact, dim, fact_key, dim_key, salt_from, salt_parts=s, how=how
+    )
+
+
 def pit_lookup(
     facts: DataFrame,
     dim: DataFrame,

@@ -2187,6 +2187,90 @@ def test_salted_join_rejects_unsupported_how():
         salted_join(None, None, "k", "k", salt_from=["x"], how="full")
 
 
+def test_choose_salt_parts_rule_pins():
+    """J15's decision rule on constructed profiles: uniform data and
+    one-task-sized hot keys stay unsalted; genuinely skewed keys get
+    ceil(max/target) rounded up to a power of two, clamped; the
+    threshold compare runs in double (no int64 overflow at the
+    10^12-row x 10^9-key scale the rule exists for)."""
+    from db_loganalyzer_spark.operators.joins import choose_salt_parts
+
+    # uniform: max == mean -> ratio 1 <= 4 -> no salt even if huge
+    assert choose_salt_parts(10**7, 10**9, 100) == 1
+    # skewed but the hot key fits one task -> no salt
+    assert choose_salt_parts(4_000, 10_000, 100,
+                             target_rows_per_task=5_000) == 1
+    # skewed and big: 10k-row hot key, 1k-per-task -> ceil=10 -> pow2 16
+    assert choose_salt_parts(10_000, 20_000, 100,
+                             target_rows_per_task=1_000) == 16
+    # exact power stays (ceil=8 -> 8, not 16)
+    assert choose_salt_parts(8_000, 20_000, 100,
+                             target_rows_per_task=1_000) == 8
+    # clamp at max_parts
+    assert choose_salt_parts(10**9, 2 * 10**9, 1000,
+                             target_rows_per_task=1_000,
+                             max_parts=256) == 256
+    # empty / degenerate profiles
+    assert choose_salt_parts(0, 0, 0) == 1
+    # overflow regression: int64 max_rows * n_keys would wrap; the
+    # double compare must still see the skew (ratio = 5 * 10^8)
+    assert choose_salt_parts(10**12, 2 * 10**12, 10**9,
+                             target_rows_per_task=10**9,
+                             max_parts=1 << 20) == 1024
+
+
+def test_auto_salted_join_decides_and_matches_plain(spark):
+    """decide_salt_parts engages on constructed skew (pinned S) and
+    stays out on uniform keys; auto_salted_join's rows equal the plain
+    join on both branches."""
+    from db_loganalyzer_spark.operators.joins import (
+        auto_salted_join,
+        decide_salt_parts,
+    )
+
+    # 60 rows on key 1, 1 row each on keys 2..21
+    fact = spark.createDataFrame(
+        [(i, 1 if i < 60 else i - 58, float(i)) for i in range(80)],
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 25)], "k long, tag string"
+    )
+    # profile: max=60, total=80, n_keys=21 -> ratio 15.75 > 4;
+    # ceil(60/10)=6 -> pow2 8
+    assert decide_salt_parts(fact, "k", target_rows_per_task=10) == 8
+    got = sorted(
+        (r["row_id"], r["v"], r["tag"])
+        for r in auto_salted_join(
+            fact, dim, "k", "k", salt_from=["row_id"],
+            target_rows_per_task=10,
+        ).select("row_id", "v", "tag").collect()
+    )
+    want = sorted(
+        (r["row_id"], r["v"], r["tag"])
+        for r in fact.join(dim, "k").select("row_id", "v", "tag").collect()
+    )
+    assert got == want
+    # uniform fact: rule says 1, plain-join branch, same rows
+    uni = spark.createDataFrame(
+        [(i, i % 20, float(i)) for i in range(80)],
+        "row_id long, k long, v double",
+    )
+    assert decide_salt_parts(uni, "k", target_rows_per_task=10) == 1
+    got_u = sorted(
+        (r["row_id"], r["tag"])
+        for r in auto_salted_join(
+            uni, dim, "k", "k", salt_from=["row_id"],
+            target_rows_per_task=10,
+        ).select("row_id", "tag").collect()
+    )
+    want_u = sorted(
+        (r["row_id"], r["tag"])
+        for r in uni.join(dim, "k").select("row_id", "tag").collect()
+    )
+    assert got_u == want_u
+
+
 def test_salted_join_same_key_name_selectable(spark):
     """fact_key == dim_key must leave ONE key column (the fact side's)
     so a post-join select of the key does not raise AMBIGUOUS_REFERENCE
