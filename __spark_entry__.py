@@ -9521,88 +9521,43 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # or oracle changed this round first-priority, then the stalest
     # driver rows, oldest first.
     #
-    # Round-12 window (verified: exactly 50 above the line):
-    #   1-7   opt04 compaction apply + opt05 z-order apply + st22
-    #         streaming rollup maintenance + mm10 JPEG pixel stats +
-    #         t22 encoding anomalies + st23 its streaming gate +
-    #         pipe06 streaming compaction, new this round
-    #   8     a37 (hot-key comparison moved to double in BOTH engines
-    #         this round: re-certify)
-    #   9-24  ALL 16 remaining r7-latest-row entries (the r11 verdict's
-    #         top item: j03 j06 l02 m01 m04 m07 q01 s04 s09 sim01-04
-    #         st01-03)
-    #  25-50  the 26 alphabetically-first r8-latest-row entries
-    # Still on r8 rows after this window, queued first for r13 (19):
-    #   pipe01 st04 st05 st06 st07 st09 st10 st11 st12 st13 t01 t02
-    #   t03 t04 t08 w01 w05 w08 w10
+    # Round-13 window (verified: exactly 50 above the line):
+    #   1-3   mm11 GIF (full LZW) + mm12 IMA-ADPCM (the last fake-codec
+    #         slots retired) + j15 auto-salted join (a37->j13 loop
+    #         closed), new this round
+    #   4-13  impl changed this round (re-certify): st22 (replay-
+    #         idempotent merge base), pipe06 (batch_id-keyed idempotent
+    #         landing), mm10 (restart-truncation guard + PNG CRC), and
+    #         the decode_wav chunk-walk / image-dispatch dependents
+    #         mm01 mm04 mm06 mm08 mm09 st16 st21
+    #  14-32  ALL 19 remaining r8-latest-row entries (the r12 verdict's
+    #         top item: pipe01 st04-st07 st09-st13 t01-t04 t08 w01 w05
+    #         w08 w10)
+    #  33-50  the 18 oldest r9-latest-row entries
+    # Still on r9 rows after this window, queued first for r14 (28):
+    #   d07 d09 f02-f05 m03 q03 q05 st08 st14 t05 t06 t07 t09-t13 t17
+    #   w11-w17 w20
+
     # ---- new in r13 ----
     "mm11_gif_pixel_stats": (mm11_gif_pixel_stats, MM11_SQL),
     "mm12_adpcm_audio_stats": (mm12_adpcm_audio_stats, MM12_SQL),
     "j15_auto_salted_join": (j15_auto_salted_join, J15_SQL),
-    # ---- new in r12 ----
-    "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
-    "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
+    # ---- impl changed in r13 (re-certify) ----
     "st22_streaming_rollup_maintenance": (
         st22_streaming_rollup_maintenance, ST22_SQL,
-    ),
-    "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
-    "t22_encoding_anomalies": (t22_encoding_anomalies, T22_SQL),
-    "st23_streaming_encoding_gate": (
-        st23_streaming_encoding_gate, ST23_SQL,
     ),
     "pipe06_streaming_compaction": (
         pipe06_streaming_compaction, PIPE06_SQL,
     ),
-    # ---- oracle/impl changed in r12 (re-certify) ----
-    "a37_skew_report": (a37_skew_report, A37_SQL),
-    # ---- latest driver row: r7 (all 16 remaining) ----
-    "j03_lookback_join": (j03_lookback_join, J03_SQL),
-    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
-    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
-    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
-    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
-    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
-    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
-    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
-    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
-    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
-    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
-    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
-    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
-    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
-    # ---- latest driver row: r8 (30 oldest of 45) ----
-    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
-    "a19_stats_report_grouping_sets": (
-        a19_stats_report_grouping_sets, A19_SQL,
-    ),
-    "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
-    "a21_session_funnel": (a21_session_funnel, A21_SQL),
-    "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
-    "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
-    "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
-    "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
-    "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
-    "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
-    "a28_funnel_steps": (a28_funnel_steps, A28_SQL),
-    "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
-    "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
-    "j07_asof_join": (j07_asof_join, J07_SQL),
-    "j08_interval_join": (j08_interval_join, J08_SQL),
-    "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
-    "j10_asof_forward": (j10_asof_forward, J10_SQL),
-    "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
-    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
-    "m05_hash_split": (m05_hash_split, M05_SQL),
-    "m06_decontaminate": (m06_decontaminate, M06_SQL),
-    "m08_dedup_components": (m08_dedup_components, M08_SQL),
-    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
-    "m10_group_sample": (m10_group_sample, M10_SQL),
-    "m12_budget_select": (m12_budget_select, M12_SQL),
-    "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
-    # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r8 — the r13 rotation queue (19) ----
+    "mm10_jpeg_pixel_stats": (mm10_jpeg_pixel_stats, MM10_SQL),
+    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
+    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
+    "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
+    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
+    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
+    "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
+    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
+    # ---- latest driver row: r8 — the stale queue, all 19 ----
     "pipe01_training_corpus": (pipe01_training_corpus, PIPE01_SQL),
     "st04_streaming_dedup": (st04_streaming_dedup, ST04_SQL),
     "st05_streaming_ewma": (st05_streaming_ewma, ST05_SQL),
@@ -9624,7 +9579,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "w05_sessionization": (w05_sessionization, W05_SQL),
     "w08_marker_chunks": (w08_marker_chunks, W08_SQL),
     "w10_severity_first": (w10_severity_first, W10_SQL),
-    # ---- latest driver row: r9 ----
+    # ---- latest driver row: r9 (18 oldest of 46) ----
     "a01_severity_histogram": (a01_severity_histogram, A01_SQL),
     "a02_event_histogram": (a02_event_histogram, A02_SQL),
     "a03_time_span": (a03_time_span, A03_SQL),
@@ -9643,6 +9598,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
     "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r9 (remaining 28) — the r14 queue ----
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
     "f02_event_pattern": (f02_event_pattern, F02_SQL),
@@ -9699,7 +9656,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "m20_winnowing_fingerprints": (m20_winnowing_fingerprints, M20_SQL),
     "m21_winnowing_overlap": (m21_winnowing_overlap, M21_SQL),
     "mm03_frame_sample": (mm03_frame_sample, MM03_SQL),
-    "mm06_audio_stats": (mm06_audio_stats, MM06_SQL),
     "mm07_video_stats": (mm07_video_stats, MM07_SQL),
     "opt01_zorder_layout": (opt01_zorder_layout, OPT01_SQL),
     "pack02_padded_batches": (pack02_padded_batches, PACK02_SQL),
@@ -9708,7 +9664,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "st15_streaming_interval_coalesce": (
         st15_streaming_interval_coalesce, ST15_SQL,
     ),
-    "st16_streaming_media_decode": (st16_streaming_media_decode, ST16_SQL),
     "st17_streaming_winnowing_probe": (
         st17_streaming_winnowing_probe, ST17_SQL,
     ),
@@ -9751,12 +9706,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j05_anti_join": (j05_anti_join, J05_SQL),
     "j14_pit_lookup": (j14_pit_lookup, J14_SQL),
     "m22_duplicated_spans": (m22_duplicated_spans, M22_SQL),
-    "mm01_decode_media": (mm01_decode_media, MM01_SQL),
     "mm02_resize_plan": (mm02_resize_plan, MM02_SQL),
-    "mm04_pixel_stats": (mm04_pixel_stats, MM04_SQL),
     "mm05_patch_plan": (mm05_patch_plan, MM05_SQL),
-    "mm08_phash_dedup": (mm08_phash_dedup, MM08_SQL),
-    "mm09_energy_segments": (mm09_energy_segments, MM09_SQL),
     "opt02_zorder_skip_estimate": (opt02_zorder_skip_estimate, OPT02_SQL),
     "opt03_compaction_plan": (opt03_compaction_plan, OPT03_SQL),
     "pipe03_vlm_manifest": (pipe03_vlm_manifest, PIPE03_SQL),
@@ -9767,13 +9718,64 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sim05_embedding_dedup_groups": (sim05_embedding_dedup_groups, SIM05_SQL),
     "sim06_quantized_gemm_topk": (sim06_quantized_gemm_topk, SIM06_SQL),
     "st20_streaming_pit_enrich": (st20_streaming_pit_enrich, ST20_SQL),
-    "st21_streaming_energy_segments": (st21_streaming_energy_segments, ST21_SQL),
     "t19_char_entropy": (t19_char_entropy, T19_SQL),
     "t21_heaps_fit": (t21_heaps_fit, T21_SQL),
     "w02_value_resets": (w02_value_resets, W02_SQL),
     "w03_lag_regressions": (w03_lag_regressions, W03_SQL),
     "w06_burst_windows": (w06_burst_windows, W06_SQL),
     "w09_relative_timeline": (w09_relative_timeline, W09_SQL),
+    # ---- latest driver row: r12 ----
+    "opt04_compaction_apply": (opt04_compaction_apply, OPT04_SQL),
+    "opt05_zorder_apply": (opt05_zorder_apply, OPT05_SQL),
+    "t22_encoding_anomalies": (t22_encoding_anomalies, T22_SQL),
+    "st23_streaming_encoding_gate": (
+        st23_streaming_encoding_gate, ST23_SQL,
+    ),
+    "a37_skew_report": (a37_skew_report, A37_SQL),
+    "j03_lookback_join": (j03_lookback_join, J03_SQL),
+    "j06_lookup_fallback": (j06_lookup_fallback, J06_SQL),
+    "l02_metric_extraction": (l02_metric_extraction, L02_SQL),
+    "m01_dedup_exact": (m01_dedup_exact, M01_SQL),
+    "m04_simhash_near_dups": (m04_simhash_near_dups, M04_SQL),
+    "m07_similarity_eval": (m07_similarity_eval, M07_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "s04_preprocessed_load": (s04_preprocessed_load, S04_SQL),
+    "s09_adhoc_sql": (s09_adhoc_sql, S09_QUERY),
+    "sim01_bruteforce_topk": (sim01_bruteforce_topk, SIM01_SQL),
+    "sim02_lsh_topk": (sim02_lsh_topk, SIM02_SQL),
+    "sim03_embedding_near_dups": (sim03_embedding_near_dups, SIM03_SQL),
+    "sim04_ivf_topk": (sim04_ivf_topk, SIM04_SQL),
+    "st01_streaming_rollup": (st01_streaming_rollup, ST01_SQL),
+    "st02_streaming_sessions": (st02_streaming_sessions, ST02_SQL),
+    "st03_streaming_value_drops": (st03_streaming_value_drops, ST03_SQL),
+    "a18_multi_rollup": (a18_multi_rollup, A18_SQL),
+    "a19_stats_report_grouping_sets": (
+        a19_stats_report_grouping_sets, A19_SQL,
+    ),
+    "a20_sliding_rollup": (a20_sliding_rollup, A20_SQL),
+    "a21_session_funnel": (a21_session_funnel, A21_SQL),
+    "a22_hll_distinct": (a22_hll_distinct, A22_SQL),
+    "a23_cohort_retention": (a23_cohort_retention, A23_SQL),
+    "a24_histogram_quantiles": (a24_histogram_quantiles, A24_SQL),
+    "a25_transition_matrix": (a25_transition_matrix, A25_SQL),
+    "a26_pivot_crosstab": (a26_pivot_crosstab, A26_SQL),
+    "a27_diurnal_baseline": (a27_diurnal_baseline, A27_SQL),
+    "a28_funnel_steps": (a28_funnel_steps, A28_SQL),
+    "d12_robust_outliers": (d12_robust_outliers, D12_SQL),
+    "d13_lag_correlation": (d13_lag_correlation, D13_SQL),
+    "j07_asof_join": (j07_asof_join, J07_SQL),
+    "j08_interval_join": (j08_interval_join, J08_SQL),
+    "j09_interval_concurrency": (j09_interval_concurrency, J09_SQL),
+    "j10_asof_forward": (j10_asof_forward, J10_SQL),
+    "j11_asof_nearest": (j11_asof_nearest, J11_SQL),
+    "m02_ngram_jaccard": (m02_ngram_jaccard, M02_SQL),
+    "m05_hash_split": (m05_hash_split, M05_SQL),
+    "m06_decontaminate": (m06_decontaminate, M06_SQL),
+    "m08_dedup_components": (m08_dedup_components, M08_SQL),
+    "m09_stratified_sample": (m09_stratified_sample, M09_SQL),
+    "m10_group_sample": (m10_group_sample, M10_SQL),
+    "m12_budget_select": (m12_budget_select, M12_SQL),
+    "pack01_sequence_packing": (pack01_sequence_packing, PACK01_SQL),
 }
 
 
