@@ -2790,6 +2790,109 @@ FROM dec WHERE i = n
 """
 
 
+def mm13_mulaw_audio_stats(spark, sf_dir):
+    """MM13 — audio statistics THROUGH the real G.711 mu-law decoder
+    (multimodal.mulaw_decode_byte via decode_wav's format-tag
+    dispatch): each payload is an actual companded WAV (tag 7, 8 bits/
+    sample, fact chunk) expanded by the exact segmented closed form
+    ((mant<<3)+0x84)<<exp - 0x84 with the complement and sign fold.
+    The byte stream is the synth closed form, and because mu-law
+    expansion is STATELESS the oracle restates the decoded values as
+    pure per-byte column math — no recursion, the deliberate contrast
+    with mm12's ADPCM recurrence: two compressed audio codecs, two
+    oracle disciplines. Companding is exact (encode(decode(b)) == b
+    for all bytes except the G.711 negative zero, pytest-pinned)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_audio_stats,
+        media_table_synthetic_mulaw,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_stats(media_table_synthetic_mulaw(docs))
+
+
+# sample i of media id m: G.711 expansion of byte (13m + 7i) % 256 —
+# c = 255 - b, mag = ((c%16)*8 + 132) * 2^((c//16)%8) - 132, negative
+# when c >= 128; aggregates over n = 50 + m % 97 samples at 8 kHz
+MM13_SQL = """
+WITH d AS (
+  SELECT media_id, i,
+         CASE WHEN c >= 128 THEN -(((c % 16) * 8 + 132)
+                  * CAST(POWER(2, (c // 16) % 8) AS BIGINT) - 132)
+              ELSE (((c % 16) * 8 + 132)
+                  * CAST(POWER(2, (c // 16) % 8) AS BIGINT) - 132)
+         END AS v
+  FROM (
+    SELECT doc_id AS media_id, i,
+           255 - ((13 * doc_id + 7 * i) % 256) AS c
+    FROM documents, unnest(generate_series(0, 49 + doc_id % 97)) t(i)
+  ) raw
+)
+SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) AS BIGINT) * 1000000 // 8000 AS duration_us,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings
+FROM (SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      FROM d) w
+GROUP BY media_id
+"""
+
+
+def mm14_mjpeg_video_stats(spark, sf_dir):
+    """MM14 — channel statistics THROUGH a real Motion-JPEG decode
+    path (multimodal.decode_avi MJPG branch): each payload is an
+    actual MJPEG AVI — RIFF chunk tree with fourcc/compression 'MJPG'
+    and every '00dc' frame a complete baseline-JPEG byte stream —
+    decoded frame-by-frame through the FULL JPEG codec (huffman ->
+    dequant -> IDCT -> crop) inside the shared decode_video_stats
+    mapInPandas stage. Frames are the JPEG fixed point (mm10's
+    even-offset constant tiles) with the frame index folded into the
+    tile rule, so pixel values across ALL frames stay a closed form of
+    (id, frame) and the oracle restates the sums exactly: a wrong
+    frame order, chunk walk, or any codec defect fails the hash.
+    First COMPRESSED video through the real path — with mm12/mm13
+    audio, every media family now has a real compressed codec
+    (honest residual shrinks to webp/mp3/mp4)."""
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_video_stats,
+        media_table_synthetic_mjpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_video_stats(media_table_synthetic_mjpeg(docs))
+
+
+# gray value at pixel (x, y) of frame f, media id m: the 8x8 tile
+# constant 128 + 2*(((m + 5*(x div 8) + 11*(y div 8) + 7*f) % 61) - 30)
+# over w = 6 + m % 9, h = 5 + m % 7, n_frames = 1 + m % 4
+MM14_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(6 + doc_id % 9 AS INT) AS width,
+         CAST(5 + doc_id % 7 AS INT) AS height,
+         CAST(1 + doc_id % 4 AS INT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT media_id, width, height, n_frames,
+         CAST(list_sum(list_transform(
+             generate_series(0, n_frames * width * height - 1),
+             i -> 128 + 2 * (((media_id
+                 + 5 * (((i % (width * height)) % width) // 8)
+                 + 11 * (((i % (width * height)) // width) // 8)
+                 + 7 * (i // (width * height))) % 61) - 30)
+         )) AS BIGINT) AS sum_gray
+  FROM m
+)
+SELECT media_id, width, height, n_frames,
+       CAST(width * height * n_frames AS BIGINT) AS n_pixels,
+       sum_gray AS sum_r, sum_gray AS sum_g, sum_gray AS sum_b
+FROM s
+"""
+
+
 def mm05_patch_plan(spark, sf_dir):
     """MM05 — ViT-style patch tiling over REALLY-decoded dimensions
     (multimodal.patch_plan): one row per patch with clipped pixel
@@ -9522,26 +9625,30 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # driver rows, oldest first.
     #
     # Round-13 window (verified: exactly 50 above the line):
-    #   1-3   mm11 GIF (full LZW) + mm12 IMA-ADPCM (the last fake-codec
-    #         slots retired) + j15 auto-salted join (a37->j13 loop
+    #   1-5   mm11 GIF (full LZW) + mm12 IMA-ADPCM + mm13 mu-law +
+    #         mm14 Motion-JPEG (every media family now has a real
+    #         compressed codec) + j15 auto-salted join (a37->j13 loop
     #         closed), new this round
-    #   4-13  impl changed this round (re-certify): st22 (replay-
+    #   6-15  impl changed this round (re-certify): st22 (replay-
     #         idempotent merge base), pipe06 (batch_id-keyed idempotent
     #         landing), mm10 (restart-truncation guard + PNG CRC), and
     #         the decode_wav chunk-walk / image-dispatch dependents
     #         mm01 mm04 mm06 mm08 mm09 st16 st21
-    #  14-32  ALL 19 remaining r8-latest-row entries (the r12 verdict's
+    #  16-34  ALL 19 remaining r8-latest-row entries (the r12 verdict's
     #         top item: pipe01 st04-st07 st09-st13 t01-t04 t08 w01 w05
     #         w08 w10)
-    #  33-50  the 18 oldest r9-latest-row entries
-    # Still on r9 rows after this window, queued first for r14 (28):
-    #   d07 d09 f02-f05 m03 q03 q05 st08 st14 t05 t06 t07 t09-t13 t17
-    #   w11-w17 w20
+    #  35-50  the 16 oldest r9-latest-row entries (a01-a17 family, a35,
+    #         a36, d01-d04)
+    # Still on r9 rows after this window, queued first for r14 (30):
+    #   d05 d06 d07 d09 f02-f05 m03 q03 q05 st08 st14 t05 t06 t07
+    #   t09-t13 t17 w11-w17 w20
 
     # ---- new in r13 ----
     "mm11_gif_pixel_stats": (mm11_gif_pixel_stats, MM11_SQL),
     "mm12_adpcm_audio_stats": (mm12_adpcm_audio_stats, MM12_SQL),
     "j15_auto_salted_join": (j15_auto_salted_join, J15_SQL),
+    "mm13_mulaw_audio_stats": (mm13_mulaw_audio_stats, MM13_SQL),
+    "mm14_mjpeg_video_stats": (mm14_mjpeg_video_stats, MM14_SQL),
     # ---- impl changed in r13 (re-certify) ----
     "st22_streaming_rollup_maintenance": (
         st22_streaming_rollup_maintenance, ST22_SQL,
@@ -9596,10 +9703,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "d02_ratekeeper": (d02_ratekeeper, D02_SQL),
     "d03_missing_tlogs": (d03_missing_tlogs, D03_SQL),
     "d04_recovery_loop": (d04_recovery_loop, D04_SQL),
+    # ================= below this line: OUTSIDE the 50-row window =====
+    # ---- latest driver row: r9 (remaining 30) — the r14 queue ----
     "d05_coordination_loss": (d05_coordination_loss, D05_SQL),
     "d06_zscore_hotspots": (d06_zscore_hotspots, D06_SQL),
-    # ================= below this line: OUTSIDE the 50-row window =====
-    # ---- latest driver row: r9 (remaining 28) — the r14 queue ----
     "d07_baseline_window_anomalies": (d07_baseline_window_anomalies, D07_SQL),
     "d09_rollback_analysis": (d09_rollback_analysis, D09_SQL),
     "f02_event_pattern": (f02_event_pattern, F02_SQL),

@@ -1145,14 +1145,15 @@ def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     binary PPM/PGM, 8-bit PNG (zlib inflate + all five row filters),
     baseline sequential JPEG (huffman + dequant + IDCT — the first
     LOSSY codec), and GIF87a/89a (full LZW with variable-width codes
-    and dictionary resets) image streams plus RIFF/WAVE PCM audio —
-    header fields AND the full pixel/sample payload (truncation
-    raises).
+    and dictionary resets) image streams plus RIFF/WAVE audio in PCM
+    16-bit, IMA ADPCM, and G.711 mu-law — header fields AND the full
+    pixel/sample payload (truncation raises).
     Audio maps to the shared metadata schema as width=height=0,
-    n_frames=sample count; uncompressed RIFF/AVI video decodes every
-    DIB frame. Unknown magics (MP4/webp and other codecs needing
-    libraries) raise ValueError — route those to a codec-library
-    backend."""
+    n_frames=sample count; RIFF/AVI video decodes every frame both
+    uncompressed (DIB) and Motion-JPEG ('MJPG' fourcc, each frame
+    through the full JPEG codec). Unknown magics (MP4/webp and other
+    codecs needing libraries) raise ValueError — route those to a
+    codec-library backend."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
         w, h, _ = decode_bmp(payload)
@@ -1454,8 +1455,9 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """Parse a RIFF/WAVE byte stream: walks the chunk list (skipping
     unknown chunks, as a real parser must) and decodes the full sample
-    array — PCM 16-bit directly, IMA ADPCM (format tag 0x11, the first
-    COMPRESSED audio encoding here) through the real block decoder.
+    array — PCM 16-bit directly, IMA ADPCM (format tag 0x11) through
+    the real block decoder, and G.711 mu-law (tag 7) through the exact
+    segmented expansion — two COMPRESSED encodings beside the raw one.
     Returns (sample_rate, channels, samples interleaved). Raises
     ValueError on non-WAV magic, missing fmt/data chunks, other
     encodings, or a truncated data chunk — this decodes the audio
@@ -1487,6 +1489,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         return _decode_ima_adpcm(
             fmt_body, channels, sample_rate, block_align, fact_n, data
         )
+    if audio_format == 7 and bits == 8:
+        if channels != 1:
+            raise ValueError("only mono mu-law supported")
+        if fact_n is not None and fact_n != len(data):
+            raise ValueError("mu-law fact count disagrees with data size")
+        return sample_rate, 1, [mulaw_decode_byte(b) for b in data]
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV encoding (format={audio_format} bits={bits})"
@@ -1667,6 +1675,11 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
         pos = 0
         while pos + 8 <= len(data):
             cid, size = struct.unpack_from("<4sI", data, pos)
+            if pos + 8 + size > len(data):
+                # fail closed: a chunk cut short of its declared size
+                # is a corrupt payload (ValueError), not a silently
+                # truncated slice that struct.errors downstream
+                raise ValueError(f"truncated AVI chunk {cid!r}")
             yield cid, data[pos + 8: pos + 8 + size]
             pos += 8 + size + (size & 1)
 
@@ -1679,10 +1692,14 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
         if ltype == b"hdrl":
             for c2, b2 in subchunks(inner):
                 if c2 == b"avih":
+                    if len(b2) < 56:
+                        raise ValueError("short AVI avih header")
                     avih = struct.unpack_from("<14I", b2)
                 elif c2 == b"LIST" and b2[:4] == b"strl":
                     for c3, b3 in subchunks(b2[4:]):
                         if c3 == b"strf":
+                            if len(b3) < 24:
+                                raise ValueError("short AVI strf header")
                             strf = struct.unpack_from("<IiiHHI", b3)
         elif ltype == b"movi":
             for c2, b2 in subchunks(inner):
@@ -1692,7 +1709,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
         raise ValueError("AVI missing avih or strf header")
     n_frames, width, height = avih[4], avih[8], avih[9]
     _, bw, bh, _, bpp, compression = strf
-    if bpp != 24 or compression != 0:
+    if bpp != 24 or compression not in (0, _MJPG_FOURCC):
         raise ValueError(
             f"unsupported AVI stream (bpp={bpp} compression={compression})"
         )
@@ -1703,6 +1720,19 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
             f"AVI frame count mismatch (header {n_frames}, "
             f"movi {len(frames_raw)})"
         )
+    if compression == _MJPG_FOURCC:
+        # Motion-JPEG: every frame is a complete baseline-JPEG stream
+        # through the full codec; a frame whose decoded dims disagree
+        # with the container header is corrupt (fail closed)
+        out = []
+        for f in frames_raw:
+            fw, fh, pix = decode_jpeg(f)
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    "MJPEG frame dims disagree with AVI header"
+                )
+            out.append(pix)
+        return width, height, out
     return width, height, [
         _bgr_rows_decode(f, width, height) for f in frames_raw
     ]
@@ -2416,6 +2446,209 @@ def media_table_synthetic_adpcm(
                     "payload": [synth_adpcm_payload(int(i)) for i in ids],
                     "media_type": "audio",
                     "meta": [{"source": "synthetic-adpcm"}] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real wheel-free compressed audio codec #2: G.711 mu-law (WAV tag 7)
+# ---------------------------------------------------------------------------
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """Expand one G.711 mu-law byte to a linear sample (exact integer
+    closed form — no state, unlike ADPCM): complement, split
+    sign/exponent/mantissa, rebuild ((mant<<3)+0x84)<<exp minus the
+    bias. Range is +-32124 (the codec's clip)."""
+    b = ~b & 0xFF
+    mag = (((b & 0x0F) << 3) + 0x84) << ((b >> 4) & 7)
+    mag -= 0x84
+    return -mag if b & 0x80 else mag
+
+
+def mulaw_encode_sample(s: int) -> int:
+    """Compress one linear int16 sample to a mu-law byte (G.711
+    segmented companding): clip to 32635, bias, locate the exponent
+    segment, take the 4 mantissa bits, complement."""
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    if s > 32635:
+        s = 32635
+    s += 0x84
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not s & mask:
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_mulaw_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode mono int16 samples as a REAL G.711 mu-law WAV (format
+    tag 7, 8 bits per sample — half the size of PCM16 at telephony
+    quality): fmt with the (empty) cbSize extension, fact with the
+    sample count, data = one companded byte per sample."""
+    if any(s < -32768 or s > 32767 for s in samples):
+        raise ValueError("samples must fit int16")
+    body = bytes(mulaw_encode_sample(s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0
+    )
+    fact = struct.pack("<I", len(samples))
+    return (
+        struct.pack(
+            "<4sI4s", b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(body), b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", len(fact)) + fact
+        + struct.pack("<4sI", b"data", len(body)) + body
+    )
+
+
+def synth_mulaw_payload(media_id: int) -> bytes:
+    """Deterministic REAL mu-law WAV bytes: the BYTE stream is the
+    closed form (byte i = (13*id + 7*i) % 256 over n = 50 + id % 97
+    samples at 8 kHz), so the decoded samples are the stateless G.711
+    expansion of known bytes — restatable in oracle SQL as pure column
+    math per byte, no recursion (the contrast with ADPCM's recurrence
+    is the point: two compressed codecs, two oracle disciplines)."""
+    n = 50 + media_id % 97
+    body = bytes((13 * media_id + 7 * i) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+    fact = struct.pack("<I", n)
+    return (
+        struct.pack(
+            "<4sI4s", b"RIFF",
+            4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(body), b"WAVE",
+        )
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", len(fact)) + fact
+        + struct.pack("<4sI", b"data", len(body)) + body
+    )
+
+
+def media_table_synthetic_mulaw(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A media table whose payloads are REAL mu-law WAV byte streams
+    (synth_mulaw_payload), one narrow mapInPandas stage."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [synth_mulaw_payload(int(i)) for i in ids],
+                    "media_type": "audio",
+                    "meta": [{"source": "synthetic-mulaw"}] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(_make, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real wheel-free compressed VIDEO codec: Motion-JPEG AVI ('00dc' frames)
+# ---------------------------------------------------------------------------
+
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: list[list[tuple]],
+    fps: int = 10,
+    quality: int = 50,
+    grayscale: bool = True,
+) -> bytes:
+    """Encode RGB frames as a REAL Motion-JPEG AVI: the same RIFF
+    container as :func:`encode_avi` but the stream fourcc/compression
+    is 'MJPG' and every '00dc' frame body is a complete baseline-JPEG
+    byte stream from :func:`encode_jpeg` — the standard capture-card /
+    webcam format, and the first COMPRESSED video here (each frame
+    rides the full huffman/DCT codec)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return struct.pack("<4sI", cid, len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    bodies = [
+        encode_jpeg(width, height, f, quality=quality, grayscale=grayscale)
+        for f in frames
+    ]
+    max_size = max(len(b) for b in bodies) if bodies else 0
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_size * fps, 0, 0, len(frames),
+        0, 1, max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), max_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG_FOURCC, max_size,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in bodies))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def synth_mjpeg_payload(media_id: int) -> bytes:
+    """Deterministic REAL Motion-JPEG AVI bytes whose decode is exact:
+    every frame is the JPEG codec's fixed point (grayscale constant
+    8x8 tiles at even offsets from 128 — the mm10 trick) with the
+    frame index folded into the tile rule, so decoded pixel values
+    across ALL frames stay a closed form of (id, frame):
+    v = 128 + 2*(((id + 5*bx + 11*by + 7*f) % 61) - 30) over
+    w = 6 + id % 9, h = 5 + id % 7, n_frames = 1 + id % 4."""
+    w = 6 + media_id % 9
+    h = 5 + media_id % 7
+    n = 1 + media_id % 4
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    frames = []
+    for f in range(n):
+        pixels = [(0, 0, 0)] * (w * h)
+        for by in range(bh):
+            for bx in range(bw):
+                v = 128 + 2 * (
+                    ((media_id + 5 * bx + 11 * by + 7 * f) % 61) - 30
+                )
+                for yy in range(by * 8, min(by * 8 + 8, h)):
+                    for xx in range(bx * 8, min(bx * 8 + 8, w)):
+                        pixels[yy * w + xx] = (v, v, v)
+        frames.append(pixels)
+    return encode_avi_mjpeg(w, h, frames, quality=50, grayscale=True)
+
+
+def media_table_synthetic_mjpeg(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """A media table whose payloads are REAL Motion-JPEG AVI byte
+    streams (synth_mjpeg_payload), one narrow mapInPandas stage."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [synth_mjpeg_payload(int(i)) for i in ids],
+                    "media_type": "video",
+                    "meta": [{"source": "synthetic-mjpeg"}] * len(ids),
                 }
             )
 

@@ -3414,6 +3414,126 @@ def test_adpcm_codec_recurrence_roundtrip_golden_and_errors():
         encode_adpcm_wav(8000, [40000])
 
 
+def test_mulaw_codec_closed_form_roundtrip_and_errors():
+    """The G.711 mu-law codec (WAV tag 7): the expansion is a STATELESS
+    exact closed form per byte — pinned against the SQL-style integer
+    restatement for all 256 codes — companding re-encodes every byte
+    exactly (except the negative zero, which folds to +0 -> 0xFF, the
+    G.711 quirk), a sine round-trips at >30 dB SNR at half PCM16 size,
+    and the synth payload is golden-pinned with the full fail-closed
+    truncation sweep."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_wav,
+        encode_mulaw_wav,
+        encode_wav,
+        mulaw_decode_byte,
+        mulaw_encode_sample,
+        synth_mulaw_payload,
+    )
+
+    # closed form == the oracle's SQL restatement, all 256 codes
+    for b in range(256):
+        c = 255 - b
+        mag = ((c % 16) * 8 + 132) * (2 ** ((c // 16) % 8)) - 132
+        assert mulaw_decode_byte(b) == (-mag if c >= 128 else mag)
+    # companding identity (negative zero documented)
+    for b in range(256):
+        if b != 127:
+            assert mulaw_encode_sample(mulaw_decode_byte(b)) == b
+    assert mulaw_decode_byte(127) == 0 and mulaw_encode_sample(0) == 255
+
+    sig = [int(12000 * math.sin(i / 15)) for i in range(3000)]
+    enc = encode_mulaw_wav(8000, sig)
+    assert len(enc) < len(encode_wav(8000, sig)) / 1.9  # ~2x smaller
+    rate, ch, dec = decode_wav(enc)
+    assert (rate, ch, len(dec)) == (8000, 1, 3000)
+    err = sum((a - b) ** 2 for a, b in zip(sig, dec)) / sum(
+        a * a for a in sig
+    )
+    assert -10 * math.log10(err) > 30  # SNR dB
+
+    p3 = synth_mulaw_payload(3)
+    assert hashlib.sha256(p3).hexdigest() == (
+        "d6d65e71649a38c934838cd2847b62e71a78e215a74caea21728f6159314d8db"
+    )
+    assert len(p3) == 111
+    rate, ch, samples = decode_wav(p3)
+    n = 50 + 3 % 97
+    assert (rate, ch, len(samples)) == (8000, 1, n)
+    assert all(
+        samples[i] == mulaw_decode_byte((13 * 3 + 7 * i) % 256)
+        for i in range(n)
+    )
+    for cut in range(len(p3)):
+        with pytest.raises(ValueError):
+            decode_wav(p3[:cut])
+    with pytest.raises(ValueError):
+        encode_mulaw_wav(8000, [40000])
+
+
+def test_mjpeg_avi_codec_closed_form_and_errors():
+    """Motion-JPEG AVI — the first COMPRESSED video: every '00dc'
+    frame is a complete baseline-JPEG stream decoded through the full
+    codec, with the frame index folded into the fixed-point tile rule
+    so all frames' pixels stay a closed form of (id, frame). Pins the
+    synth bytes, the per-frame closed form, the fail-closed truncation
+    sweep (which also hardened the shared AVI chunk walk), dim
+    mismatch, and that the uncompressed DIB path is untouched."""
+    import hashlib
+
+    import pytest
+
+    from db_loganalyzer_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        encode_avi_mjpeg,
+        synth_mjpeg_payload,
+        synth_video_payload,
+    )
+
+    p3 = synth_mjpeg_payload(3)
+    assert hashlib.sha256(p3).hexdigest() == (
+        "f888d5fa54a97e7382e7866b9d7c80cafdd2a18533f4eeac797da8dafbadb6e0"
+    )
+    w, h, frames = decode_avi(p3)
+    assert (w, h, len(frames)) == (6 + 3 % 9, 5 + 3 % 7, 1 + 3 % 4)
+    for f, fr in enumerate(frames):
+        for i, rgb in enumerate(fr):
+            x, y = i % w, i // w
+            v = 128 + 2 * (((3 + 5 * (x // 8) + 11 * (y // 8) + 7 * f)
+                            % 61) - 30)
+            assert rgb == (v, v, v), (f, i)
+
+    # uncompressed DIB path untouched
+    dw, dh, dfr = decode_avi(encode_avi(4, 3, [[(9, 8, 7)] * 12] * 2))
+    assert (dw, dh, len(dfr)) == (4, 3, 2) and dfr[0][0] == (9, 8, 7)
+
+    # fail-closed: every truncation length raises ValueError (pins the
+    # chunk-walk hardening for BOTH the MJPEG and DIB payloads)
+    for payload in (p3, synth_video_payload(9)):
+        for cut in range(len(payload)):
+            with pytest.raises(ValueError):
+                decode_avi(payload[:cut])
+
+    # a frame whose decoded dims disagree with the container header
+    img = [(128, 128, 128)] * 20
+    good = encode_avi_mjpeg(5, 4, [img])
+    bad = encode_avi_mjpeg(5, 4, [img])
+    # graft the 5x4 frame into a container claiming 6x4
+    wrong = encode_avi_mjpeg(6, 4, [[(128, 128, 128)] * 24])
+    frame_at = good.index(b"00dc")
+    wrong_hdr = wrong[: wrong.index(b"00dc")]
+    graft = wrong_hdr + good[frame_at:]
+    with pytest.raises(ValueError):
+        decode_avi(graft)
+    assert decode_avi(bad)[0] == 5  # sanity: unmodified decodes
+
+
 def test_winnowing_index_stop_fingerprint_cap(spark):
     """The index-build max_doc_freq dial: a fingerprint present in more
     corpus docs than the cap disappears from the exploded join keys
