@@ -2351,9 +2351,9 @@ def encode_adpcm_wav(sample_rate: int, samples: list[int]) -> bytes:
     for start in range(0, len(samples), spb):
         chunk = samples[start: start + spb]
         pred = chunk[0]
-        # seed the index with the best match for the block's first
-        # residual (standard encoder practice; any idx decodes
-        # correctly since it ships in the header)
+        # the step index carries ACROSS blocks (standard encoder
+        # practice — it tracks the signal's recent dynamics); any
+        # value decodes correctly since it ships in the block header
         body += struct.pack("<hBB", pred, idx, 0)
         nibbles: list[int] = []
         for s in chunk[1:]:
