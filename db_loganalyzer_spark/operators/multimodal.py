@@ -27,7 +27,9 @@ from __future__ import annotations
 import math
 import struct
 from collections.abc import Callable, Iterator
+from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,14 +71,15 @@ def encode_bmp(width: int, height: int, pixels: list[tuple]) -> bytes:
         raise ValueError("pixels must hold width*height RGB tuples")
     row_size = (3 * width + 3) // 4 * 4
     image_size = row_size * height
-    body = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        row = bytearray()
-        for x in range(width):
-            r, g, b = pixels[y * width + x]
-            row += bytes((b, g, r))  # BGR on disk
-        row += b"\x00" * (row_size - len(row))
-        body += row
+    # vectorized bottom-up padded BGR rows (same bytes as the loops)
+    arr = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("bytes must be in range(0, 256)")
+    rows = np.zeros((height, row_size), dtype=np.uint8)
+    rows[:, : 3 * width] = (
+        arr.astype(np.uint8)[::-1, :, ::-1].reshape(height, 3 * width)
+    )
+    body = rows.tobytes()
     header = struct.pack(
         "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
     ) + struct.pack(
@@ -86,12 +89,32 @@ def encode_bmp(width: int, height: int, pixels: list[tuple]) -> bytes:
     return header + bytes(body)
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Parse a 24-bit uncompressed BMP: returns (width, height, pixels)
-    with pixels as a top-down row-major list of (r, g, b). Raises
-    ValueError on anything that is not a well-formed 24-bit BI_RGB BMP —
-    truncated pixel arrays included (this decodes the pixel data, not
-    just the header)."""
+def _pixels_to_tuples(rgb: "np.ndarray") -> list[tuple]:
+    """(n, 3) int array -> the row-major (r, g, b) tuple list of the
+    public codec contract."""
+    cols = rgb.T.tolist()
+    return list(zip(cols[0], cols[1], cols[2]))
+
+
+def _dib_rows_to_rgb(
+    data: bytes, width: int, height: int, offset: int, top_down: bool
+) -> "np.ndarray":
+    """Vectorized DIB pixel-array decode (the layout BMP bodies and
+    uncompressed AVI frames share): 4-byte-padded BGR rows, bottom-up
+    unless ``top_down`` — returns (h*w, 3) int64 RGB. Caller validates
+    length."""
+    row_size = (3 * width + 3) // 4 * 4
+    arr = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * height, offset=offset
+    ).reshape(height, row_size)
+    rows = arr[:, : 3 * width].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].reshape(-1, 3).astype(np.int64)
+
+
+def _decode_bmp_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_bmp's engine, returning (h*w, 3) int64 RGB."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -108,14 +131,19 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple]]:
     row_size = (3 * width + 3) // 4 * 4
     if len(payload) < data_offset + row_size * height:
         raise ValueError("truncated BMP pixel array")
-    pixels = [None] * (width * height)
-    for stored_y in range(height):
-        y = stored_y if top_down else height - 1 - stored_y
-        base = data_offset + stored_y * row_size
-        for x in range(width):
-            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
-            pixels[y * width + x] = (r, g, b)
-    return width, height, pixels
+    return width, height, _dib_rows_to_rgb(
+        payload, width, height, data_offset, top_down
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, pixels)
+    with pixels as a top-down row-major list of (r, g, b). Raises
+    ValueError on anything that is not a well-formed 24-bit BI_RGB BMP —
+    truncated pixel arrays included (this decodes the pixel data, not
+    just the header)."""
+    width, height, rgb = _decode_bmp_arrays(payload)
+    return width, height, _pixels_to_tuples(rgb)
 
 
 def encode_ppm(width: int, height: int, pixels: list[tuple]) -> bytes:
@@ -123,10 +151,11 @@ def encode_ppm(width: int, height: int, pixels: list[tuple]) -> bytes:
     (P6, maxval 255)."""
     if len(pixels) != width * height:
         raise ValueError("pixels must hold width*height RGB tuples")
-    body = bytearray()
-    for r, g, b in pixels:
-        body += bytes((r, g, b))
-    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
+    arr = np.asarray(pixels, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("bytes must be in range(0, 256)")
+    body = arr.astype(np.uint8).tobytes()
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
 
 
 def _ppm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
@@ -154,10 +183,8 @@ def _ppm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
     return magic, fields[0], fields[1], fields[2], pos + 1
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Parse binary PPM (P6) or PGM (P5): returns (width, height,
-    pixels) as top-down row-major (r, g, b) — PGM gray replicated to
-    three channels. Validates the full pixel payload length."""
+def _decode_ppm_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_ppm's engine, returning (h*w, 3) int64 RGB."""
     magic, width, height, maxval, off = _ppm_header(payload)
     if magic not in (b"P6", b"P5"):
         raise ValueError(f"unsupported PNM magic {magic!r}")
@@ -167,15 +194,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple]]:
     need = width * height * nch
     if len(payload) < off + need:
         raise ValueError("truncated PNM pixel data")
-    body = payload[off: off + need]
+    body = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
     if nch == 3:
-        pixels = [
-            (body[3 * i], body[3 * i + 1], body[3 * i + 2])
-            for i in range(width * height)
-        ]
+        rgb = body.reshape(-1, 3).astype(np.int64)
     else:
-        pixels = [(body[i], body[i], body[i]) for i in range(width * height)]
-    return width, height, pixels
+        rgb = np.repeat(body.astype(np.int64).reshape(-1, 1), 3, axis=1)
+    return width, height, rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse binary PPM (P6) or PGM (P5): returns (width, height,
+    pixels) as top-down row-major (r, g, b) — PGM gray replicated to
+    three channels. Validates the full pixel payload length."""
+    width, height, rgb = _decode_ppm_arrays(payload)
+    return width, height, _pixels_to_tuples(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -254,45 +286,44 @@ def encode_png(
     if len(pixels) != width * height:
         raise ValueError("pixels must hold width*height RGB tuples")
     bpp = 3
+    # vectorized per-row filtering: unlike DECODE, encode-side
+    # predictions read only ORIGINAL row/prev samples, so every filter
+    # (Sub/Up/Average/Paeth included) is elementwise — identical bytes
+    # to the scalar loops
+    arr = np.asarray(pixels, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("bytes must be in range(0, 256)")
+    rows = arr.astype(np.int64).reshape(height, bpp * width)
     raw = bytearray()
-    prev = bytes(bpp * width)
+    prev = np.zeros(bpp * width, dtype=np.int64)
     for y in range(height):
-        row = bytearray()
-        for x in range(width):
-            row += bytes(pixels[y * width + x])
+        row = rows[y]
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp])) \
+            if len(row) > bpp else np.zeros_like(row)
         ftype = y % 5
         raw += bytes((ftype,))
         if ftype == 0:
-            raw += row
+            enc = row
         elif ftype == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(len(row))
-            )
+            enc = (row - left) & 0xFF
         elif ftype == 2:  # Up
-            raw += bytes(
-                (row[i] - prev[i]) & 0xFF for i in range(len(row))
-            )
+            enc = (row - prev) & 0xFF
         elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
-                & 0xFF
-                for i in range(len(row))
-            )
+            enc = (row - (left + prev) // 2) & 0xFF
         else:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(len(row))
+            ul = np.concatenate(
+                (np.zeros(bpp, dtype=np.int64), prev[:-bpp])
+            ) if len(row) > bpp else np.zeros_like(row)
+            p = left + prev - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
             )
-        prev = bytes(row)
+            enc = (row - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
     idat = (
         _zlib_stored(bytes(raw))
         if compress_level is None
@@ -307,13 +338,10 @@ def encode_png(
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Decode an 8-bit truecolor (color type 2) or grayscale (0) PNG:
-    signature + chunk walk, zlib inflate of the concatenated IDATs,
-    then reversal of the per-row filter (all five types). Returns
-    (width, height, pixels) as top-down row-major (r, g, b) — gray
-    replicated to three channels. Interlace, palettes, and other bit
-    depths raise ValueError (route to a codec library)."""
+def _decode_png_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_png's engine, returning (h*w, 3) int64 RGB. The per-row
+    filter reversal stays a byte loop (types 1/3/4 carry a left-pixel
+    dependency), but pixel materialization is vectorized."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -384,14 +412,23 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out += row
         prev = bytes(row)
+    flat = np.frombuffer(bytes(out), dtype=np.uint8)
     if bpp == 3:
-        pixels = [
-            (out[3 * i], out[3 * i + 1], out[3 * i + 2])
-            for i in range(width * height)
-        ]
+        rgb = flat.reshape(-1, 3).astype(np.int64)
     else:
-        pixels = [(out[i], out[i], out[i]) for i in range(width * height)]
-    return width, height, pixels
+        rgb = np.repeat(flat.astype(np.int64).reshape(-1, 1), 3, axis=1)
+    return width, height, rgb
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Decode an 8-bit truecolor (color type 2) or grayscale (0) PNG:
+    signature + chunk walk, zlib inflate of the concatenated IDATs,
+    then reversal of the per-row filter (all five types). Returns
+    (width, height, pixels) as top-down row-major (r, g, b) — gray
+    replicated to three channels. Interlace, palettes, and other bit
+    depths raise ValueError (route to a codec library)."""
+    width, height, rgb = _decode_png_arrays(payload)
+    return width, height, _pixels_to_tuples(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +529,17 @@ def _jpeg_quality_scale(table: list[int], quality: int) -> list[int]:
     return [max(1, min(255, (t * s + 50) // 100)) for t in table]
 
 
+@lru_cache(maxsize=64)
+def _jpeg_quality_tables(quality: int) -> tuple[list[int], list[int]]:
+    """(luma, chroma) quality-scaled quant tables, cached per quality —
+    rebuilding them per image was pure per-row overhead in the encode
+    stage."""
+    return (
+        _jpeg_quality_scale(_JPEG_Q_LUMA, quality),
+        _jpeg_quality_scale(_JPEG_Q_CHROMA, quality),
+    )
+
+
 def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict:
     """Canonical huffman codes (T.81 C.2): value -> (code, length)."""
     codes = {}
@@ -506,53 +554,57 @@ def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict:
     return codes
 
 
+# the Annex-K typical tables are the only ones the encoder ever emits:
+# build their canonical code maps once instead of per image
+_JPEG_ENC_CODES = (
+    _jpeg_build_codes(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS),
+    _jpeg_build_codes(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS),
+    _jpeg_build_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS),
+    _jpeg_build_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
+)
+
+
 _JPEG_COS = [
     [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
     for x in range(8)
 ]
 _JPEG_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
-
-def _fdct8x8(block: list[int]) -> list[float]:
-    """Forward 8x8 DCT-II (T.81 A.3.3), separable, float."""
-    tmp = [0.0] * 64
-    for y in range(8):
-        for u in range(8):
-            tmp[y * 8 + u] = sum(
-                block[y * 8 + x] * _JPEG_COS[x][u] for x in range(8)
-            )
-    out = [0.0] * 64
-    for u in range(8):
-        for v in range(8):
-            s = sum(tmp[y * 8 + v] * _JPEG_COS[y][u] for y in range(8))
-            out[u * 8 + v] = 0.25 * _JPEG_C[u] * _JPEG_C[v] * s
-    return out
+# numpy mirrors of the DCT constants for the batched transforms; the
+# per-element products are the same IEEE doubles as the scalar T.81
+# loops they replaced, so decoded values are unchanged (the equality is
+# additionally pinned by the golden-bitstream tests)
+_JPEG_COS_NP = np.array(_JPEG_COS)
+_JPEG_C_NP = np.array(_JPEG_C)
+_JPEG_FDCT_SCALE = np.array(
+    [[0.25 * _JPEG_C[u] * _JPEG_C[v] for v in range(8)] for u in range(8)]
+)
+_JPEG_ZZ_NP = np.array(_JPEG_ZIGZAG)
 
 
-def _idct8x8(coefs: list[float]) -> list[int]:
-    """Inverse 8x8 DCT (T.81 A.3.3), separable, float; DC-only blocks
-    short-circuit to the exact constant (what every real decoder does —
-    and the path that makes the even-tile oracle payloads bit-exact)."""
-    if not any(coefs[1:]):
-        v = int(round(coefs[0] / 8.0 + 128.0))
-        return [max(0, min(255, v))] * 64
-    tmp = [0.0] * 64
-    for u in range(8):
-        row = coefs[u * 8: u * 8 + 8]
-        for x in range(8):
-            tmp[u * 8 + x] = sum(
-                _JPEG_C[v] * row[v] * _JPEG_COS[x][v] for v in range(8)
-            )
-    out = [0] * 64
-    for y in range(8):
-        for x in range(8):
-            s = sum(
-                _JPEG_C[u] * tmp[u * 8 + x] * _JPEG_COS[y][u]
-                for u in range(8)
-            )
-            v = int(round(s * 0.25 + 128.0))
-            out[y * 8 + x] = max(0, min(255, v))
-    return out
+def _fdct_blocks(blocks: "np.ndarray") -> "np.ndarray":
+    """Forward 8x8 DCT-II (T.81 A.3.3), separable, float — batched over
+    (n, 8, 8) blocks: tmp = B @ COS, out = scale * (COSᵀ @ tmp)."""
+    tmp = blocks @ _JPEG_COS_NP
+    return _JPEG_FDCT_SCALE * np.matmul(_JPEG_COS_NP.T, tmp)
+
+
+def _idct_blocks(coefs: "np.ndarray") -> "np.ndarray":
+    """Inverse 8x8 DCT (T.81 A.3.3), separable, float — batched over
+    (n, 8, 8) natural-order coefficient blocks; returns clamped level-
+    shifted int64 samples. DC-only blocks must go through
+    _idct_dc_only instead (the decoder routes them there, matching the
+    short-circuit every real decoder takes)."""
+    tmp = (_JPEG_C_NP[None, None, :] * coefs) @ _JPEG_COS_NP.T
+    s = np.matmul(_JPEG_COS_NP, _JPEG_C_NP[:, None] * tmp)
+    return np.clip(np.rint(s * 0.25 + 128.0), 0, 255).astype(np.int64)
+
+
+def _idct_dc_only(dc: "np.ndarray") -> "np.ndarray":
+    """The DC-only IDCT short-circuit, batched: constant 8x8 blocks at
+    round(dc/8 + 128) — the exact path that keeps the even-tile oracle
+    payloads bit-for-bit."""
+    return np.clip(np.rint(dc / 8.0 + 128.0), 0, 255).astype(np.int64)
 
 
 class _JpegBitWriter:
@@ -595,23 +647,17 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def _jpeg_encode_block(
+def _jpeg_write_block(
     w: _JpegBitWriter,
-    block: list[int],
+    q: list[int],
     pred: int,
     dc_codes: dict,
     ac_codes: dict,
-    qtab: list[int],
 ) -> int:
-    coefs = _fdct8x8(block)
-    # qtab is in NATURAL order; q[] is the zigzag scan, so both the
-    # coefficient and its quantum are looked up through the zigzag map
-    # (the DQT segment then stores the quanta in the same scan order,
-    # as T.81 B.2.4.1 requires)
-    q = [
-        int(round(coefs[_JPEG_ZIGZAG[i]] / qtab[_JPEG_ZIGZAG[i]]))
-        for i in range(64)
-    ]
+    """Entropy-code one already-quantized block (zigzag order). The
+    FDCT + quantization happen batched in encode_jpeg (numpy over every
+    block of the plane at once); only the inherently sequential huffman
+    bit stream is written per block."""
     cat, bits = _jpeg_magnitude(q[0] - pred)
     code, length = dc_codes[cat]
     w.write(code, length)
@@ -660,27 +706,28 @@ def encode_jpeg(
     encoders use for error resilience."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    qly = _jpeg_quality_scale(_JPEG_Q_LUMA, quality)
-    qch = _jpeg_quality_scale(_JPEG_Q_CHROMA, quality)
-    dcl = _jpeg_build_codes(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
-    acl = _jpeg_build_codes(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
-    dcc = _jpeg_build_codes(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
-    acc_ = _jpeg_build_codes(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    qly, qch = _jpeg_quality_tables(quality)
+    dcl, acl, dcc, acc_ = _JPEG_ENC_CODES
 
     ncomp = 1 if grayscale else 3
-    # component planes, level-shifted
-    planes = [[0] * (width * height) for _ in range(ncomp)]
-    for i, px in enumerate(pixels):
-        r, g, b = px
-        if grayscale:
-            planes[0][i] = r - 128
-        else:
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-            planes[0][i] = int(round(y)) - 128
-            planes[1][i] = max(0, min(255, int(round(cb)))) - 128
-            planes[2][i] = max(0, min(255, int(round(cr)))) - 128
+    # component planes, level-shifted — vectorized, same per-element
+    # arithmetic as the scalar loop it replaced (elementwise IEEE ops
+    # and round-half-even are order-independent, so identical values)
+    px = np.asarray(pixels, dtype=np.int64).reshape(-1, 3)
+    if grayscale:
+        planes = [px[:, 0] - 128]
+    else:
+        r = px[:, 0].astype(np.float64)
+        g = px[:, 1].astype(np.float64)
+        b = px[:, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [
+            np.rint(y).astype(np.int64) - 128,
+            np.clip(np.rint(cb), 0, 255).astype(np.int64) - 128,
+            np.clip(np.rint(cr), 0, 255).astype(np.int64) - 128,
+        ]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -726,33 +773,53 @@ def encode_jpeg(
     for c in range(ncomp):
         sh, sv = samps[c]
         if (sh, sv) == (2, 2) or ncomp == 1 or not sub420 or c == 0:
-            cplanes.append(planes[c])
+            cplanes.append(planes[c].reshape(height, width))
             cdims.append((width, height))
         else:
             cw, ch = (width + 1) // 2, (height + 1) // 2
-            half = [0] * (cw * ch)
-            src = planes[c]
-            for y in range(ch):
-                y0 = 2 * y
-                y1 = min(2 * y + 1, height - 1)
-                for x in range(cw):
-                    x0 = 2 * x
-                    x1 = min(2 * x + 1, width - 1)
-                    acc = (
-                        src[y0 * width + x0] + src[y0 * width + x1]
-                        + src[y1 * width + x0] + src[y1 * width + x1]
-                    )
-                    # round-half-up of the mean of four level-shifted
-                    # samples (acc may be negative: floor-div of acc+2)
-                    half[y * cw + x] = (acc + 2) >> 2
-            cplanes.append(half)
+            src = planes[c].reshape(height, width)
+            x0 = 2 * np.arange(cw)
+            x1 = np.minimum(x0 + 1, width - 1)
+            y0 = 2 * np.arange(ch)
+            y1 = np.minimum(y0 + 1, height - 1)
+            acc = (
+                src[np.ix_(y0, x0)] + src[np.ix_(y0, x1)]
+                + src[np.ix_(y1, x0)] + src[np.ix_(y1, x1)]
+            )
+            # round-half-up of the mean of four level-shifted samples
+            # (acc may be negative: floor-div of acc+2 — int64 >> is
+            # the same arithmetic shift as Python's)
+            cplanes.append((acc + 2) >> 2)
             cdims.append((cw, ch))
 
-    w = _JpegBitWriter()
     hmax = max(sh for sh, _ in samps)
     vmax = max(sv for _, sv in samps)
     n_mcux = (width + 8 * hmax - 1) // (8 * hmax)
     n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    # every component's blocks FDCT'd + quantized in one batched numpy
+    # pass (edge replication == the min() clamp of the scalar walk);
+    # the entropy coder below then just reads quantized ints
+    cquant: list[list[list[int]]] = []
+    cgw: list[int] = []
+    for c in range(ncomp):
+        sh, sv = samps[c]
+        cw, ch = cdims[c]
+        gh, gw = n_mcuy * sv, n_mcux * sh
+        pad = np.pad(
+            cplanes[c], ((0, gh * 8 - ch), (0, gw * 8 - cw)), mode="edge"
+        )
+        blocks = (
+            pad.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+            .reshape(gh * gw, 8, 8).astype(np.float64)
+        )
+        coefs = _fdct_blocks(blocks).reshape(-1, 64)
+        qtab = np.asarray(qly if c == 0 else qch, dtype=np.float64)
+        q = np.rint(coefs / qtab[None, :]).astype(np.int64)
+        cquant.append(q[:, _JPEG_ZZ_NP].tolist())
+        cgw.append(gw)
+
+    w = _JpegBitWriter()
     preds = [0] * ncomp
     mcu = 0
     for my in range(n_mcuy):
@@ -763,25 +830,15 @@ def encode_jpeg(
             mcu += 1
             for c in range(ncomp):
                 sh, sv = samps[c]
-                cw, ch = cdims[c]
-                plane = cplanes[c]
                 for iby in range(sv):
                     for ibx in range(sh):
-                        block = [0] * 64
-                        row0 = (my * sv + iby) * 8
-                        col0 = (mx * sh + ibx) * 8
-                        for yy in range(8):
-                            sy = min(row0 + yy, ch - 1)
-                            for xx in range(8):
-                                sx = min(col0 + xx, cw - 1)
-                                block[yy * 8 + xx] = plane[sy * cw + sx]
-                        preds[c] = _jpeg_encode_block(
+                        gidx = (my * sv + iby) * cgw[c] + (mx * sh + ibx)
+                        preds[c] = _jpeg_write_block(
                             w,
-                            block,
+                            cquant[c][gidx],
                             preds[c],
                             dcl if c == 0 else dcc,
                             acl if c == 0 else acc_,
-                            qly if c == 0 else qch,
                         )
     out += w.flush()
     out += b"\xFF\xD9"  # EOI
@@ -865,8 +922,11 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits - (1 << cat) + 1
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Decode a BASELINE sequential-DCT JPEG (ITU T.81): marker walk
+def _decode_jpeg_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_jpeg's engine, returning the pixels as an (h*w, 3) int64
+    numpy array — the form the batched stats stages consume without
+    materializing per-pixel tuples. Decode a BASELINE sequential-DCT
+    JPEG (ITU T.81): marker walk
     (DQT 8/16-bit, DHT, SOF0, DRI, SOS; APPn/COM skipped), canonical
     huffman entropy decode with restart-marker support, dequantize,
     inverse zigzag, float IDCT (DC-only short-circuit), level shift +
@@ -1009,12 +1069,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
     n_mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     pws = [n_mcux * 8 * sh for sh, _ in samps]
     planes = [
-        [0] * (pws[s] * n_mcuy * 8 * sv)
+        np.zeros((n_mcuy * 8 * sv, pws[s]), dtype=np.int64)
         for s, (_, sv) in enumerate(samps)
     ]
     reader = _JpegBitReader(d, pos)
     preds = [0] * ncomp
     mcu = 0
+    # entropy decode is inherently sequential (huffman bit stream), so
+    # it stays a Python loop — but it now only COLLECTS each block's
+    # zigzag coefficients + grid position; dequantize / inverse zigzag /
+    # IDCT run batched in numpy afterwards (identical per-element
+    # arithmetic, and blocks the stream never reached stay zero exactly
+    # as the scalar walk left them)
+    cblocks: list[list[list[int]]] = [[] for _ in scan]
+    cpos: list[list[int]] = [[] for _ in scan]
     try:
         for my in range(n_mcuy):
             for mx in range(n_mcux):
@@ -1026,14 +1094,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                     sh, sv = samps[s]
                     dc_tab = htabs[(0, dct)]
                     ac_tab = htabs[(1, act)]
-                    qtab = qtabs[comps[ci][2]]
                     for iby in range(sv):
                         for ibx in range(sh):
                             zz = [0] * 64
                             cat = _jpeg_decode_huff(reader, dc_tab)
                             diff = _jpeg_extend(reader.read_bits(cat), cat)
                             preds[s] += diff
-                            zz[0] = preds[s] * qtab[0]
+                            zz[0] = preds[s]
                             k = 1
                             while k < 64:
                                 rs = _jpeg_decode_huff(reader, ac_tab)
@@ -1046,57 +1113,73 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
                                 k += r
                                 if k > 63:
                                     raise ValueError("JPEG AC run overflow")
-                                zz[k] = (
-                                    _jpeg_extend(reader.read_bits(c), c)
-                                    * qtab[k]
-                                )
+                                zz[k] = _jpeg_extend(reader.read_bits(c), c)
                                 k += 1
-                            coefs = [0.0] * 64
-                            for i in range(64):
-                                coefs[_JPEG_ZIGZAG[i]] = zz[i]
-                            blk = _idct8x8(coefs)
-                            plane = planes[s]
-                            pw = pws[s]
-                            row0 = (my * sv + iby) * 8
-                            col0 = (mx * sh + ibx) * 8
-                            for yy in range(8):
-                                dst = (row0 + yy) * pw + col0
-                                plane[dst: dst + 8] = blk[
-                                    yy * 8: yy * 8 + 8
-                                ]
+                            cblocks[s].append(zz)
+                            cpos[s].append(
+                                (my * sv + iby) * (n_mcux * sh)
+                                + (mx * sh + ibx)
+                            )
     except _JpegMarkerHit as hit:
         if hit.marker != 0xD9:
             raise ValueError(f"unexpected JPEG marker 0x{hit.marker:02X}")
-    def sample(s: int, x: int, y: int) -> int:
-        # nearest-neighbor chroma upsampling (the standard fast path):
-        # component sample coordinate = pixel coordinate scaled by the
-        # component's sampling factor over the max factor
+    for s, (ci, _, _) in enumerate(scan):
+        if not cblocks[s]:
+            continue
         sh, sv = samps[s]
-        return planes[s][(y * sv // vmax) * pws[s] + (x * sh // hmax)]
+        qtab = np.asarray(qtabs[comps[ci][2]][:64], dtype=np.int64)
+        zzarr = np.asarray(cblocks[s], dtype=np.int64) * qtab[None, :]
+        nat = np.zeros((len(zzarr), 64), dtype=np.int64)
+        nat[:, _JPEG_ZZ_NP] = zzarr
+        vals = np.empty((len(nat), 8, 8), dtype=np.int64)
+        dc_only = ~nat[:, 1:].any(axis=1)
+        if dc_only.any():
+            vals[dc_only] = _idct_dc_only(
+                nat[dc_only, 0].astype(np.float64)
+            )[:, None, None]
+        if (~dc_only).any():
+            vals[~dc_only] = _idct_blocks(
+                nat[~dc_only].reshape(-1, 8, 8).astype(np.float64)
+            )
+        plane, gw = planes[s], n_mcux * sh
+        for i, gidx in enumerate(cpos[s]):
+            gy, gx = divmod(gidx, gw)
+            plane[gy * 8: gy * 8 + 8, gx * 8: gx * 8 + 8] = vals[i]
 
-    pixels = []
+    # nearest-neighbor chroma upsampling (the standard fast path):
+    # component sample coordinate = pixel coordinate scaled by the
+    # component's sampling factor over the max factor — batched via
+    # integer index grids (exact integer math, unchanged values)
+    def sample_plane(s: int) -> "np.ndarray":
+        sh, sv = samps[s]
+        ys = np.arange(height) * sv // vmax
+        xs = np.arange(width) * sh // hmax
+        return planes[s][np.ix_(ys, xs)]
+
     if ncomp == 1:
-        for y in range(height):
-            for x in range(width):
-                g = sample(0, x, y)
-                pixels.append((g, g, g))
+        gray = sample_plane(0)
+        rgb = np.repeat(gray.reshape(-1, 1), 3, axis=1)
     else:
-        for y in range(height):
-            for x in range(width):
-                yv = sample(0, x, y)
-                cb = sample(1, x, y) - 128
-                cr = sample(2, x, y) - 128
-                r = max(0, min(255, int(round(yv + 1.402 * cr))))
-                g = max(
-                    0,
-                    min(
-                        255,
-                        int(round(yv - 0.344136 * cb - 0.714136 * cr)),
-                    ),
-                )
-                b = max(0, min(255, int(round(yv + 1.772 * cb))))
-                pixels.append((r, g, b))
-    return width, height, pixels
+        yv = sample_plane(0).astype(np.float64)
+        cb = (sample_plane(1) - 128).astype(np.float64)
+        cr = (sample_plane(2) - 128).astype(np.float64)
+        r = np.clip(np.rint(yv + 1.402 * cr), 0, 255)
+        g = np.clip(np.rint(yv - 0.344136 * cb - 0.714136 * cr), 0, 255)
+        b = np.clip(np.rint(yv + 1.772 * cb), 0, 255)
+        rgb = np.stack(
+            [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=1
+        ).astype(np.int64)
+    return width, height, rgb
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Public decode: same pipeline as :func:`_decode_jpeg_arrays`
+    (see its docstring for the full T.81 path) with the pixels
+    materialized as the row-major (r, g, b) tuple list the image-codec
+    contract promises."""
+    width, height, rgb = _decode_jpeg_arrays(payload)
+    cols = rgb.T.tolist()
+    return width, height, list(zip(cols[0], cols[1], cols[2]))
 
 
 def synth_jpeg_payload(media_id: int) -> bytes:
@@ -1112,32 +1195,39 @@ def synth_jpeg_payload(media_id: int) -> bytes:
     trick the PNG/BMP synth uses, adapted to a lossy codec)."""
     w = 6 + media_id % 17
     h = 5 + media_id % 11
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    pixels = [(0, 0, 0)] * (w * h)
-    for by in range(bh):
-        for bx in range(bw):
-            v = 128 + 2 * (((media_id + 5 * bx + 11 * by) % 61) - 30)
-            for yy in range(by * 8, min(by * 8 + 8, h)):
-                for xx in range(bx * 8, min(bx * 8 + 8, w)):
-                    pixels[yy * w + xx] = (v, v, v)
+    # vectorized tile build: v(x, y) = 128 + 2*(((id + 5*(x div 8)
+    # + 11*(y div 8)) % 61) - 30), identical to the scalar tile loops
+    bxs = np.arange(w) // 8
+    bys = np.arange(h) // 8
+    v = 128 + 2 * (((media_id + 5 * bxs[None, :] + 11 * bys[:, None])
+                    % 61) - 30)
+    pixels = np.repeat(v.reshape(-1, 1), 3, axis=1)
     return encode_jpeg(w, h, pixels, quality=50, grayscale=True)
+
+
+def _decode_image_pixels_arrays(
+    payload: bytes,
+) -> tuple[int, int, "np.ndarray"]:
+    """Sniff + decode a real image payload down to an (h*w, 3) int64
+    RGB array — the form the batched stats stages consume."""
+    if payload[:2] == b"BM":
+        return _decode_bmp_arrays(payload)
+    if payload[:1] == b"P":
+        return _decode_ppm_arrays(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png_arrays(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return _decode_jpeg_arrays(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif_arrays(payload)
+    raise ValueError("unknown image magic")
 
 
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[tuple]]:
     """Sniff + decode a real image payload (BMP / binary PNM / PNG /
     baseline JPEG) down to its pixel values."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:1] == b"P":
-        return decode_ppm(payload)
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"\xFF\xD8":
-        return decode_jpeg(payload)
-    if payload[:4] == b"GIF8":
-        return decode_gif(payload)
-    raise ValueError("unknown image magic")
+    w, h, rgb = _decode_image_pixels_arrays(payload)
+    return w, h, _pixels_to_tuples(rgb)
 
 
 def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
@@ -1156,30 +1246,30 @@ def pure_python_decode_backend(payload: bytes, media_type: str) -> dict:
     codec-library backend."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
-        w, h, _ = decode_bmp(payload)
+        w, h, _ = _decode_bmp_arrays(payload)
         fmt = "bmp"
     elif payload[:8] == _PNG_SIG:
-        w, h, _ = decode_png(payload)
+        w, h, _ = _decode_png_arrays(payload)
         fmt = "png"
     elif payload[:2] == b"\xFF\xD8":
-        w, h, _ = decode_jpeg(payload)
+        w, h, _ = _decode_jpeg_arrays(payload)
         fmt = "jpeg"
     elif payload[:4] == b"GIF8":
-        w, h, _ = decode_gif(payload)
+        w, h, _ = _decode_gif_arrays(payload)
         fmt = "gif"
     elif payload[:2] in (b"P6", b"P5"):
         _, w, h, _, _ = _ppm_header(payload)
         # full pixel validation (and gray replication) via the decoder
-        w, h, _ = decode_ppm(payload)
+        w, h, _ = _decode_ppm_arrays(payload)
         fmt = "ppm" if payload[:2] == b"P6" else "pgm"
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        _, _, samples = decode_wav(payload)
+        _, _, samples = _decode_wav_arrays(payload)
         return {
             "width": 0, "height": 0, "n_frames": len(samples),
             "format": "wav",
         }
     elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        w, h, frames = decode_avi(payload)
+        w, h, frames = _decode_avi_arrays(payload)
         return {
             "width": w, "height": h, "n_frames": len(frames),
             "format": "avi",
@@ -1202,11 +1292,9 @@ def synth_image_payload(media_id: int) -> bytes:
     themselves exercise the real codecs."""
     w = 4 + media_id % 13
     h = 3 + media_id % 7
-    pixels = [
-        ((media_id + 3 * i) % 256, (media_id + 3 * i + 1) % 256,
-         (media_id + 3 * i + 2) % 256)
-        for i in range(w * h)
-    ]
+    pixels = (
+        media_id + 3 * np.arange(w * h)[:, None] + np.arange(3)[None, :]
+    ) % 256
     enc = (encode_bmp, encode_ppm, encode_png)[media_id % 3]
     return enc(w, h, pixels)
 
@@ -1294,15 +1382,16 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, h, pixels = decode_image_pixels(payload)
+                w, h, rgb = _decode_image_pixels_arrays(payload)
+                sums = rgb.sum(axis=0)
                 out["media_id"].append(int(mid))
                 out["format"].append(_sniff_image_format(payload))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_pixels"].append(w * h)
-                out["sum_r"].append(sum(p[0] for p in pixels))
-                out["sum_g"].append(sum(p[1] for p in pixels))
-                out["sum_b"].append(sum(p[2] for p in pixels))
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_stats, schema=_PIXEL_STATS_SCHEMA)
@@ -1440,9 +1529,10 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     """Encode mono 16-bit PCM samples as a standard RIFF/WAVE byte
     stream (fmt + data chunks, little-endian) — the canonical layout
     every audio tool emits for uncompressed PCM."""
-    if any(s < -32768 or s > 32767 for s in samples):
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
         raise ValueError("samples must fit int16")
-    body = struct.pack(f"<{len(samples)}h", *samples)
+    body = arr.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(body),
@@ -1452,16 +1542,10 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     )
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """Parse a RIFF/WAVE byte stream: walks the chunk list (skipping
-    unknown chunks, as a real parser must) and decodes the full sample
-    array — PCM 16-bit directly, IMA ADPCM (format tag 0x11) through
-    the real block decoder, and G.711 mu-law (tag 7) through the exact
-    segmented expansion — two COMPRESSED encodings beside the raw one.
-    Returns (sample_rate, channels, samples interleaved). Raises
-    ValueError on non-WAV magic, missing fmt/data chunks, other
-    encodings, or a truncated data chunk — this decodes the audio
-    payload, not just the header."""
+def _decode_wav_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_wav's engine, returning the samples as an int64 numpy
+    array — PCM via one frombuffer, mu-law via a 256-entry LUT gather,
+    ADPCM through the scalar recurrence (inherently sequential)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, fmt_body, fact_n, data = 12, None, b"", None, None
@@ -1486,21 +1570,40 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
     if audio_format == 0x11 and bits == 4:
-        return _decode_ima_adpcm(
+        rate, ch, samples = _decode_ima_adpcm(
             fmt_body, channels, sample_rate, block_align, fact_n, data
         )
+        return rate, ch, np.asarray(samples, dtype=np.int64)
     if audio_format == 7 and bits == 8:
         if channels != 1:
             raise ValueError("only mono mu-law supported")
         if fact_n is not None and fact_n != len(data):
             raise ValueError("mu-law fact count disagrees with data size")
-        return sample_rate, 1, [mulaw_decode_byte(b) for b in data]
+        return sample_rate, 1, _MULAW_LUT[
+            np.frombuffer(data, dtype=np.uint8)
+        ]
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"unsupported WAV encoding (format={audio_format} bits={bits})"
         )
     n = len(data) // 2
-    return sample_rate, channels, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return sample_rate, channels, np.frombuffer(
+        data, dtype="<i2", count=n
+    ).astype(np.int64)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a RIFF/WAVE byte stream: walks the chunk list (skipping
+    unknown chunks, as a real parser must) and decodes the full sample
+    array — PCM 16-bit directly, IMA ADPCM (format tag 0x11) through
+    the real block decoder, and G.711 mu-law (tag 7) through the exact
+    segmented expansion — two COMPRESSED encodings beside the raw one.
+    Returns (sample_rate, channels, samples interleaved). Raises
+    ValueError on non-WAV magic, missing fmt/data chunks, other
+    encodings, or a truncated data chunk — this decodes the audio
+    payload, not just the header."""
+    rate, channels, samples = _decode_wav_arrays(payload)
+    return rate, channels, samples.tolist()
 
 
 def synth_audio_payload(media_id: int) -> bytes:
@@ -1511,7 +1614,7 @@ def synth_audio_payload(media_id: int) -> bytes:
     exercise the real RIFF parser (chunk walk, PCM validation, int16
     decode)."""
     n = 40 + media_id % 113
-    samples = [((media_id * 31 + i * 17) % 2001) - 1000 for i in range(n)]
+    samples = ((media_id * 31 + np.arange(n) * 17) % 2001) - 1000
     return encode_wav(8000, samples)
 
 
@@ -1563,20 +1666,16 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                 "zero_crossings": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, _, samples = decode_wav(bytes(payload))
-                n = len(samples)
+                rate, _, s = _decode_wav_arrays(bytes(payload))
+                n = len(s)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
                 out["duration_us"].append(n * 1_000_000 // rate)
-                out["sum_abs"].append(sum(abs(s) for s in samples))
-                out["sum_sq"].append(sum(s * s for s in samples))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                out["sum_sq"].append(int((s * s).sum()))
                 out["zero_crossings"].append(
-                    sum(
-                        1
-                        for i in range(1, n)
-                        if samples[i - 1] * samples[i] < 0
-                    )
+                    int((s[:-1] * s[1:] < 0).sum())
                 )
             yield pd.DataFrame(out)
 
@@ -1588,23 +1687,16 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bgr_rows_decode(
+def _bgr_rows_decode_arrays(
     data: bytes, width: int, height: int, offset: int = 0
-) -> list[tuple]:
+) -> "np.ndarray":
     """Decode a bottom-up, 4-byte-row-padded BGR pixel array (the DIB
-    layout BMP bodies and uncompressed AVI frames share) into a
-    top-down row-major (r, g, b) list. Raises on truncation."""
+    layout BMP bodies and uncompressed AVI frames share) into top-down
+    row-major (h*w, 3) int64 RGB. Raises on truncation."""
     row_size = (3 * width + 3) // 4 * 4
     if len(data) < offset + row_size * height:
         raise ValueError("truncated DIB pixel array")
-    pixels = [None] * (width * height)
-    for stored_y in range(height):
-        y = height - 1 - stored_y
-        base = offset + stored_y * row_size
-        for x in range(width):
-            b, g, r = data[base + 3 * x: base + 3 * x + 3]
-            pixels[y * width + x] = (r, g, b)
-    return pixels
+    return _dib_rows_to_rgb(data, width, height, offset, top_down=False)
 
 
 def encode_avi(
@@ -1625,16 +1717,25 @@ def encode_avi(
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
-    def frame_body(pixels: list[tuple]) -> bytes:
-        if len(pixels) != width * height:
+    def frame_bodies(frames) -> list[bytes]:
+        # vectorized DIB rows for the WHOLE clip in one numpy pass:
+        # flip to bottom-up, RGB->BGR, pad rows (same bytes as the
+        # per-pixel loops)
+        if any(len(f) != width * height for f in frames):
             raise ValueError("frame must hold width*height RGB tuples")
-        body = bytearray()
-        for y in range(height - 1, -1, -1):
-            for x in range(width):
-                r, g, b = pixels[y * width + x]
-                body += bytes((b, g, r))
-            body += b"\x00" * (row_size - 3 * width)
-        return bytes(body)
+        if not frames:
+            return []
+        arr = np.asarray(frames, dtype=np.int64).reshape(
+            len(frames), height, width, 3
+        )
+        if arr.size and (arr.min() < 0 or arr.max() > 255):
+            raise ValueError("bytes must be in range(0, 256)")
+        rows = np.zeros((len(frames), height, row_size), dtype=np.uint8)
+        rows[:, :, : 3 * width] = (
+            arr.astype(np.uint8)[:, ::-1, :, ::-1]
+            .reshape(len(frames), height, 3 * width)
+        )
+        return [rows[i].tobytes() for i in range(len(frames))]
 
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0, len(frames),
@@ -1650,20 +1751,17 @@ def encode_avi(
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", frame_body(f))
-                                 for f in frames))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb)
+                                 for fb in frame_bodies(frames)))
     body = b"AVI " + hdrl + movi
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
-def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
-    """Parse an uncompressed RIFF/AVI byte stream: walks the chunk
-    tree (skipping unknown chunks), validates the 24-bit BI_RGB stream
-    format, decodes EVERY '00db'/'00dc' DIB frame's pixel array, and
-    cross-checks the frame count against the avih main header. Returns
-    (width, height, frames) with frames as top-down row-major (r, g, b)
-    lists. Raises ValueError on non-AVI magic, missing headers,
-    compressed streams, truncated frames, or a frame-count mismatch."""
+def _decode_avi_arrays(
+    payload: bytes,
+) -> tuple[int, int, list["np.ndarray"]]:
+    """decode_avi's engine, returning each frame as an (h*w, 3) int64
+    RGB array — the form the batched stats stages consume."""
     if (
         len(payload) < 12
         or payload[:4] != b"RIFF"
@@ -1726,16 +1824,46 @@ def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
         # with the container header is corrupt (fail closed)
         out = []
         for f in frames_raw:
-            fw, fh, pix = decode_jpeg(f)
+            fw, fh, pix = _decode_jpeg_arrays(f)
             if (fw, fh) != (width, height):
                 raise ValueError(
                     "MJPEG frame dims disagree with AVI header"
                 )
             out.append(pix)
         return width, height, out
+    # uncompressed frames all share one DIB layout: validate lengths,
+    # then decode the WHOLE clip in one numpy pass over the joined
+    # bytes (identical values to the per-frame decode)
+    row_size = (3 * width + 3) // 4 * 4
+    if any(len(f) < row_size * height for f in frames_raw):
+        raise ValueError("truncated DIB pixel array")
+    if not frames_raw:
+        return width, height, []
+    if all(len(f) == row_size * height for f in frames_raw):
+        arr = np.frombuffer(
+            b"".join(frames_raw), dtype=np.uint8
+        ).reshape(len(frames_raw), height, row_size)
+        rgb = (
+            arr[:, ::-1, : 3 * width]
+            .reshape(len(frames_raw), height, width, 3)[:, :, :, ::-1]
+            .reshape(len(frames_raw), -1, 3).astype(np.int64)
+        )
+        return width, height, list(rgb)
     return width, height, [
-        _bgr_rows_decode(f, width, height) for f in frames_raw
+        _bgr_rows_decode_arrays(f, width, height) for f in frames_raw
     ]
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[list[tuple]]]:
+    """Parse an uncompressed RIFF/AVI byte stream: walks the chunk
+    tree (skipping unknown chunks), validates the 24-bit BI_RGB stream
+    format, decodes EVERY '00db'/'00dc' DIB frame's pixel array, and
+    cross-checks the frame count against the avih main header. Returns
+    (width, height, frames) with frames as top-down row-major (r, g, b)
+    lists. Raises ValueError on non-AVI magic, missing headers,
+    compressed streams, truncated frames, or a frame-count mismatch."""
+    width, height, arrs = _decode_avi_arrays(payload)
+    return width, height, [_pixels_to_tuples(a) for a in arrs]
 
 
 def synth_video_payload(media_id: int) -> bytes:
@@ -1747,16 +1875,15 @@ def synth_video_payload(media_id: int) -> bytes:
     restatable in oracle SQL while the bytes exercise the real RIFF
     chunk-tree walk and per-frame DIB decode."""
     w, h, n = 4 + media_id % 9, 3 + media_id % 5, 1 + media_id % 90
-    frames = [
-        [
-            ((media_id + 7 * f + 3 * i) % 256,
-             (media_id + 7 * f + 3 * i + 1) % 256,
-             (media_id + 7 * f + 3 * i + 2) % 256)
-            for i in range(w * h)
-        ]
-        for f in range(n)
-    ]
-    return encode_avi(w, h, frames)
+    # closed form vectorized: frame f, pixel i, channel c is
+    # (id + 7f + 3i + c) % 256 — identical values to the tuple loops
+    base = (
+        media_id
+        + 7 * np.arange(n)[:, None, None]
+        + 3 * np.arange(w * h)[None, :, None]
+        + np.arange(3)[None, None, :]
+    ) % 256
+    return encode_avi(w, h, list(base))
 
 
 def media_table_synthetic_videos(
@@ -1803,21 +1930,19 @@ def decode_video_stats(media: DataFrame) -> DataFrame:
                 "n_pixels": [], "sum_r": [], "sum_g": [], "sum_b": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = decode_avi(bytes(payload))
+                w, h, frames = _decode_avi_arrays(bytes(payload))
+                sums = (
+                    np.sum([f.sum(axis=0) for f in frames], axis=0)
+                    if frames else np.zeros(3, dtype=np.int64)
+                )
                 out["media_id"].append(int(mid))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(len(frames))
                 out["n_pixels"].append(w * h * len(frames))
-                out["sum_r"].append(
-                    sum(p[0] for fr in frames for p in fr)
-                )
-                out["sum_g"].append(
-                    sum(p[1] for fr in frames for p in fr)
-                )
-                out["sum_b"].append(
-                    sum(p[2] for fr in frames for p in fr)
-                )
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_stats, schema=_VIDEO_STATS_SCHEMA)
@@ -1846,20 +1971,22 @@ def decode_perceptual_hash(
             out = {"media_id": [], "format": [], "phash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, h, pixels = decode_image_pixels(payload)
-                gray = [r + g + b for r, g, b in pixels]
-                total = sum(gray)
+                w, h, rgb = _decode_image_pixels_arrays(payload)
+                gray = rgb.sum(axis=1)
+                total = int(gray.sum())
                 npix = w * h
-                bsum = [[0, 0] for _ in range(grid_w * grid_h)]
-                for y in range(h):
-                    br = grid_h * y // h
-                    for x in range(w):
-                        b = br * grid_w + grid_w * x // w
-                        bsum[b][0] += gray[y * w + x]
-                        bsum[b][1] += 1
+                # vectorized block pooling: pixel (x, y) joins block
+                # (grid_h*y div h, grid_w*x div w), exactly as before
+                bidx = (
+                    (grid_h * np.arange(h) // h)[:, None] * grid_w
+                    + (grid_w * np.arange(w) // w)[None, :]
+                ).reshape(-1)
+                nb = grid_w * grid_h
+                bsums = np.bincount(bidx, weights=gray, minlength=nb)
+                bns = np.bincount(bidx, minlength=nb)
                 bits = 0
-                for b, (s, n) in enumerate(bsum):
-                    if s * npix > total * n:
+                for b in range(nb):
+                    if int(bsums[b]) * npix > total * int(bns[b]):
                         bits |= 1 << b
                 out["media_id"].append(int(mid))
                 out["format"].append(_sniff_image_format(payload))
@@ -1867,6 +1994,19 @@ def decode_perceptual_hash(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_phash, schema=_PHASH_SCHEMA)
+
+
+def _frame_energies(payload: bytes, frame: int) -> "np.ndarray":
+    """Per-frame integer energies (sum of squares over ``frame``-sample
+    windows, final partial window included) of a WAV payload — the
+    shared vectorized core of the VAD stages. Zero-padding the tail
+    window is exact: zero samples add zero energy."""
+    _, _, s = _decode_wav_arrays(payload)
+    n = len(s)
+    nf = (n + frame - 1) // frame
+    padded = np.zeros(nf * frame, dtype=np.int64)
+    padded[:n] = s
+    return (padded * padded).reshape(nf, frame).sum(axis=1)
 
 
 _ACTIVE_FRAME_SCHEMA = "media_id long, frame_idx long"
@@ -1887,16 +2027,11 @@ def decode_active_frames(media: DataFrame, frame: int = 16) -> DataFrame:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, samples = decode_wav(bytes(payload))
-                energies = [
-                    sum(s * s for s in samples[f: f + frame])
-                    for f in range(0, len(samples), frame)
-                ]
-                total, nf = sum(energies), len(energies)
-                for f, e in enumerate(energies):
-                    if e * nf > total:
-                        out["media_id"].append(int(mid))
-                        out["frame_idx"].append(f)
+                energies = _frame_energies(bytes(payload), frame)
+                total, nf = int(energies.sum()), len(energies)
+                for f in np.flatnonzero(energies * nf > total).tolist():
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_frames, schema=_ACTIVE_FRAME_SCHEMA)
@@ -1925,32 +2060,24 @@ def decode_energy_segments(media: DataFrame, frame: int = 16) -> DataFrame:
                 "end_frame": [], "n_frames": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, samples = decode_wav(bytes(payload))
-                energies = [
-                    sum(s * s for s in samples[f: f + frame])
-                    for f in range(0, len(samples), frame)
-                ]
-                total, nf = sum(energies), len(energies)
-                seg, start, prev = 0, None, None
-                for f, e in enumerate(energies):
-                    if e * nf > total:
-                        if start is None:
-                            start = f
-                        elif f > prev + 1:
-                            out["media_id"].append(int(mid))
-                            out["segment_id"].append(seg)
-                            out["start_frame"].append(start)
-                            out["end_frame"].append(prev)
-                            out["n_frames"].append(prev - start + 1)
-                            seg += 1
-                            start = f
-                        prev = f
-                if start is not None:
+                energies = _frame_energies(bytes(payload), frame)
+                total, nf = int(energies.sum()), len(energies)
+                act = np.flatnonzero(energies * nf > total)
+                if not len(act):
+                    continue
+                # maximal runs of consecutive active frames, vectorized
+                # (identical segments to the sequential coalescer)
+                cuts = np.flatnonzero(np.diff(act) > 1)
+                starts = act[np.concatenate(([0], cuts + 1))]
+                ends = act[np.concatenate((cuts, [len(act) - 1]))]
+                for seg, (st, en) in enumerate(
+                    zip(starts.tolist(), ends.tolist())
+                ):
                     out["media_id"].append(int(mid))
                     out["segment_id"].append(seg)
-                    out["start_frame"].append(start)
-                    out["end_frame"].append(prev)
-                    out["n_frames"].append(prev - start + 1)
+                    out["start_frame"].append(st)
+                    out["end_frame"].append(en)
+                    out["n_frames"].append(en - st + 1)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_segments, schema=_SEGMENT_SCHEMA)
@@ -2125,15 +2252,9 @@ def _gif_take_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def decode_gif(payload: bytes) -> tuple[int, int, list[tuple]]:
-    """Parse a GIF87a/GIF89a byte stream down to its pixel values:
-    global color table, extension skipping (sub-block walk), image
-    descriptor, full LZW decode, palette mapping. Supported surface is
-    the non-animated single-image core (global palette, no interlace,
-    full-frame geometry); animation/interlace/local palettes raise
-    ValueError (route to a codec library). Fail-closed throughout:
-    truncation anywhere, undefined LZW codes, out-of-palette indices,
-    geometry mismatch, or a missing trailer all raise ValueError."""
+def _decode_gif_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """decode_gif's engine, returning (h*w, 3) int64 RGB (palette
+    mapping vectorized as a LUT gather)."""
     payload = bytes(payload)
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -2183,8 +2304,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple]]:
     mcs = payload[pos]
     pos += 1
     data, pos = _gif_take_subblocks(payload, pos)
-    indices = _gif_lzw_decode(data, mcs, w * h)
-    if any(i >= gct_n for i in indices):
+    indices = np.asarray(_gif_lzw_decode(data, mcs, w * h), dtype=np.int64)
+    if indices.size and int(indices.max()) >= gct_n:
         raise ValueError("GIF pixel index outside the color table")
     # trailing extensions are legal; the trailer itself is required
     while pos < len(payload) and payload[pos] == 0x21:
@@ -2195,7 +2316,20 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[tuple]]:
         _, pos = _gif_take_subblocks(payload, pos)
     if pos >= len(payload) or payload[pos] != 0x3B:
         raise ValueError("GIF missing trailer")
-    return w, h, [pal[i] for i in indices]
+    return w, h, np.asarray(pal, dtype=np.int64)[indices]
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple]]:
+    """Parse a GIF87a/GIF89a byte stream down to its pixel values:
+    global color table, extension skipping (sub-block walk), image
+    descriptor, full LZW decode, palette mapping. Supported surface is
+    the non-animated single-image core (global palette, no interlace,
+    full-frame geometry); animation/interlace/local palettes raise
+    ValueError (route to a codec library). Fail-closed throughout:
+    truncation anywhere, undefined LZW codes, out-of-palette indices,
+    geometry mismatch, or a missing trailer all raise ValueError."""
+    w, h, rgb = _decode_gif_arrays(payload)
+    return w, h, _pixels_to_tuples(rgb)
 
 
 def synth_gif_payload(media_id: int) -> bytes:
@@ -2409,11 +2543,10 @@ def synth_adpcm_payload(media_id: int) -> bytes:
     data_bytes = (n_nib + 1) // 2
     block_align = 4 + data_bytes + (data_bytes & 1)  # even data bytes
     spb = (block_align - 4) * 2 + 1
-    nibbles = [(7 * media_id + 3 * i) % 16 for i in range(n_nib)]
-    nibbles += [0] * ((spb - 1) - n_nib)
-    body = bytearray(struct.pack("<hBB", pred0, idx0, 0))
-    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
-        body.append(lo | (hi << 4))
+    nibbles = np.zeros(spb - 1, dtype=np.int64)
+    nibbles[:n_nib] = (7 * media_id + 3 * np.arange(n_nib)) % 16
+    packed = (nibbles[::2] | (nibbles[1::2] << 4)).astype(np.uint8)
+    body = bytearray(struct.pack("<hBB", pred0, idx0, 0)) + packed.tobytes()
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, 8000,
         (8000 * block_align + spb - 1) // spb, block_align, 4, 2, spb,
@@ -2468,6 +2601,13 @@ def mulaw_decode_byte(b: int) -> int:
     return -mag if b & 0x80 else mag
 
 
+# 256-entry expansion LUT so decode can gather a whole data chunk in
+# one vectorized indexing pass (exact same values per byte)
+_MULAW_LUT = np.array(
+    [mulaw_decode_byte(b) for b in range(256)], dtype=np.int64
+)
+
+
 def mulaw_encode_sample(s: int) -> int:
     """Compress one linear int16 sample to a mu-law byte (G.711
     segmented companding): clip to 32635, bias, locate the exponent
@@ -2518,7 +2658,10 @@ def synth_mulaw_payload(media_id: int) -> bytes:
     math per byte, no recursion (the contrast with ADPCM's recurrence
     is the point: two compressed codecs, two oracle disciplines)."""
     n = 50 + media_id % 97
-    body = bytes((13 * media_id + 7 * i) % 256 for i in range(n))
+    body = (
+        ((13 * media_id + 7 * np.arange(n)) % 256)
+        .astype(np.uint8).tobytes()
+    )
     fmt = struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
     fact = struct.pack("<I", n)
     return (
@@ -2617,20 +2760,15 @@ def synth_mjpeg_payload(media_id: int) -> bytes:
     w = 6 + media_id % 9
     h = 5 + media_id % 7
     n = 1 + media_id % 4
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    bxs = np.arange(w) // 8
+    bys = np.arange(h) // 8
     frames = []
     for f in range(n):
-        pixels = [(0, 0, 0)] * (w * h)
-        for by in range(bh):
-            for bx in range(bw):
-                v = 128 + 2 * (
-                    ((media_id + 5 * bx + 11 * by + 7 * f) % 61) - 30
-                )
-                for yy in range(by * 8, min(by * 8 + 8, h)):
-                    for xx in range(bx * 8, min(bx * 8 + 8, w)):
-                        pixels[yy * w + xx] = (v, v, v)
-        frames.append(pixels)
+        v = 128 + 2 * (
+            ((media_id + 5 * bxs[None, :] + 11 * bys[:, None] + 7 * f)
+             % 61) - 30
+        )
+        frames.append(np.repeat(v.reshape(-1, 1), 3, axis=1))
     return encode_avi_mjpeg(w, h, frames, quality=50, grayscale=True)
 
 
