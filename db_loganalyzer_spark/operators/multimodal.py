@@ -530,14 +530,18 @@ def _jpeg_quality_scale(table: list[int], quality: int) -> list[int]:
 
 
 @lru_cache(maxsize=64)
-def _jpeg_quality_tables(quality: int) -> tuple[list[int], list[int]]:
-    """(luma, chroma) quality-scaled quant tables, cached per quality —
-    rebuilding them per image was pure per-row overhead in the encode
-    stage."""
-    return (
-        _jpeg_quality_scale(_JPEG_Q_LUMA, quality),
-        _jpeg_quality_scale(_JPEG_Q_CHROMA, quality),
-    )
+def _jpeg_quality_tables(
+    quality: int,
+) -> tuple[list[int], list[int], bytes, bytes]:
+    """(luma, chroma, luma-DQT-zigzag-bytes, chroma-DQT-zigzag-bytes)
+    quality-scaled quant tables, cached per quality — rebuilding them
+    (and re-serializing the DQT segments) per image was pure per-row
+    overhead in the encode stage."""
+    qly = _jpeg_quality_scale(_JPEG_Q_LUMA, quality)
+    qch = _jpeg_quality_scale(_JPEG_Q_CHROMA, quality)
+    zly = bytes(qly[_JPEG_ZIGZAG[i]] for i in range(64))
+    zch = bytes(qch[_JPEG_ZIGZAG[i]] for i in range(64))
+    return qly, qch, zly, zch
 
 
 def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict:
@@ -552,6 +556,25 @@ def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict:
             code += 1
         code <<= 1
     return codes
+
+
+@lru_cache(maxsize=256)
+def _jpeg_inv_codes(raw: bytes) -> dict:
+    """Decoder-side canonical map (code, length) -> value from a DHT
+    table body (16 BITS counts + values), cached by the raw bytes —
+    every MJPEG frame ships the same tables."""
+    bits = list(raw[:16])
+    vals = list(raw[16:])
+    inv = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            inv[(code, length)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return inv
 
 
 # the Annex-K typical tables are the only ones the encoder ever emits:
@@ -706,7 +729,7 @@ def encode_jpeg(
     encoders use for error resilience."""
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    qly, qch = _jpeg_quality_tables(quality)
+    qly, qch, zly, zch = _jpeg_quality_tables(quality)
     dcl, acl, dcc, acc_ = _JPEG_ENC_CODES
 
     ncomp = 1 if grayscale else 3
@@ -734,14 +757,9 @@ def encode_jpeg(
 
     out = bytearray(b"\xFF\xD8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(
-        0xDB, bytes([0]) + bytes(qly[_JPEG_ZIGZAG[i]] for i in range(64))
-    )
+    out += seg(0xDB, bytes([0]) + zly)
     if ncomp == 3:
-        out += seg(
-            0xDB,
-            bytes([1]) + bytes(qch[_JPEG_ZIGZAG[i]] for i in range(64)),
-        )
+        out += seg(0xDB, bytes([1]) + zch)
     sub420 = ncomp == 3 and subsampling == "420"
     samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * ncomp
     sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
@@ -806,9 +824,14 @@ def encode_jpeg(
         sh, sv = samps[c]
         cw, ch = cdims[c]
         gh, gw = n_mcuy * sv, n_mcux * sh
-        pad = np.pad(
-            cplanes[c], ((0, gh * 8 - ch), (0, gw * 8 - cw)), mode="edge"
-        )
+        # manual edge-replicate padding (same cells as np.pad
+        # mode="edge", without its per-call overhead on tiny planes)
+        pad = np.empty((gh * 8, gw * 8), dtype=np.int64)
+        pad[:ch, :cw] = cplanes[c]
+        if gh * 8 > ch:
+            pad[ch:, :cw] = pad[ch - 1, :cw]
+        if gw * 8 > cw:
+            pad[:, cw:] = pad[:, cw - 1: cw]
         blocks = (
             pad.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
             .reshape(gh * gw, 8, 8).astype(np.float64)
@@ -987,18 +1010,12 @@ def _decode_jpeg_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
                 n = sum(bits)
                 if len(bits) < 16 or bp + 17 + n > len(body):
                     raise ValueError("truncated JPEG DHT segment")
-                vals = list(body[bp + 17: bp + 17 + n])
-                # decoder-side map: (code, length) -> value
-                inv = {}
-                code = 0
-                k = 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        inv[(code, length)] = vals[k]
-                        k += 1
-                        code += 1
-                    code <<= 1
-                htabs[(tc, th)] = inv
+                # the inv map build is cached by the raw table bytes:
+                # MJPEG streams repeat the identical Annex-K tables per
+                # frame, and real corpora share a handful of tables
+                htabs[(tc, th)] = _jpeg_inv_codes(
+                    bytes(body[bp + 1: bp + 17 + n])
+                )
                 bp += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
             if len(body) < 6:
@@ -1152,6 +1169,9 @@ def _decode_jpeg_arrays(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     # integer index grids (exact integer math, unchanged values)
     def sample_plane(s: int) -> "np.ndarray":
         sh, sv = samps[s]
+        if sh == hmax and sv == vmax:
+            # full-resolution component: the crop is a plain view
+            return planes[s][:height, :width]
         ys = np.arange(height) * sv // vmax
         xs = np.arange(width) * sh // hmax
         return planes[s][np.ix_(ys, xs)]
