@@ -551,36 +551,51 @@ def rollback_analysis(events: DataFrame) -> dict[str, DataFrame]:
     global_scanner.py:258-401). Ordering partitioned by machine_id keeps
     the scan scalable; the reference's single global order is the
     machine_id=constant special case."""
-    from ..operators.windows import lag_regressions, value_drops, value_resets
+    from ..operators.windows import (
+        lag_regressions_stitched,
+        value_drops_stitched,
+        value_resets_stitched,
+    )
 
     def field_num(name):
         return py_float(F.element_at("fields", F.lit(name)))
 
+    # The narrow parsed frame is persisted because the stitched scans
+    # below run EAGER boundary-carry jobs at construction — without the
+    # persist each of those jobs re-runs the full log parse upstream
+    # (measured: 304 s; with it, the parse runs once — see
+    # OPTIMIZATION_r13.md). In-query persist only: rebuilt on every
+    # run, nothing cached across runs.
     versions = events.select(
         "event_id", "ts",
         field_num("CommittedVersion").alias("committed"),
         field_num("DurableVersion").alias("durable"),
+    ).persist()
+    # The reference's version scans ARE a single global order
+    # (machine_id=constant special case, see docstring). The stitched
+    # operators compute that exact order DISTRIBUTED — range shuffle +
+    # one boundary-carry row per partition — instead of a
+    # single-partition sort: measured 49.2 s -> 1.0 s per scan on 10M
+    # events (OPTIMIZATION_r13.md), identical rows (w12's oracle pins
+    # the stitched form; d09's oracle pins this composition).
+    drops_c = value_drops_stitched(
+        versions.filter(F.col("committed").isNotNull()), "committed",
+        ts_col="ts", tiebreak="event_id",
     )
-    # allow_global_order: the reference's version scans ARE a single
-    # global order (machine_id=constant special case, see docstring);
-    # the frames here are pre-filtered to version-bearing events. At
-    # cluster scale pass partition_by through the operators instead.
-    drops_c = value_drops(versions.filter(F.col("committed").isNotNull()), "committed",
-                          ts_col="ts", tiebreak="event_id",
-                          allow_global_order=True)
-    drops_d = value_drops(versions.filter(F.col("durable").isNotNull()), "durable",
-                          ts_col="ts", tiebreak="event_id",
-                          allow_global_order=True)
-    resets = value_resets(
+    drops_d = value_drops_stitched(
+        versions.filter(F.col("durable").isNotNull()), "durable",
+        ts_col="ts", tiebreak="event_id",
+    )
+    resets = value_resets_stitched(
         versions.filter(F.col("committed").isNotNull()), "committed",
         high=1_000_000, low=1_000_000, ts_col="ts", tiebreak="event_id",
-        allow_global_order=True,
     )
     rv = events.filter(F.col("event") == "RecoveryState").select(
         "event_id", "ts", field_num("RecoveryVersion").alias("rv")
-    ).filter(F.col("rv").isNotNull())
-    rv_regr = lag_regressions(rv, "rv", ts_col="ts", tiebreak="event_id",
-                              allow_global_order=True)
+    ).filter(F.col("rv").isNotNull()).persist()
+    rv_regr = lag_regressions_stitched(
+        rv, "rv", ts_col="ts", tiebreak="event_id",
+    )
 
     drops = drops_c.select("event_id", "ts", F.lit("CommittedVersion").alias("column"),
                            "prev_value", F.col("committed").alias("value"), "drop_amount")
