@@ -2023,10 +2023,11 @@ def _frame_energies(payload: bytes, frame: int) -> "np.ndarray":
     window is exact: zero samples add zero energy."""
     _, _, s = _decode_wav_arrays(payload)
     n = len(s)
-    nf = (n + frame - 1) // frame
-    padded = np.zeros(nf * frame, dtype=np.int64)
-    padded[:n] = s
-    return (padded * padded).reshape(nf, frame).sum(axis=1)
+    if not n:
+        return np.zeros(0, dtype=np.int64)
+    # reduceat handles the partial tail window natively — one pass,
+    # no padded copy; integer sums, so values are exact and unchanged
+    return np.add.reduceat(s * s, np.arange(0, n, frame))
 
 
 _ACTIVE_FRAME_SCHEMA = "media_id long, frame_idx long"
