@@ -2467,20 +2467,45 @@ def _decode_ima_adpcm(
     ):
         raise ValueError("IMA ADPCM fact count disagrees with data size")
     samples: list[int] = []
+    # the nibble loop below is _ima_step's arithmetic INLINED (same
+    # integer ops in the same order — the function-call + tuple-return
+    # overhead per 4-bit code was the decode's dominant cost; the
+    # encoder and the pytest recurrence pins still exercise _ima_step
+    # itself, keeping one shared arithmetic truth)
+    step_tab = _IMA_STEP_TABLE
+    idx_tab = _IMA_INDEX_TABLE
+    append = samples.append
     for b in range(n_blocks):
         block = data[b * block_align: (b + 1) * block_align]
         pred, idx, reserved = struct.unpack_from("<hBB", block, 0)
         if idx > 88 or reserved:
             raise ValueError("corrupt IMA ADPCM block header")
         want = min(samples_per_block, fact_n - len(samples))
-        samples.append(pred)
+        append(pred)
         emitted = 1
         for byte in block[4:]:
             for nibble in (byte & 0x0F, byte >> 4):
                 if emitted == want:
                     break
-                pred, idx = _ima_step(pred, idx, nibble)
-                samples.append(pred)
+                step = step_tab[idx]
+                diff = step >> 3
+                if nibble & 4:
+                    diff += step
+                if nibble & 2:
+                    diff += step >> 1
+                if nibble & 1:
+                    diff += step >> 2
+                pred = pred - diff if nibble & 8 else pred + diff
+                if pred > 32767:
+                    pred = 32767
+                elif pred < -32768:
+                    pred = -32768
+                idx += idx_tab[nibble & 7]
+                if idx > 88:
+                    idx = 88
+                elif idx < 0:
+                    idx = 0
+                append(pred)
                 emitted += 1
     return sample_rate, 1, samples
 
