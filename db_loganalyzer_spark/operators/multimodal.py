@@ -2177,8 +2177,12 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
     total_bits = len(data) * 8
     base: list = [(i,) for i in range(clear)] + [None, None]
     table = list(base)
+    tlen = len(table)
     out: list[int] = []
+    n_out = 0
     prev: tuple | None = None
+    extend = out.extend
+    append = table.append
     while True:
         if pos_bits + code_size > total_bits:
             raise ValueError("truncated GIF LZW stream (no EOI)")
@@ -2188,6 +2192,8 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
         pos_bits += code_size
         if code == clear:
             table = list(base)
+            tlen = len(table)
+            append = table.append
             code_size = mcs + 1
             prev = None
             continue
@@ -2197,23 +2203,25 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
             if code >= clear:
                 raise ValueError("GIF LZW stream must start with a root code")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             if entry is None:
                 raise ValueError("GIF LZW code references clear/EOI slot")
-        elif code == len(table):
+        elif code == tlen:
             entry = prev + prev[:1]
         else:
             raise ValueError("GIF LZW code references undefined entry")
-        out.extend(entry)
-        if len(out) > n_expected:
+        extend(entry)
+        n_out += len(entry)
+        if n_out > n_expected:
             raise ValueError("GIF pixel data overruns image size")
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << code_size) and code_size < 12:
+        if prev is not None and tlen < 4096:
+            append(prev + entry[:1])
+            tlen += 1
+            if tlen == (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = entry
-    if len(out) != n_expected:
+    if n_out != n_expected:
         raise ValueError("GIF pixel data length mismatch")
     return out
 
