@@ -62,7 +62,14 @@ GLOBAL_WINDOW_OK = {
     "d06_zscore_hotspots",
     "a31_cumulative_hll",  # one row per day bucket
     "d04_recovery_loop",  # bucket+halo form (detectors.py docstring)
-    "d09_rollback_analysis",  # version-sequence frame (recovery-event level)
+    # d09's version scans run on the STITCHED (range-partitioned)
+    # operators since the r13 optimization round; it stays listed only
+    # because this lint's heuristic is a coarse conjunction
+    # (SinglePartition anywhere + Window anywhere) and d09's plan still
+    # carries 1-row aggregate-merge exchanges beside its __pid windows.
+    # The windows themselves are range-partitioned — see
+    # plans/r13/d09_rollback_analysis_after.txt.
+    "d09_rollback_analysis",
     "d10_recovery_episodes",  # episode-level
     "t11_tfidf_terms",  # per-term rank over vocab-bounded frame
     "t12_bm25_search",  # top-k over per-doc score frame
