@@ -17,6 +17,28 @@ def pytest_configure(config):
         "sentence-transformers) when importable; select with -m realbackend "
         "on a deployment that ships the wheels",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running sweep/bank tests (each >20 s; ~15 min total) "
+        "skipped by default so the standard gate finishes inside the "
+        "driver's pytest budget (VERIFY_r13 recorded the full 28-min "
+        "suite cut off at ~83% with zero failures). The full gate — run "
+        "at every round close — selects them with SPARK_GRAFT_RUN_SLOW=1 "
+        "or -m slow.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_RUN_SLOW"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # an explicit -m mentioning the marker takes over selection
+    skip = pytest.mark.skip(
+        reason="slow sweep/bank; run with SPARK_GRAFT_RUN_SLOW=1 or -m slow"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

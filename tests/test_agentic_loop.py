@@ -199,6 +199,7 @@ def test_build_timeline_empty(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_phased_loop_end_to_end(scenario, tmp_path):
     prompts = []
     responses = iter(
@@ -275,6 +276,7 @@ def test_phased_loop_end_to_end(scenario, tmp_path):
     assert sum(n.startswith("llm_output") for n in logged) == 1
 
 
+@pytest.mark.slow
 def test_phased_loop_dive_advances_across_hotspots(scenario):
     """Regression: with confidence pinned below the threshold the loop
     burns iterations diving — each dive must advance to a NEW bucket
@@ -302,6 +304,7 @@ def test_phased_loop_dive_advances_across_hotspots(scenario):
     assert res.iterations > 1
 
 
+@pytest.mark.slow
 def test_phased_loop_dive_walks_through_hotspot_in_10s_steps(spark):
     """A 300s z-score hotspot must be dived 10s sub-bucket at a time —
     granularity is part of the bucket coordinate, so a phase-A heatmap
@@ -345,6 +348,7 @@ def test_phased_loop_dive_walks_through_hotspot_in_10s_steps(spark):
     assert all(base <= e < base + 300 for e in dives)
 
 
+@pytest.mark.slow
 def test_phased_loop_llm_budget(scenario):
     calls = {"n": 0}
 
@@ -378,6 +382,7 @@ REF_XML_DIR = "/root/reference/data/log_example/simlogs"
     or not __import__("os").path.isdir(REF_XML_DIR),
     reason="reference not present",
 )
+@pytest.mark.slow
 def test_reference_sample_end_to_end(spark, tmp_path):
     import glob
     import os

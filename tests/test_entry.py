@@ -1,5 +1,6 @@
 """Smoke tests for the driver contract: entry() produces rows, every
 queries() entry runs at sf0.001, and the registry is well-formed."""
+import pytest
 
 import __spark_entry__ as entry_mod
 
@@ -16,6 +17,7 @@ def test_registry_well_formed():
     assert set(oracles) <= set(qs)
 
 
+@pytest.mark.slow
 def test_all_queries_run_sf0001(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)

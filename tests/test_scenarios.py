@@ -158,6 +158,7 @@ def test_sideband_timeline_story(spark, clogged_sideband):
     assert "Recovery activity begins" in notes
 
 
+@pytest.mark.slow
 def test_sideband_phased_loop_surfaces_evidence(spark, clogged_sideband):
     prompts, rag_queries = [], []
 
@@ -284,6 +285,7 @@ def test_rollbacks_version_rollback_detected(spark, clog_with_rollbacks):
     assert s.num_resets >= 1  # 5M -> 0.9M crosses the 1M reset line
 
 
+@pytest.mark.slow
 def test_rollbacks_loop_rejects_file_not_found_red_herring(
     spark, clog_with_rollbacks
 ):
@@ -655,6 +657,7 @@ def test_sidebandstatus_timeline_leads_with_proxy(spark, sideband_with_status):
     assert "Recovery activity begins" in notes
 
 
+@pytest.mark.slow
 def test_sidebandstatus_loop_confirms_cl7_over_cl0(spark, sideband_with_status):
     """The doc's interpretation rule: ClusterRecoveryRetrying without a
     preceding proxy kill would be CL0; WITH the proxy-led chain it is CL7.
@@ -796,6 +799,7 @@ def test_cycle_rocksdb_ruleout_no_storage_pressure(spark, clogged_cycle):
     assert not s.detected
 
 
+@pytest.mark.slow
 def test_cycle_loop_lands_on_cl7_with_cl5_support(spark, clogged_cycle):
     prompts = []
     responses = [
@@ -1500,6 +1504,7 @@ def _evidence_reader_llm(prompt: str) -> str:
     })
 
 
+@pytest.mark.slow
 def test_rca_accuracy_over_scenario_bank(
     spark,
     clogged_sideband,

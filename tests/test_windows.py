@@ -148,6 +148,7 @@ def test_sessionize_stitched_boundary_continuation(spark):
     assert {r.session_id for r in st.collect()} == {0}
 
 
+@pytest.mark.slow
 def test_stitched_equivalence_property(spark):
     """Randomized equivalence: for arbitrary (ts-tied, null-ridden)
     series and partition counts, every stitched variant must equal its
