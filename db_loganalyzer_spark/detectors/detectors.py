@@ -596,6 +596,15 @@ def rollback_analysis(events: DataFrame) -> dict[str, DataFrame]:
     rv_regr = lag_regressions_stitched(
         rv, "rv", ts_col="ts", tiebreak="event_id",
     )
+    # Persist hygiene (VERDICT r13 item 8): the stitched operators
+    # localCheckpoint(eager=True) their range-sorted input at
+    # construction, so by this point every returned frame reads the
+    # checkpointed partitions, NOT the persisted lineage — the persists
+    # above exist only so the four eager construction jobs share one
+    # parse. Release them now instead of pinning two event-volume frames
+    # in executor storage for the rest of the session.
+    versions.unpersist()
+    rv.unpersist()
 
     drops = drops_c.select("event_id", "ts", F.lit("CommittedVersion").alias("column"),
                            "prev_value", F.col("committed").alias("value"), "drop_amount")

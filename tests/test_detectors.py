@@ -129,6 +129,23 @@ def test_rollback_analysis(spark, log_events):
     assert s.num_recovery_resets == 1
 
 
+def test_rollback_analysis_releases_input_persists(spark, log_events):
+    """Persist hygiene (VERDICT r13 item 8): rollback_analysis persists
+    its two narrow parsed frames only to share the parse across the four
+    stitched constructions; both must be unpersisted before it returns.
+    The only storage residue allowed is the stitched operators' own
+    localCheckpoints (one per scan — four), which the returned frames
+    read from."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = D.rollback_analysis(log_events)
+    out["summary"].collect()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    # new residue == the 4 eager localCheckpoints; the versions/rv
+    # persists would make this 6
+    assert len(after - before) == 4
+
+
 def test_recovery_episodes(spark, log_events):
     eps = D.recovery_episodes(log_events)["episodes"].collect()
     assert len(eps) == 2
