@@ -436,6 +436,23 @@ def ngram_jaccard_pairs(
     estimate of the uncapped value. Default None keeps the exact
     semantics the DuckDB oracle checks.
 
+    On the capped path the EXPLODED (id, shingle) index is persisted
+    (in-query only, rebuilt every run): the index is referenced by the
+    hot-shingle aggregate, the sizes aggregate, and both self-join
+    sides, and ``word_shingles`` is an interpreted higher-order
+    expression (~1.2 ms/doc) — without the persist those sub-DAGs each
+    re-run it (event-log attribution: 4 x ~650-870 task-seconds per
+    entry at 500k docs, bench_data/probe_heavy_r14.jsonl for
+    m13/m14/m08c/t14). The exploded rows are what is cached — skinny
+    (long, string) rows dictionary-compress in the columnar cache;
+    caching the pre-explode ARRAY frame instead was measured 2.7-3.1x
+    WORSE (t14 96->303 s, m13 117->311 s at 500k docs): complex-typed
+    cache batches at the session's 65536-row batch size balloon the
+    heap and the build GC-thrashes. Eviction is left to LRU like the
+    uncapped guard persist below; at 100 TB this cache is
+    O(corpus tokens) and spills to disk — the recompute-vs-storage
+    trade is the same one the dedup fixpoint makes for its edge list.
+
     On the uncapped path with ``check_skew`` (the default) this call is
     EAGER: the clone-skew guard runs one Spark job (max shingle
     doc-freq) at plan-construction time. The shingle index is persisted
@@ -449,6 +466,16 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
+        # capped path: persist the EXPLODED index once (docstring
+        # above). Skinny (id, shingle) rows cache as dictionary-
+        # compressed columnar batches; caching the pre-explode ARRAY
+        # frame instead was measured 2.7-3.1x WORSE at 500k docs
+        # (t14 96->303 s, m13 117->311 s): complex-typed cache batches
+        # at the session's 65536-row batch size balloon the heap and
+        # the build GC-thrashes. Same exploded-persist pattern as the
+        # uncapped guard below.
+        if not sh.isStreaming:
+            sh = sh.persist()
         hot = _hot_shingles(sh, max_doc_freq)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     elif check_skew:
@@ -521,6 +548,13 @@ def shingle_containment_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+    if not sh.isStreaming:
+        # the index feeds the hot/sizes aggregates and both self-join
+        # sides — persist the EXPLODED rows once (see
+        # ngram_jaccard_pairs: same interpreted-HOF recompute, same
+        # in-query LRU trade, and the same measured rejection of
+        # caching the pre-explode array frame)
+        sh = sh.persist()
     if max_doc_freq is not None:
         hot = _hot_shingles(sh, max_doc_freq)
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -588,13 +622,62 @@ def minhash_signatures(
     projections (and the repartition) to the scan with the whole
     signature expression inlined — the entire pipeline re-computed per
     row as a single-partition filter. That anti-pattern was measured at
-    8x the cost of the signatures themselves."""
+    8x the cost of the signatures themselves.
+
+    BATCH SHAPE (r14): the per-seed minimum is computed by EXPLODING the
+    shingle hashes and aggregating ``num_hashes`` codegen'd ``min``
+    expressions per document, NOT by a per-seed ``transform`` +
+    ``array_min`` over the hash array. Higher-order-function lambdas are
+    interpreted expressions (no whole-stage codegen) and each per-seed
+    ``transform`` materializes a fresh array, so the HOF form cost
+    8.4 ms/doc at k=32 — 4 047 task-seconds for 480k docs, 61% of
+    pipe02's entire runtime (event-log attribution,
+    bench_data/probe_heavy_r14.jsonl stage 7). The explode + hash-
+    aggregate form runs the identical integer arithmetic through
+    generated code; map-side partial aggregation collapses the exploded
+    rows back to one row per document before the (id)-keyed exchange,
+    so the added shuffle carries exactly the signature table. Same
+    values by construction: ``min`` over the same multiset of the same
+    affine images, assembled in the same seed order; same ROWS because
+    the token-count pre-filter guarantees every surviving document has
+    at least one shingle (size(toks) >= n implies size(hs) =
+    size(toks) - n + 1 >= 1), so the explode drops nothing and the old
+    form's NULL-signature branch was unreachable. Streaming inputs keep
+    the stateless HOF form: a groupBy on an unbounded stream would
+    become a stateful aggregation, which the streaming probes must not
+    introduce."""
     toks = F.split(normalize_text(text_col), " ")
     df = _spread(df.filter(F.size(toks) >= n))
     if hash_family == "xxhash64":
         grams_df = df.select(
             F.col(id_col).alias("id"), word_shingles(text_col, n).alias("grams")
         )
+        if not grams_df.isStreaming:
+            # explode_OUTER on purpose: plain explode makes Catalyst's
+            # InferFiltersFromGenerate add `size(grams) > 0 AND
+            # isnotnull(grams)` and push it through the projections to
+            # the scan — with the whole interpreted shingle expression
+            # INLINED into the filter, evaluated twice per document
+            # below the repartition (the same pushed-predicate blowup
+            # documented above; observed live when this shape first ran
+            # with a plain explode). The outer variant infers nothing,
+            # and is value-identical here: the pre-filter guarantees a
+            # non-empty array, so no null-expansion row can exist.
+            ex = grams_df.select("id", F.explode_outer("grams").alias("g"))
+            mins = [
+                F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"__s{i}")
+                for i in range(num_hashes)
+            ]
+            return (
+                ex.groupBy("id")
+                .agg(*mins)
+                .select(
+                    "id",
+                    F.array(
+                        *[F.col(f"__s{i}") for i in range(num_hashes)]
+                    ).alias("signature"),
+                )
+            )
         sig = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: F.array_min(
@@ -614,6 +697,25 @@ def minhash_signatures(
     hs_df = tp_df.select(
         "id", shingle_hashes_from_tp(F.col("tp"), n).alias("hs")
     )
+    if not hs_df.isStreaming:
+        # explode_outer, not explode — see the xxhash64 branch comment
+        ex = hs_df.select("id", F.explode_outer("hs").alias("h"))
+        mins = [
+            F.min(
+                ((2 * i + 1) * F.col("h") + (10007 * i + 12345)) % _PMOD
+            ).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+        return (
+            ex.groupBy("id")
+            .agg(*mins)
+            .select(
+                "id",
+                F.array(
+                    *[F.col(f"__s{i}") for i in range(num_hashes)]
+                ).alias("signature"),
+            )
+        )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(

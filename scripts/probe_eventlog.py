@@ -30,6 +30,31 @@ from db_loganalyzer_spark.session import get_spark
 EVDIR = "/tmp/spark-events-r14"
 
 
+def _read_lines(path: str):
+    """Yield event-log JSON lines from either a single-file log or a
+    Spark 4 rolling (eventLog dir + zstd parts) layout."""
+    import glob
+    import subprocess
+
+    if os.path.isdir(path):
+        parts = sorted(
+            glob.glob(os.path.join(path, "events_*")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]),
+        )
+    else:
+        parts = [path]
+    for p in parts:
+        if p.endswith(".zstd"):
+            # check=False: an in-progress log has a truncated final
+            # frame; zstd exits nonzero but emits everything it decoded
+            out = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=False
+            ).stdout
+            yield from out.decode("utf-8", "replace").splitlines()
+        else:
+            yield from open(p)
+
+
 def parse_eventlog(path: str):
     """One pass over a Spark JSON event log -> per-entry stage tables.
 
@@ -39,7 +64,7 @@ def parse_eventlog(path: str):
     completion summaries do not include executor run time)."""
     stage_of_entry: dict[int, str] = {}
     stages: dict[int, dict] = {}
-    for line in open(path):
+    for line in _read_lines(path):
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -140,7 +165,10 @@ def main():
         print(f"{name}: {walls[name]} s", flush=True)
     spark.stop()
     time.sleep(2)
-    tables = parse_eventlog(os.path.join(EVDIR, app_id))
+    log = os.path.join(EVDIR, app_id)
+    if not os.path.exists(log):  # Spark 4 rolling layout
+        log = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+    tables = parse_eventlog(log)
     with open(out_path, "w") as out:
         for name in names:
             rec = {
